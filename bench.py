@@ -1,0 +1,105 @@
+"""
+Benchmark: MDv5 (YOLOv5l6) batched inference throughput at 1280px on the
+available accelerator.
+
+Measures the full device step (uint8 -> normalize -> forward -> decode ->
+NMS) at the production canvas, steady-state, with the batch size chosen by
+a quick sweep. Prints ONE JSON line:
+
+    {"metric": "images/sec (MDv5 @1280px batch)", "value": N,
+     "unit": "img/s", "vs_baseline": N}
+
+vs_baseline compares against the reference's fastest published number:
+17.6 img/s on an RTX 4090 (reference: megadetector.md:350,
+detection/run_detector.py:261).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_SEC = 17.6  # MDv5 on RTX 4090, reference megadetector.md:350
+
+
+def bench(batch_sizes=(8, 16, 32), image_size=1280, dtype_name='bfloat16',
+          warmup=2, iters=5, verbose=True):
+    import jax
+    import jax.numpy as jnp
+
+    from megadetector_tpu.models import yolov5
+    from megadetector_tpu.ops.nms import batched_nms
+
+    platform = jax.devices()[0].platform
+    if platform == 'cpu':
+        # CPU smoke configuration: tiny canvas / batch so the bench still
+        # produces a number without TPU hardware
+        batch_sizes = (1,)
+        image_size = 320
+        iters = 2
+        warmup = 1
+
+    dtype = jnp.bfloat16 if dtype_name == 'bfloat16' else jnp.float32
+    config = yolov5.YoloV5Config('yolov5l6', num_classes=3)
+    params = yolov5.init_params(config, seed=0)
+    if dtype == jnp.bfloat16:
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    params = jax.device_put(params)
+
+    def step(params, images_u8, conf, iou):
+        x = images_u8.astype(dtype) / dtype(255.0)
+        pred = yolov5.apply(config, params, x, dtype=dtype)
+        return batched_nms(pred, conf, iou, max_det=300, pre_nms_topk=1024)
+
+    best_rate = 0.0
+    best_batch = None
+    rng = np.random.RandomState(0)
+
+    for batch in batch_sizes:
+        images = rng.randint(0, 255, (batch, image_size, image_size, 3),
+                             dtype=np.uint8)
+        images = jax.device_put(images)
+        fn = jax.jit(step)
+        try:
+            out = fn(params, images, jnp.float32(0.005), jnp.float32(0.45))
+            jax.block_until_ready(out)
+        except Exception as e:
+            if verbose:
+                print('batch {} failed: {}'.format(batch, e),
+                      file=sys.stderr)
+            continue
+
+        for _ in range(warmup):
+            jax.block_until_ready(
+                fn(params, images, jnp.float32(0.005), jnp.float32(0.45)))
+
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(params, images, jnp.float32(0.005), jnp.float32(0.45))
+        jax.block_until_ready(out)
+        elapsed = time.time() - t0
+        rate = batch * iters / elapsed
+        if verbose:
+            print('batch {}: {:.2f} img/s ({:.1f} ms/img)'.format(
+                batch, rate, 1000.0 / rate), file=sys.stderr)
+        if rate > best_rate:
+            best_rate = rate
+            best_batch = batch
+
+    return {
+        'metric': 'images/sec (MDv5 @1280px batch, {} {})'.format(
+            platform, dtype_name),
+        'value': round(best_rate, 2),
+        'unit': 'img/s',
+        'vs_baseline': round(best_rate / BASELINE_IMG_PER_SEC, 3),
+        'batch_size': best_batch,
+        'image_size': image_size,
+    }
+
+
+if __name__ == '__main__':
+    result = bench()
+    print(json.dumps(result))

@@ -1,0 +1,288 @@
+"""
+Detector loading and the simple single-image / few-images driver.
+
+Module-level API mirrors the reference (megadetector/detection/
+run_detector.py): load_detector() factory at :601, load_and_run_detector()
+demo driver at :688, is_gpu_available() at :554, plus the failure-string /
+precision constants and the default label map. The registry tables live in
+models/registry.py.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from megadetector_tpu.models import registry
+from megadetector_tpu.models.registry import (  # noqa: F401  (public API)
+    known_models,
+    model_string_to_model_version,
+    get_detector_metadata_from_version_string,
+    get_detector_version_from_filename,
+    get_detector_version_from_model_file,
+    try_download_known_detector,
+    DEFAULT_RENDERING_CONFIDENCE_THRESHOLD,
+    DEFAULT_OUTPUT_CONFIDENCE_THRESHOLD,
+)
+from megadetector_tpu.models.detector import (  # noqa: F401  (public API)
+    FAILURE_INFER,
+    FAILURE_IMAGE_OPEN,
+    CONF_DIGITS,
+    COORD_DIGITS,
+    DEFAULT_DETECTOR_LABEL_MAP,
+    TPUDetector,
+)
+from megadetector_tpu.utils import ct_utils
+from megadetector_tpu.utils import path_utils
+from megadetector_tpu.visualization import visualization_utils as vis_utils
+
+DEFAULT_BOX_THICKNESS = 4
+DEFAULT_BOX_EXPANSION = 0
+DEFAULT_LABEL_FONT_SIZE = 16
+DETECTION_FILENAME_INSERT = '_detections'
+
+
+def is_gpu_available(detector_file=None):
+    """
+    True when a JAX accelerator (TPU or GPU) is available
+    (reference analog: run_detector.py:554, which probes torch/TF).
+    """
+
+    import jax
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform not in ('cpu',)
+
+
+def get_accelerator_summary():
+    """Human-readable device summary (platform x count)."""
+
+    import jax
+    devices = jax.devices()
+    return '{} x {}'.format(len(devices), devices[0].device_kind
+                            if hasattr(devices[0], 'device_kind')
+                            else devices[0].platform)
+
+
+def load_detector(model_file, force_cpu=False, detector_options=None,
+                  verbose=False):
+    """
+    Load a detector from a model name ('MDV5A') or file path. Converted
+    TPU checkpoints (.npz / checkpoint dirs) load directly; original torch
+    .pt files are converted on the fly when torch is available
+    (reference factory semantics: run_detector.py:601-683).
+    """
+
+    detector_options = dict(detector_options or {})
+    if force_cpu:
+        detector_options['force_cpu'] = True
+
+    model_file = try_download_known_detector(model_file, verbose=verbose)
+
+    assert model_file is not None and os.path.exists(model_file), \
+        'Model file {} does not exist'.format(model_file)
+
+    start = time.time()
+
+    if model_file.endswith('.pt'):
+        # Original torch checkpoint: convert once, cache next to the model
+        # cache, then load the converted artifact
+        from megadetector_tpu.models.convert_weights import \
+            convert_megadetector_checkpoint
+        version = registry.get_detector_version_from_model_file(model_file)
+        converted = registry.find_converted_checkpoint(version or 'unknown')
+        if converted is None:
+            out_path = os.path.join(
+                registry.get_default_model_folder(),
+                'md_{}.npz'.format(version or
+                                   os.path.basename(model_file)))
+            print('Converting torch checkpoint {} -> {}'.format(
+                model_file, out_path))
+            converted = convert_megadetector_checkpoint(
+                model_file, out_path, model_version=version,
+                verbose=verbose)
+        model_file = converted
+    elif model_file.endswith('.pb'):
+        raise NotImplementedError(
+            'TF v1 frozen-graph models (MDv2-v4) are deprecated and not '
+            'supported by the TPU framework; use MDv5 or later')
+
+    detector = TPUDetector(model_file, detector_options=detector_options,
+                           verbose=verbose)
+
+    elapsed = time.time() - start
+    print('Loaded model in {:.2f} seconds'.format(elapsed))
+    return detector
+
+
+def load_and_run_detector(model_file, image_file_names, output_dir,
+                          render_confidence_threshold=
+                          DEFAULT_RENDERING_CONFIDENCE_THRESHOLD,
+                          box_thickness=DEFAULT_BOX_THICKNESS,
+                          box_expansion=DEFAULT_BOX_EXPANSION,
+                          image_size=None,
+                          label_font_size=DEFAULT_LABEL_FONT_SIZE,
+                          augment=False,
+                          detector_options=None):
+    """
+    Run a detector over a short list of images, rendering boxes to
+    [output_dir] (the reference demo driver: run_detector.py:688-878).
+    Returns the list of MD-format results.
+    """
+
+    if len(image_file_names) == 0:
+        print('Warning: no files available')
+        return []
+
+    detector = load_detector(model_file,
+                             detector_options=detector_options)
+    os.makedirs(output_dir, exist_ok=True)
+
+    detection_results = []
+    time_load = []
+    time_infer = []
+
+    # Unique output filenames even with collisions across folders
+    output_filename_collision_counts = {}
+
+    def input_file_to_detection_file(fn, crop_index=-1):
+        fn = os.path.basename(fn).lower()
+        name, ext = os.path.splitext(fn)
+        if crop_index >= 0:
+            name += '_crop{:0>2d}'.format(crop_index)
+        fn = '{}{}{}'.format(name, DETECTION_FILENAME_INSERT, '.jpg')
+        if fn in output_filename_collision_counts:
+            n_collisions = output_filename_collision_counts[fn]
+            fn = '{:0>4d}'.format(n_collisions) + '_' + fn
+            output_filename_collision_counts[fn] = n_collisions + 1
+        else:
+            output_filename_collision_counts[fn] = 0
+        return os.path.join(output_dir, fn)
+
+    for im_file in image_file_names:
+
+        try:
+            start_time = time.time()
+            image = vis_utils.load_image(im_file)
+            time_load.append(time.time() - start_time)
+        except Exception as e:
+            print('Image {} cannot be loaded. Exception: {}'.format(
+                im_file, e))
+            detection_results.append({
+                'file': im_file,
+                'detections': None,
+                'failure': FAILURE_IMAGE_OPEN,
+            })
+            continue
+
+        try:
+            start_time = time.time()
+            result = detector.generate_detections_one_image(
+                image, im_file,
+                detection_threshold=DEFAULT_OUTPUT_CONFIDENCE_THRESHOLD,
+                image_size=image_size, augment=augment)
+            detection_results.append(result)
+            time_infer.append(time.time() - start_time)
+        except Exception as e:
+            print('An error occurred while running the detector on image '
+                  '{}: {}'.format(im_file, e))
+            detection_results.append({
+                'file': im_file,
+                'detections': None,
+                'failure': FAILURE_INFER,
+            })
+            continue
+
+        try:
+            vis_utils.render_detection_bounding_boxes(
+                result['detections'], image,
+                label_map=DEFAULT_DETECTOR_LABEL_MAP,
+                confidence_threshold=render_confidence_threshold,
+                thickness=box_thickness, expansion=box_expansion,
+                label_font_size=label_font_size)
+            output_full_path = input_file_to_detection_file(im_file)
+            image.save(output_full_path)
+        except Exception as e:
+            print('Rendering error for image {}: {}'.format(im_file, e))
+
+    if len(time_load) > 0:
+        print('Average image loading time: {:.3f}s'.format(
+            float(np.mean(time_load))))
+    if len(time_infer) > 0:
+        print('Average inference time: {:.3f}s'.format(
+            float(np.mean(time_infer))))
+
+    return detection_results
+
+
+def main():
+
+    parser = argparse.ArgumentParser(
+        description='Run MegaDetector (TPU) on one or more images, '
+                    'rendering boxes')
+    parser.add_argument(
+        'detector_file',
+        help='model file or known model name (e.g. "MDV5A")')
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument('--image_file',
+                       help='single image to process')
+    group.add_argument('--image_dir',
+                       help='folder of images to process')
+    parser.add_argument('--recursive', action='store_true',
+                        help='recurse into --image_dir')
+    parser.add_argument('--output_dir',
+                        help='folder for rendered images')
+    parser.add_argument('--image_size', type=int, default=None,
+                        help='inference canvas size (long side)')
+    parser.add_argument('--threshold', type=float,
+                        default=DEFAULT_RENDERING_CONFIDENCE_THRESHOLD,
+                        help='rendering confidence threshold')
+    parser.add_argument('--box_thickness', type=int,
+                        default=DEFAULT_BOX_THICKNESS)
+    parser.add_argument('--box_expansion', type=int,
+                        default=DEFAULT_BOX_EXPANSION)
+    parser.add_argument('--label_font_size', type=float,
+                        default=DEFAULT_LABEL_FONT_SIZE)
+    parser.add_argument('--augment', action='store_true')
+    parser.add_argument('--detector_options', nargs='*', default=None,
+                        help='detector options as space-separated '
+                             'key=value pairs')
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+
+    args = parser.parse_args()
+    detector_options = ct_utils.parse_kvp_list(args.detector_options)
+
+    if args.image_file:
+        image_file_names = [args.image_file]
+    else:
+        image_file_names = path_utils.find_images(args.image_dir,
+                                                  args.recursive)
+
+    if args.output_dir is None:
+        if args.image_file:
+            args.output_dir = os.path.dirname(args.image_file) or '.'
+        else:
+            args.output_dir = args.image_dir
+
+    load_and_run_detector(
+        model_file=args.detector_file,
+        image_file_names=image_file_names,
+        output_dir=args.output_dir,
+        render_confidence_threshold=args.threshold,
+        box_thickness=args.box_thickness,
+        box_expansion=args.box_expansion,
+        image_size=args.image_size,
+        label_font_size=args.label_font_size,
+        augment=args.augment,
+        detector_options=detector_options)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,589 @@
+"""
+Batch inference driver: folder/list enumeration, async host-side loading
+and preprocessing, fixed-shape batched TPU inference, checkpoint/resume,
+and the MD-format JSON writer.
+
+API and file contracts mirror the reference driver
+(megadetector/detection/run_detector_batch.py): load_and_run_detector_batch
+(:1062), write_results_to_file (:1546, format_version 1.6, sorted images and
+conf-sorted detections, max_detection_conf stripped by default), JSON
+checkpoints {'checkpoint': [...]} with previous-checkpoint backup (:1465),
+and per-image failure containment (:937-1023).
+
+Execution model (TPU-first, replacing the reference's three CPU modes):
+a thread pool of image loaders feeds a bounded queue of preprocessed
+canvases (the reference's producer/consumer queue, :461-635); the main
+thread packs fixed-size batches (padding the tail batch) and dispatches
+them to one compiled XLA program; JAX's async dispatch overlaps host
+preprocessing of batch N+1 with device execution of batch N. Multi-chip
+data parallelism shards the batch axis over a jax.sharding.Mesh instead of
+one-process-per-GPU.
+"""
+
+import argparse
+import copy
+import json
+import os
+import queue
+import sys
+import threading
+import time
+
+from datetime import datetime
+
+from tqdm import tqdm
+
+from megadetector_tpu.detection import run_detector
+from megadetector_tpu.detection.run_detector import (
+    FAILURE_IMAGE_OPEN,
+    DEFAULT_OUTPUT_CONFIDENCE_THRESHOLD,
+    get_detector_version_from_filename,
+    get_detector_metadata_from_version_string,
+    load_detector,
+    try_download_known_detector,
+)
+from megadetector_tpu.utils import ct_utils
+from megadetector_tpu.utils import path_utils
+from megadetector_tpu.visualization import visualization_utils as vis_utils
+
+# MD results format version emitted by write_results_to_file
+# (reference: run_detector_batch.py:119)
+CURRENT_FORMAT_VERSION = '1.6'
+
+verbose = False
+
+
+#%% Support functions
+
+
+def _load_and_preprocess(detector, im_file, image_size=None,
+                         include_exif_data=False, skip_preprocess=False):
+    """
+    Load one image (EXIF-rotated RGB) and letterbox it for the detector.
+    Returns a preprocess_image() dict, or a failure-string for load errors.
+    """
+
+    try:
+        image = vis_utils.load_image(im_file)
+    except Exception:
+        return FAILURE_IMAGE_OPEN
+
+    exif_data = None
+    if include_exif_data:
+        try:
+            from megadetector_tpu.data_management.read_exif import \
+                read_pil_exif
+            exif_data = read_pil_exif(image)
+        except Exception:
+            exif_data = None
+
+    if skip_preprocess:
+        info = {'file': im_file, 'img_original': image}
+    else:
+        try:
+            info = detector.preprocess_image(image, image_id=im_file,
+                                             image_size=image_size)
+        except Exception:
+            return FAILURE_IMAGE_OPEN
+
+    if exif_data is not None:
+        info['exif_metadata'] = exif_data
+    return info
+
+
+def _exif_for_result(info):
+    return info.get('exif_metadata', None) if isinstance(info, dict) else None
+
+
+#%% Checkpointing
+#
+# File format is contractual: {'checkpoint': [image dicts]}
+# (reference: run_detector_batch.py:1465-1520)
+
+
+def write_checkpoint(checkpoint_path, results):
+    """
+    Write [results] to [checkpoint_path], first backing up any previous
+    checkpoint to '<path>_tmp' so a mid-write crash can't lose both.
+    """
+
+    checkpoint_tmp_path = None
+    if os.path.isfile(checkpoint_path):
+        checkpoint_tmp_path = checkpoint_path + '_tmp'
+        import shutil
+        shutil.copyfile(checkpoint_path, checkpoint_tmp_path)
+
+    ct_utils.write_json(checkpoint_path,
+                        {'checkpoint': [r for r in results
+                                        if r is not None]},
+                        force_str=True)
+
+    if checkpoint_tmp_path is not None:
+        os.remove(checkpoint_tmp_path)
+
+
+def load_checkpoint(checkpoint_path):
+    """Read a checkpoint file; returns the list of image results."""
+
+    with open(checkpoint_path) as f:
+        saved = json.load(f)
+    assert 'checkpoint' in saved, \
+        'Checkpoint file {} is invalid (no "checkpoint" field)'.format(
+            checkpoint_path)
+    return saved['checkpoint']
+
+
+#%% Main API
+
+
+def load_and_run_detector_batch(model_file,
+                                image_file_names,
+                                checkpoint_path=None,
+                                confidence_threshold=None,
+                                checkpoint_frequency=-1,
+                                results=None,
+                                n_cores=1,
+                                use_image_queue=True,
+                                quiet=False,
+                                image_size=None,
+                                batch_size=8,
+                                include_image_size=False,
+                                include_image_timestamp=False,
+                                include_exif_data=False,
+                                detector_options=None,
+                                loader_workers=8,
+                                queue_depth=64):
+    """
+    Run a detector over a list of image files; returns a list of MD-format
+    image dicts (reference: run_detector_batch.py:1062-1439).
+
+    Args:
+        model_file: model name ('MDV5A') or checkpoint path
+        image_file_names: list of absolute image paths (or a folder, or a
+            .json/.txt list file)
+        checkpoint_path: JSON checkpoint destination (enables resume)
+        confidence_threshold: output confidence floor (default 0.005)
+        checkpoint_frequency: write a checkpoint every N images (-1 = off)
+        results: partial results from a loaded checkpoint; already-processed
+            files are skipped
+        n_cores: accepted for API compatibility; the TPU pipeline always
+            uses an async loader pool + device batching
+        use_image_queue: accepted for API compatibility (always queued)
+        quiet: suppress the per-image progress bar
+        image_size: override the model's inference canvas
+        batch_size: images per compiled device step
+        include_image_size/timestamp/exif_data: enrich results with EXIF
+        detector_options: dict of TPUDetector options
+        loader_workers: host threads decoding/letterboxing images
+        queue_depth: bounded preprocessed-image queue size
+
+    Returns:
+        list of image-result dicts
+    """
+
+    if confidence_threshold is None:
+        confidence_threshold = DEFAULT_OUTPUT_CONFIDENCE_THRESHOLD
+    if results is None:
+        results = []
+
+    # Accept a folder or a list file in place of a list
+    if isinstance(image_file_names, str):
+        if os.path.isdir(image_file_names):
+            image_file_names = path_utils.find_images(image_file_names,
+                                                      recursive=True)
+        elif image_file_names.endswith('.json') or \
+                image_file_names.endswith('.txt'):
+            image_file_names = path_utils.read_list_from_file(
+                image_file_names)
+        else:
+            image_file_names = [image_file_names]
+
+    already_processed = set(r['file'] for r in results)
+    images_to_process = [fn for fn in image_file_names
+                         if fn not in already_processed]
+    if len(images_to_process) < len(image_file_names) and not quiet:
+        print('Bypassing {} already-processed images'.format(
+            len(image_file_names) - len(images_to_process)))
+
+    if len(images_to_process) == 0:
+        return results
+
+    detector = model_file if hasattr(model_file, 'preprocess_image') \
+        else load_detector(model_file, detector_options=detector_options)
+
+    # --- Async loader pool -> bounded queue of (index, info) ---
+
+    preprocessed_q = queue.Queue(maxsize=queue_depth)
+    n_images = len(images_to_process)
+
+    def loader(worker_idx):
+        for i in range(worker_idx, n_images, loader_workers):
+            im_file = images_to_process[i]
+            info = _load_and_preprocess(
+                detector, im_file, image_size=image_size,
+                include_exif_data=include_exif_data)
+            preprocessed_q.put((i, im_file, info))
+        preprocessed_q.put(None)  # per-worker sentinel
+
+    threads = []
+    for w in range(loader_workers):
+        t = threading.Thread(target=loader, args=(w,), daemon=True)
+        t.start()
+        threads.append(t)
+
+    # --- Consumer: pack batches, run device program, emit results ---
+
+    new_results = [None] * n_images
+    n_sentinels = 0
+    pending = []  # list of (index, im_file, info)
+    images_since_checkpoint = 0
+    pbar = None if quiet else tqdm(total=n_images)
+
+    def flush_pending():
+        nonlocal images_since_checkpoint
+        if len(pending) == 0:
+            return
+        batch_infos = [p[2] for p in pending]
+        batch_results = detector.generate_detections_one_batch(
+            batch_infos,
+            [p[1] for p in pending],
+            detection_threshold=confidence_threshold,
+            image_size=image_size)
+        for (idx, im_file, info), r in zip(pending, batch_results):
+            _augment_result(r, info,
+                            include_image_size=include_image_size,
+                            include_image_timestamp=
+                            include_image_timestamp,
+                            include_exif_data=include_exif_data)
+            new_results[idx] = r
+        images_since_checkpoint += len(pending)
+        if pbar is not None:
+            pbar.update(len(pending))
+        pending.clear()
+
+    while n_sentinels < loader_workers:
+        item = preprocessed_q.get()
+        if item is None:
+            n_sentinels += 1
+            continue
+        idx, im_file, info = item
+
+        if isinstance(info, str):
+            # Load failure
+            new_results[idx] = {
+                'file': im_file,
+                'detections': None,
+                'failure': info,
+            }
+            if pbar is not None:
+                pbar.update(1)
+        else:
+            pending.append((idx, im_file, info))
+            if len(pending) >= batch_size:
+                flush_pending()
+
+        if checkpoint_frequency > 0 and checkpoint_path is not None and \
+                images_since_checkpoint >= checkpoint_frequency:
+            flush_pending()
+            done = [r for r in new_results if r is not None]
+            write_checkpoint(checkpoint_path, results + done)
+            if not quiet:
+                print('Wrote checkpoint after {} images'.format(len(done)))
+            images_since_checkpoint = 0
+
+    flush_pending()
+    if pbar is not None:
+        pbar.close()
+    for t in threads:
+        t.join()
+
+    assert all(r is not None for r in new_results), \
+        'Internal error: unprocessed images remain'
+
+    results.extend(new_results)
+
+    # Final checkpoint so a crash after inference can't lose results
+    if checkpoint_frequency > 0 and checkpoint_path is not None:
+        write_checkpoint(checkpoint_path, results)
+
+    return results
+
+
+def _augment_result(r, info, include_image_size=False,
+                    include_image_timestamp=False, include_exif_data=False):
+    """Optionally attach size/timestamp/EXIF fields to an image result."""
+
+    if not isinstance(info, dict):
+        return
+    if include_image_size and 'scaling_shape' in info:
+        r['height'] = int(info['scaling_shape'][0])
+        r['width'] = int(info['scaling_shape'][1])
+    exif = info.get('exif_metadata', None)
+    if include_exif_data and exif is not None:
+        r['exif_metadata'] = exif
+    if include_image_timestamp and exif is not None:
+        dt = exif.get('DateTimeOriginal', exif.get('DateTime', None))
+        if dt is not None:
+            r['datetime'] = str(dt)
+
+
+#%% Output writer
+
+
+def write_results_to_file(results,
+                          output_file,
+                          relative_path_base=None,
+                          detector_file=None,
+                          info=None,
+                          include_max_conf=False,
+                          custom_metadata=None,
+                          force_forward_slashes=True):
+    """
+    Write detection results to a file in the MD output format
+    (https://lila.science/megadetector-output-format). Behavior matches the
+    reference writer (run_detector_batch.py:1546-1664): relative paths,
+    forward slashes, filename-sorted images, conf-sorted detections,
+    max_detection_conf stripped unless requested, failures get
+    detections=null.
+
+    Returns the dict that was written.
+    """
+
+    if relative_path_base is not None:
+        results_relative = []
+        for r in results:
+            r_relative = copy.copy(r)
+            r_relative['file'] = os.path.relpath(
+                r_relative['file'], start=relative_path_base)
+            results_relative.append(r_relative)
+        results = results_relative
+
+    if force_forward_slashes:
+        results_converted = []
+        for r in results:
+            r_converted = copy.copy(r)
+            r_converted['file'] = r_converted['file'].replace('\\', '/')
+            results_converted.append(r_converted)
+        results = results_converted
+
+    if info is None:
+        info = {
+            'detection_completion_time':
+                datetime.now().strftime('%Y-%m-%d %H:%M:%S'),
+            'format_version': CURRENT_FORMAT_VERSION,
+        }
+        if detector_file is not None:
+            detector_filename = os.path.basename(detector_file)
+            detector_version = get_detector_version_from_filename(
+                detector_filename)
+            detector_metadata = get_detector_metadata_from_version_string(
+                detector_version)
+            info['detector'] = detector_filename
+            info['detector_metadata'] = detector_metadata
+        else:
+            info['detector'] = 'unknown'
+            info['detector_metadata'] = \
+                get_detector_metadata_from_version_string('unknown')
+    else:
+        if detector_file is not None:
+            print('Warning (write_results_to_file): info struct and '
+                  'detector file supplied, ignoring detector file')
+
+    if custom_metadata is not None:
+        info['custom_metadata'] = custom_metadata
+
+    if not include_max_conf:
+        for im in results:
+            if 'max_detection_conf' in im:
+                del im['max_detection_conf']
+
+    results = ct_utils.sort_list_of_dicts_by_key(results, 'file')
+
+    for im in results:
+        if 'detections' in im and im['detections'] is not None:
+            im['detections'] = ct_utils.sort_list_of_dicts_by_key(
+                im['detections'], 'conf', reverse=True)
+
+    for im in results:
+        if 'failure' in im:
+            if 'detections' in im:
+                assert im['detections'] is None, \
+                    'Illegal failure/detection combination'
+            else:
+                im['detections'] = None
+
+    final_output = {
+        'images': results,
+        'detection_categories':
+            run_detector.DEFAULT_DETECTOR_LABEL_MAP,
+        'info': info,
+    }
+
+    try:
+        os.makedirs(os.path.dirname(output_file), exist_ok=True)
+    except Exception:
+        pass
+
+    ct_utils.write_json(output_file, final_output, force_str=True)
+    print('Output file saved at {}'.format(output_file))
+    return final_output
+
+
+#%% CLI
+
+
+def main():
+
+    parser = argparse.ArgumentParser(
+        description='Run MegaDetector (TPU) on a folder or list of images, '
+                    'writing MD-format JSON')
+    parser.add_argument('detector_file',
+                        help='model file or known model name (e.g. MDV5A)')
+    parser.add_argument('image_file',
+                        help='folder of images, a single image, or a '
+                             '.json/.txt list of image paths')
+    parser.add_argument('output_file',
+                        help='output .json path')
+    parser.add_argument('--recursive', action='store_true',
+                        help='recurse into image_file when it is a folder')
+    parser.add_argument('--output_relative_filenames', action='store_true',
+                        help='write paths relative to the input folder')
+    parser.add_argument('--include_max_conf', action='store_true')
+    parser.add_argument('--quiet', action='store_true')
+    parser.add_argument('--image_size', type=int, default=None)
+    parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--threshold', type=float, default=None,
+                        help='output confidence floor (default {})'.format(
+                            DEFAULT_OUTPUT_CONFIDENCE_THRESHOLD))
+    parser.add_argument('--checkpoint_frequency', type=int, default=-1)
+    parser.add_argument('--checkpoint_path', default=None)
+    parser.add_argument('--resume_from_checkpoint', default=None,
+                        help='checkpoint file to resume from, or "auto"')
+    parser.add_argument('--allow_checkpoint_overwrite',
+                        action='store_true')
+    parser.add_argument('--ncores', type=int, default=0,
+                        help='(compatibility) loader workers when > 0')
+    parser.add_argument('--loader_workers', type=int, default=8)
+    parser.add_argument('--include_image_size', action='store_true')
+    parser.add_argument('--include_image_timestamp', action='store_true')
+    parser.add_argument('--include_exif_data', action='store_true')
+    parser.add_argument('--overwrite_handling', default='overwrite',
+                        choices=['overwrite', 'skip', 'error'])
+    parser.add_argument('--detector_options', nargs='*', default=None)
+    parser.add_argument('--previous_results_file', default=None,
+                        help='merge results for already-processed images '
+                             'from this file')
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+
+    args = parser.parse_args()
+
+    if os.path.exists(args.output_file):
+        if args.overwrite_handling == 'skip':
+            print('Output file {} exists, skipping'.format(
+                args.output_file))
+            return
+        elif args.overwrite_handling == 'error':
+            raise ValueError('Output file {} exists'.format(
+                args.output_file))
+
+    detector_options = ct_utils.parse_kvp_list(args.detector_options)
+
+    # Enumerate images
+    if os.path.isdir(args.image_file):
+        image_file_names = path_utils.find_images(args.image_file,
+                                                  args.recursive)
+        source_folder = args.image_file
+    elif args.image_file.endswith(('.json', '.txt')):
+        image_file_names = path_utils.read_list_from_file(args.image_file)
+        source_folder = None
+    else:
+        image_file_names = [args.image_file]
+        source_folder = None
+
+    print('Running detector on {} images'.format(len(image_file_names)))
+
+    # Resume support
+    results = []
+    checkpoint_path = args.checkpoint_path
+    if args.checkpoint_frequency > 0 and checkpoint_path is None:
+        output_dir = os.path.dirname(os.path.abspath(args.output_file))
+        checkpoint_path = os.path.join(
+            output_dir, 'md_checkpoint_{}.json'.format(
+                datetime.now().strftime('%Y%m%d%H%M%S')))
+
+    if args.resume_from_checkpoint is not None:
+        if args.resume_from_checkpoint == 'auto':
+            output_dir = os.path.dirname(os.path.abspath(args.output_file))
+            candidates = sorted(
+                fn for fn in os.listdir(output_dir)
+                if fn.startswith('md_checkpoint') and fn.endswith('.json'))
+            assert len(candidates) > 0, \
+                'No checkpoint files found for "auto" resume'
+            resume_file = os.path.join(output_dir, candidates[-1])
+        else:
+            resume_file = args.resume_from_checkpoint
+        results = load_checkpoint(resume_file)
+        print('Restored {} results from checkpoint {}'.format(
+            len(results), resume_file))
+        if checkpoint_path is None:
+            checkpoint_path = resume_file
+
+    # Merge previous results
+    if args.previous_results_file is not None:
+        with open(args.previous_results_file) as f:
+            previous = json.load(f)
+        prev_images = previous.get('images', [])
+        if source_folder is not None:
+            for im in prev_images:
+                im['file'] = os.path.join(source_folder, im['file'])
+        results.extend(prev_images)
+        print('Merged {} previous results'.format(len(prev_images)))
+
+    loader_workers = args.ncores if args.ncores > 0 else args.loader_workers
+
+    start_time = time.time()
+    results = load_and_run_detector_batch(
+        model_file=args.detector_file,
+        image_file_names=image_file_names,
+        checkpoint_path=checkpoint_path,
+        confidence_threshold=args.threshold,
+        checkpoint_frequency=args.checkpoint_frequency,
+        results=results,
+        quiet=args.quiet,
+        image_size=args.image_size,
+        batch_size=args.batch_size,
+        include_image_size=args.include_image_size,
+        include_image_timestamp=args.include_image_timestamp,
+        include_exif_data=args.include_exif_data,
+        detector_options=detector_options,
+        loader_workers=loader_workers)
+    elapsed = time.time() - start_time
+
+    n_images = len(image_file_names)
+    print('Finished inference for {} images in {:.1f}s '
+          '({:.2f} images/sec)'.format(
+              n_images, elapsed,
+              n_images / elapsed if elapsed > 0 else 0))
+
+    relative_path_base = None
+    if args.output_relative_filenames and source_folder is not None:
+        relative_path_base = source_folder
+
+    write_results_to_file(
+        results, args.output_file,
+        relative_path_base=relative_path_base,
+        detector_file=args.detector_file if isinstance(
+            args.detector_file, str) else None,
+        include_max_conf=args.include_max_conf)
+
+    # Delete the checkpoint on success
+    if checkpoint_path is not None and os.path.isfile(checkpoint_path):
+        os.remove(checkpoint_path)
+        print('Deleted checkpoint file {}'.format(checkpoint_path))
+
+
+if __name__ == '__main__':
+    main()

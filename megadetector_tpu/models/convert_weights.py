@@ -1,0 +1,437 @@
+"""
+Offline weight conversion: reference torch checkpoints -> TPU-native
+parameter pytrees (.npz + metadata.json).
+
+The reference loads pickled YOLOv5 nn.Modules at serving time, requiring the
+yolov5 package for unpickling (megadetector/detection/pytorch_detector.py:
+265-497 does sys.modules surgery for exactly this reason). The TPU framework
+instead converts once, offline: torch state dicts are extracted (via a
+stub-unpickler so the original training repo does NOT need to be installed),
+BatchNorm is folded into conv weights (the reference equivalently calls
+.fuse() at load, pytorch_detector.py:929), tensors are transposed
+OIHW -> HWIO for NHWC TPU convolutions, and the result is written as a flat
+.npz plus a metadata.json carrying the model version, class names, anchors
+and input size. Serving never imports torch.
+"""
+
+import io
+import json
+import os
+import pickle
+import zipfile
+
+import numpy as np
+
+from megadetector_tpu.models.yolov5 import YoloV5Config
+
+
+#%% Pytree <-> flat-dict plumbing
+
+
+def flatten_params(params, prefix='', out=None):
+    """Nested-dict pytree -> {'a/b/c': ndarray} flat dict."""
+
+    if out is None:
+        out = {}
+    for k, v in params.items():
+        path = '{}/{}'.format(prefix, k) if prefix else k
+        if isinstance(v, dict):
+            flatten_params(v, path, out)
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def unflatten_params(flat):
+    """{'a/b/c': ndarray} -> nested-dict pytree."""
+
+    params = {}
+    for path, v in flat.items():
+        parts = path.split('/')
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return params
+
+
+def save_checkpoint(params, path, metadata=None):
+    """
+    Save a parameter pytree as .npz, with a metadata.json sidecar
+    ('<path minus .npz>.metadata.json').
+    """
+
+    flat = flatten_params(params)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+    if metadata is not None:
+        meta_path = os.path.splitext(path)[0] + '.metadata.json'
+        with open(meta_path, 'w') as f:
+            json.dump(metadata, f, indent=1)
+    return path
+
+
+def load_checkpoint(path):
+    """
+    Load a converted checkpoint. Returns (params, metadata-or-None).
+    Accepts an .npz file or a directory containing weights.npz+metadata.json.
+    """
+
+    if os.path.isdir(path):
+        npz_path = os.path.join(path, 'weights.npz')
+        meta_path = os.path.join(path, 'metadata.json')
+    else:
+        npz_path = path
+        meta_path = os.path.splitext(path)[0] + '.metadata.json'
+
+    with np.load(npz_path) as data:
+        flat = {k: data[k] for k in data.files}
+    params = unflatten_params(flat)
+
+    metadata = None
+    if os.path.isfile(meta_path):
+        with open(meta_path, 'r') as f:
+            metadata = json.load(f)
+    return params, metadata
+
+
+#%% Torch-state-dict extraction without the training repo
+
+
+class _StubModule:
+    """Generic stand-in for any class the checkpoint pickle references."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+
+
+def _make_stub_class(module, name):
+    return type(name, (_StubModule,), {'__module__': module})
+
+
+def extract_torch_state_dict(checkpoint_path, verbose=False):
+    """
+    Extract {name: numpy array} from a torch checkpoint WITHOUT requiring
+    the original model repo: unknown pickle classes resolve to stubs, and
+    the nn.Module object graph is walked manually via _parameters /
+    _buffers / _modules.
+
+    Returns (state_dict, extras) where extras carries useful scalars found
+    in the checkpoint (class names, anchors, stride) when present.
+    """
+
+    import torch
+
+    class _ShimUnpickler(pickle.Unpickler):
+
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                if verbose:
+                    print('Stubbing {}.{}'.format(module, name))
+                return _make_stub_class(module, name)
+
+    def _shim_load(f, **kwargs):
+        return _ShimUnpickler(f).load()
+
+    shim_pickle = type(pickle)('shim_pickle')
+    shim_pickle.Unpickler = _ShimUnpickler
+    shim_pickle.load = _shim_load
+    shim_pickle.loads = lambda b, **kw: _ShimUnpickler(
+        io.BytesIO(b)).load()
+
+    ckpt = torch.load(checkpoint_path, map_location='cpu',
+                      pickle_module=shim_pickle, weights_only=False)
+
+    model_obj = None
+    extras = {}
+    if isinstance(ckpt, dict):
+        for key in ('model', 'ema'):
+            if key in ckpt and ckpt[key] is not None:
+                model_obj = ckpt[key]
+                break
+        if model_obj is None and all(
+                hasattr(v, 'shape') for v in ckpt.values()):
+            # Plain state dict
+            return ({k: _to_numpy(v) for k, v in ckpt.items()}, extras)
+    else:
+        model_obj = ckpt
+
+    assert model_obj is not None, \
+        'Could not find a model object in {}'.format(checkpoint_path)
+
+    state = {}
+    _walk_module(model_obj, '', state)
+
+    # Harvest metadata commonly attached to YOLO model objects
+    d = getattr(model_obj, '__dict__', {})
+    names = d.get('names', None)
+    if names is not None:
+        extras['names'] = names if isinstance(names, (list, dict)) \
+            else list(names)
+    for attr in ('stride', 'nc', 'yaml'):
+        if attr in d:
+            try:
+                v = d[attr]
+                if hasattr(v, 'tolist'):
+                    v = v.tolist()
+                json.dumps(v)
+                extras[attr] = v
+            except (TypeError, ValueError):
+                pass
+
+    return state, extras
+
+
+def _to_numpy(t):
+    return t.detach().cpu().numpy() if hasattr(t, 'detach') else np.asarray(t)
+
+
+def _walk_module(obj, prefix, out):
+    """Recursively collect parameters/buffers from a (stubbed) nn.Module."""
+
+    d = getattr(obj, '__dict__', None)
+    if d is None:
+        return
+    for group in ('_parameters', '_buffers'):
+        tensors = d.get(group, None)
+        if isinstance(tensors, dict):
+            for name, t in tensors.items():
+                if t is not None and hasattr(t, 'shape'):
+                    key = '{}.{}'.format(prefix, name) if prefix else name
+                    out[key] = _to_numpy(t)
+    modules = d.get('_modules', None)
+    if isinstance(modules, dict):
+        for name, child in modules.items():
+            if child is None:
+                continue
+            child_prefix = '{}.{}'.format(prefix, name) if prefix else name
+            _walk_module(child, child_prefix, out)
+
+
+#%% BN fusion and layout conversion
+
+
+def fuse_conv_bn(conv_w, bn_weight, bn_bias, bn_mean, bn_var, eps=1e-3):
+    """
+    Fold BatchNorm into conv weights. conv_w is OIHW; returns (w, b) with w
+    still OIHW. YOLOv5 BatchNorm uses eps=1e-3.
+    """
+
+    scale = bn_weight / np.sqrt(bn_var + eps)
+    w = conv_w * scale[:, None, None, None]
+    b = bn_bias - bn_mean * scale
+    return w, b
+
+
+def _oihw_to_hwio(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+class _TorchKeyReader:
+    """Pulls fused (HWIO weight, bias) pairs out of a torch state dict."""
+
+    def __init__(self, state_dict):
+        # Normalize prefixes: strip leading 'model.' wrappers so keys start
+        # with the layer index ('0.conv.weight', '24.m.0.weight', ...)
+        self.sd = {}
+        for k, v in state_dict.items():
+            key = k
+            while key.startswith('model.'):
+                key = key[len('model.'):]
+            self.sd[key] = v
+        self.used = set()
+
+    def conv(self, base):
+        """
+        Fused conv weights at [base] (e.g. '0' or '2.cv1'). Handles both
+        already-fused checkpoints (conv.weight + conv.bias) and unfused ones
+        (conv.weight + bn.*).
+        """
+
+        wk = base + '.conv.weight'
+        assert wk in self.sd, 'Missing key {}'.format(wk)
+        w = self.sd[wk]
+        self.used.add(wk)
+        bk = base + '.conv.bias'
+        bnk = base + '.bn.weight'
+        if bnk in self.sd:
+            bn_w = self.sd[base + '.bn.weight']
+            bn_b = self.sd[base + '.bn.bias']
+            bn_m = self.sd[base + '.bn.running_mean']
+            bn_v = self.sd[base + '.bn.running_var']
+            for suffix in ('.bn.weight', '.bn.bias', '.bn.running_mean',
+                           '.bn.running_var', '.bn.num_batches_tracked'):
+                self.used.add(base + suffix)
+            w, b = fuse_conv_bn(w, bn_w, bn_b, bn_m, bn_v)
+        elif bk in self.sd:
+            b = self.sd[bk]
+            self.used.add(bk)
+        else:
+            b = np.zeros(w.shape[0], dtype=w.dtype)
+        return {'w': _oihw_to_hwio(np.asarray(w, np.float32)),
+                'b': np.asarray(b, np.float32)}
+
+    def plain_conv(self, base):
+        """Unwrapped conv (detect heads): weight+bias directly at [base]."""
+
+        w = np.asarray(self.sd[base + '.weight'], np.float32)
+        b = np.asarray(self.sd[base + '.bias'], np.float32)
+        self.used.add(base + '.weight')
+        self.used.add(base + '.bias')
+        return {'w': _oihw_to_hwio(w), 'b': b}
+
+    def get(self, key, default=None):
+        if key in self.sd:
+            self.used.add(key)
+            return self.sd[key]
+        return default
+
+
+def convert_yolov5_state_dict(state_dict, config):
+    """
+    Map a YOLOv5 torch state dict onto the layer structure of [config]
+    (a YoloV5Config). Returns (params pytree, anchors ndarray or None).
+    """
+
+    reader = _TorchKeyReader(state_dict)
+    params = {}
+    anchors = None
+
+    for i, entry in enumerate(config.layers):
+        kind = entry['kind']
+        name = 'l{}'.format(i)
+        base = str(i)
+        if kind == 'conv':
+            params[name] = reader.conv(base)
+        elif kind == 'c3':
+            node = {
+                'cv1': reader.conv(base + '.cv1'),
+                'cv2': reader.conv(base + '.cv2'),
+                'cv3': reader.conv(base + '.cv3'),
+            }
+            for j in range(entry['n']):
+                node['m{}'.format(j)] = {
+                    'cv1': reader.conv('{}.m.{}.cv1'.format(base, j)),
+                    'cv2': reader.conv('{}.m.{}.cv2'.format(base, j)),
+                }
+            params[name] = node
+        elif kind == 'sppf':
+            params[name] = {
+                'cv1': reader.conv(base + '.cv1'),
+                'cv2': reader.conv(base + '.cv2'),
+            }
+        elif kind == 'detect':
+            heads = {}
+            for lvl in range(len(entry['frm'])):
+                heads['m{}'.format(lvl)] = reader.plain_conv(
+                    '{}.m.{}'.format(base, lvl))
+            params[name] = heads
+            # anchors buffer is stored grid-relative (divided by stride);
+            # convert back to pixels
+            raw_anchors = reader.get(base + '.anchors')
+            if raw_anchors is not None:
+                a = np.asarray(raw_anchors, np.float32)
+                strides = np.asarray(config.strides, np.float32)
+                anchors = a * strides[:, None, None]
+        # 'up'/'cat' have no parameters
+
+    return params, anchors
+
+
+def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
+                                    arch=None, num_classes=None,
+                                    model_version=None, image_size=1280,
+                                    verbose=False):
+    """
+    End-to-end conversion of a reference MegaDetector .pt checkpoint to a
+    TPU-native .npz + metadata.json. Returns the output path.
+    """
+
+    from megadetector_tpu.models import registry
+
+    state_dict, extras = extract_torch_state_dict(
+        checkpoint_path, verbose=verbose)
+
+    if model_version is None:
+        model_version = registry.get_detector_version_from_model_file(
+            checkpoint_path) or 'unknown'
+    if arch is None:
+        entry = registry.known_models.get(model_version, {})
+        arch = entry.get('arch', 'yolov5l6')
+        image_size = entry.get('image_size', image_size)
+
+    if num_classes is None:
+        names = extras.get('names')
+        if names is not None:
+            num_classes = len(names)
+        else:
+            # Infer from a detect-head shape: out_channels = na*(5+nc)
+            head_keys = [k for k in state_dict
+                         if k.endswith('.weight') and '.m.' in k]
+            assert len(head_keys) > 0, 'Cannot infer class count'
+            out_ch = state_dict[sorted(head_keys)[0]].shape[0]
+            num_classes = out_ch // 3 - 5
+
+    config = YoloV5Config(arch, num_classes=num_classes)
+    params, anchors = convert_yolov5_state_dict(state_dict, config)
+    if anchors is not None:
+        config.anchors = anchors
+
+    names = extras.get('names',
+                       ['animal', 'person', 'vehicle'][:num_classes])
+    if isinstance(names, dict):
+        names = [names[k] for k in sorted(names, key=lambda x: int(x))]
+
+    metadata = {
+        'metadata_format_version': 1.0,
+        'model_version_string': model_version,
+        'arch': arch,
+        'model_type': 'yolov5',
+        'num_classes': int(num_classes),
+        'class_names': list(names),
+        'image_size': int(image_size),
+        'strides': [int(s) for s in config.strides],
+        'anchors': np.asarray(config.anchors).tolist(),
+    }
+
+    if output_path is None:
+        output_path = os.path.join(
+            os.path.dirname(os.path.abspath(checkpoint_path)),
+            'md_{}.npz'.format(model_version))
+
+    save_checkpoint(params, output_path, metadata)
+    if verbose:
+        print('Converted {} -> {}'.format(checkpoint_path, output_path))
+    return output_path
+
+
+def main():
+    """CLI: python -m megadetector_tpu.models.convert_weights ckpt.pt out.npz"""
+
+    import argparse
+    parser = argparse.ArgumentParser(
+        description='Convert a torch MegaDetector checkpoint to a '
+                    'TPU-native .npz')
+    parser.add_argument('checkpoint', help='input .pt file')
+    parser.add_argument('output', nargs='?', default=None,
+                        help='output .npz path')
+    parser.add_argument('--arch', default=None)
+    parser.add_argument('--num_classes', type=int, default=None)
+    parser.add_argument('--model_version', default=None)
+    parser.add_argument('--verbose', action='store_true')
+    args = parser.parse_args()
+    out = convert_megadetector_checkpoint(
+        args.checkpoint, args.output, arch=args.arch,
+        num_classes=args.num_classes, model_version=args.model_version,
+        verbose=args.verbose)
+    print(out)
+
+
+if __name__ == '__main__':
+    main()

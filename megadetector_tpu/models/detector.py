@@ -1,0 +1,432 @@
+"""
+The TPU detector: preprocessing, batched forward + on-device NMS, and
+MD-format detection emission.
+
+API mirrors the reference's duck-typed detector protocol
+(megadetector/detection/pytorch_detector.py:739-1482:
+preprocess_image / generate_detections_one_image /
+generate_detections_one_batch), with a TPU-first execution model:
+
+- Every image letterboxes onto one fixed square canvas (default 1280x1280)
+  so a single XLA program serves all aspect ratios; the reference instead
+  letterboxes to per-image stride-multiple rectangles and groups same-shape
+  images into batches (pytorch_detector.py:1228-1251). Letterbox ratio/pad
+  are tracked per image and undone by scale_coords, so box coordinates are
+  unaffected; only the extra gray border differs, which stays within the
+  golden-file tolerances (conf 0.005 / coord 0.001).
+- uint8 HWC batches are shipped to device; normalization (1/255), the
+  network, anchor decode, and class-aware NMS all run inside one jitted
+  program per (batch_size, canvas, dtype) triple.
+- Optional data-parallel sharding over a jax.sharding.Mesh: the batch axis
+  shards across chips, params are replicated (the TPU-native equivalent of
+  the reference's one-process-per-GPU scheme, run_detector_batch.py:20-34).
+"""
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from megadetector_tpu.models import yolov5
+from megadetector_tpu.models.convert_weights import load_checkpoint
+from megadetector_tpu.ops import boxes as box_ops
+from megadetector_tpu.ops.nms import batched_nms
+from megadetector_tpu.utils import ct_utils
+
+# String constants for consistent failure reporting; part of the MD output
+# contract (reference: detection/run_detector.py:54-56)
+FAILURE_INFER = 'inference failure'
+FAILURE_IMAGE_OPEN = 'image access failure'
+
+# Decimal places for confidences and coordinates
+# (reference: detection/run_detector.py:58-60)
+CONF_DIGITS = 3
+COORD_DIGITS = 4
+
+DEFAULT_DETECTOR_LABEL_MAP = {
+    '1': 'animal',
+    '2': 'person',
+    '3': 'vehicle',
+}
+
+
+class TPUDetector:
+    """
+    YOLOv5-family detector running on JAX/XLA (TPU, or any JAX backend).
+
+    Loads converted checkpoints (.npz + metadata, see
+    models/convert_weights.py). Construction options (a dict, mirroring the
+    reference's --detector_options):
+
+        compatibility_mode: 'classic' (default) or 'modern' preprocessing
+        dtype: 'float32' (default) or 'bfloat16' compute
+        preprocess_only: build without weights (queue-worker mode)
+        image_size: override the checkpoint's inference canvas
+        use_model_native_classes: emit 0-based model classes instead of
+            MD categories
+        max_batch_size: cap on compiled batch size
+        mesh: optional jax.sharding.Mesh for data-parallel inference
+        batch_axis: mesh axis name for the batch dimension (default 'data')
+    """
+
+    def __init__(self, model_path, detector_options=None, verbose=False):
+
+        options = dict(detector_options or {})
+        self.verbose = verbose
+
+        if _to_bool(options.get('force_cpu', False)):
+            jax.config.update('jax_platforms', 'cpu')
+        self.compatibility_mode = options.get('compatibility_mode',
+                                              'classic') or 'classic'
+        self.use_model_native_classes = _to_bool(
+            options.get('use_model_native_classes', False))
+        self.preprocess_only = _to_bool(options.get('preprocess_only',
+                                                    False))
+        dtype_name = options.get('dtype', 'float32')
+        self.compute_dtype = {'float32': jnp.float32,
+                              'bfloat16': jnp.bfloat16,
+                              'bf16': jnp.bfloat16}[dtype_name]
+        self.mesh = options.get('mesh', None)
+        self.batch_axis = options.get('batch_axis', 'data')
+        self.pre_nms_topk = int(options.get('pre_nms_topk', 1024))
+        self.max_det = int(options.get('max_det', 300))
+
+        self.model_path = model_path
+        self.printed_image_size_warning = False
+
+        # Load checkpoint + metadata
+        self.params = None
+        self.config = None
+        self.metadata = None
+        self.default_image_size = 1280
+        self.letterbox_stride = 64
+        self.class_names = ['animal', 'person', 'vehicle']
+
+        if not self.preprocess_only:
+            self._load_model(model_path, options)
+        else:
+            image_size = options.get('image_size', None)
+            if image_size is not None:
+                self.default_image_size = int(image_size)
+
+        # Compiled program cache: (batch, h, w) -> callable
+        self._compiled = {}
+
+        # AddaxAI and other tools parse a device line from the reference;
+        # emit an analogous one
+        devices = jax.devices()
+        print('TPUDetector using device {} ({} available)'.format(
+            devices[0].platform, len(devices)))
+
+    #%% Loading
+
+    def _load_model(self, model_path, options):
+        start = time.time()
+
+        if model_path.endswith('.pt'):
+            raise ValueError(
+                'Torch checkpoints must be converted offline first: '
+                'python -m megadetector_tpu.models.convert_weights '
+                '{} out.npz'.format(model_path))
+
+        params, metadata = load_checkpoint(model_path)
+        if metadata is None:
+            metadata = {}
+        self.metadata = metadata
+
+        arch = options.get('arch', metadata.get('arch', 'yolov5l6'))
+        num_classes = int(metadata.get('num_classes', 3))
+        anchors = metadata.get('anchors', None)
+        self.config = yolov5.YoloV5Config(arch, num_classes=num_classes,
+                                          anchors=anchors)
+        self.letterbox_stride = int(self.config.max_stride)
+
+        image_size = options.get('image_size',
+                                 metadata.get('image_size', 1280))
+        self.default_image_size = int(image_size)
+        self.class_names = metadata.get(
+            'class_names', ['animal', 'person', 'vehicle'][:num_classes])
+
+        # Cast weights once to the compute dtype and place on device
+        if self.compute_dtype == jnp.bfloat16:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.bfloat16), params)
+        else:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), params)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(self.mesh, P())
+            params = jax.device_put(params, replicated)
+        else:
+            params = jax.device_put(params)
+        self.params = params
+
+        if self.verbose:
+            print('Loaded model in {:.2f}s'.format(time.time() - start))
+
+    #%% Compiled program management
+
+    def _get_compiled(self, batch_size, height, width):
+        key = (batch_size, height, width)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        config = self.config
+        dtype = self.compute_dtype
+        pre_nms_topk = self.pre_nms_topk
+        max_det = self.max_det
+
+        def program(params, images_u8, conf_thres, iou_thres):
+            x = images_u8.astype(dtype) / dtype(255.0)
+            pred = yolov5.apply(config, params, x, dtype=dtype)
+            return batched_nms(pred, conf_thres, iou_thres,
+                               max_det=max_det, pre_nms_topk=pre_nms_topk)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(self.mesh, P(self.batch_axis))
+            replicated = NamedSharding(self.mesh, P())
+            fn = jax.jit(
+                program,
+                in_shardings=(replicated, data, None, None),
+                out_shardings=NamedSharding(self.mesh,
+                                            P(self.batch_axis)))
+        else:
+            fn = jax.jit(program)
+
+        self._compiled[key] = fn
+        return fn
+
+    #%% Preprocessing
+
+    def preprocess_image(self, img_original, image_id='unknown',
+                         image_size=None, verbose=False):
+        """
+        Letterbox an image (PIL or HWC numpy, RGB, EXIF-rotated) onto the
+        fixed inference canvas. Returns a dict with the preprocessed uint8
+        array and the geometry needed to map boxes back
+        (reference protocol: pytorch_detector.py:964-1121).
+        """
+
+        result = {'file': image_id}
+
+        img_original_pil = None
+        if not isinstance(img_original, np.ndarray):
+            img_original_pil = img_original
+            img_original = np.asarray(img_original)
+
+        scaling_shape = img_original.shape
+
+        if image_size is not None:
+            assert isinstance(image_size, int)
+            if not self.printed_image_size_warning:
+                print('Using user-supplied image size {}'.format(image_size))
+                self.printed_image_size_warning = True
+        else:
+            image_size = self.default_image_size
+            self.printed_image_size_warning = False
+
+        if 'classic' in self.compatibility_mode:
+            # Classic: single letterbox onto the full square canvas with
+            # scale-up allowed
+            target = (image_size, image_size)
+            img, ratio, pad = box_ops.letterbox(
+                img_original, new_shape=target,
+                stride=self.letterbox_stride, auto=False, scaleup=True)
+        else:
+            # Modern: pre-resize long side (linear up / area down), then pad
+            use_ceil = 'use_ceil_for_resize' in self.compatibility_mode
+            img_resized, _ = box_ops.resize_long_side(
+                img_original, image_size, use_ceil=use_ceil)
+            target = (image_size, image_size)
+            img, ratio, pad = box_ops.letterbox(
+                img_resized, new_shape=target,
+                stride=self.letterbox_stride, auto=False, scaleup=False)
+            img_original = img_resized
+
+        result['img_processed'] = img
+        result['img_original'] = img_original
+        result['img_original_pil'] = img_original_pil
+        result['target_shape'] = img.shape[:2]
+        result['scaling_shape'] = scaling_shape
+        result['letterbox_ratio'] = ratio
+        result['letterbox_pad'] = pad
+        return result
+
+    #%% Inference
+
+    def generate_detections_one_image(self, img_original, image_id='unknown',
+                                      detection_threshold=0.00001,
+                                      image_size=None, augment=False,
+                                      verbose=False):
+        """
+        Run detection on one image; returns an MD-format image dict
+        (reference protocol: pytorch_detector.py:1428-1482).
+        """
+
+        results = self.generate_detections_one_batch(
+            [img_original], [image_id],
+            detection_threshold=detection_threshold,
+            image_size=image_size, augment=augment, verbose=verbose)
+        return results[0]
+
+    def generate_detections_one_batch(self, img_originals, image_ids=None,
+                                      detection_threshold=0.00001,
+                                      image_size=None, augment=False,
+                                      verbose=False):
+        """
+        Run detection on a batch of images (PIL images, numpy arrays, or
+        dicts from preprocess_image). Returns a list of MD-format image
+        dicts with 'file', 'detections', 'max_detection_conf'
+        (reference protocol: pytorch_detector.py:1124-1254).
+        """
+
+        if image_ids is None:
+            image_ids = ['unknown'] * len(img_originals)
+        assert len(img_originals) == len(image_ids)
+
+        results = [None] * len(img_originals)
+        infos = []
+        for idx, (img, image_id) in enumerate(zip(img_originals, image_ids)):
+            if isinstance(img, dict):
+                info = dict(img)
+                if image_id is not None and image_id != 'unknown':
+                    info['file'] = image_id
+                infos.append((idx, info))
+            elif img is None:
+                results[idx] = {
+                    'file': image_id,
+                    'detections': None,
+                    'failure': FAILURE_IMAGE_OPEN,
+                }
+            else:
+                try:
+                    info = self.preprocess_image(
+                        img, image_id=image_id, image_size=image_size,
+                        verbose=verbose)
+                    infos.append((idx, info))
+                except Exception as e:
+                    if verbose:
+                        print('Preprocess error for {}: {}'.format(
+                            image_id, e))
+                    results[idx] = {
+                        'file': image_id,
+                        'detections': None,
+                        'failure': FAILURE_IMAGE_OPEN,
+                    }
+
+        if len(infos) > 0:
+            try:
+                self._run_batch(infos, results, detection_threshold,
+                                augment)
+            except Exception as e:
+                if verbose:
+                    import traceback
+                    traceback.print_exc()
+                for idx, info in infos:
+                    results[idx] = {
+                        'file': info['file'],
+                        'detections': None,
+                        'failure': FAILURE_INFER,
+                    }
+
+        return results
+
+    def _run_batch(self, infos, results, detection_threshold, augment):
+        """Stack preprocessed images, run the device program, emit dicts."""
+
+        imgs = [info['img_processed'] for _, info in infos]
+        h, w = imgs[0].shape[:2]
+        for im in imgs:
+            assert im.shape[:2] == (h, w), \
+                'Heterogeneous canvas in one batch'
+
+        batch = np.stack(imgs).astype(np.uint8)
+
+        nms_iou = 0.45 if 'classic' in self.compatibility_mode else 0.6
+
+        fn = self._get_compiled(batch.shape[0], h, w)
+        out = fn(self.params, batch,
+                 jnp.float32(detection_threshold), jnp.float32(nms_iou))
+        out = jax.device_get(out)
+
+        for slot, (idx, info) in enumerate(infos):
+            valid = out['valid'][slot]
+            boxes = np.asarray(out['boxes'][slot][valid], np.float64)
+            scores = np.asarray(out['scores'][slot][valid], np.float64)
+            classes = np.asarray(out['classes'][slot][valid])
+
+            scaling_shape = info['scaling_shape']
+            detections = []
+            max_conf = 0.0
+
+            if boxes.shape[0] > 0:
+                if 'classic' in self.compatibility_mode:
+                    ratio_pad = None
+                    img0_shape = info['img_original'].shape
+                else:
+                    img_orig = info['img_original']
+                    ratio = (img_orig.shape[0] / scaling_shape[0],
+                             img_orig.shape[1] / scaling_shape[1])
+                    ratio_pad = (ratio, info['letterbox_pad'])
+                    img0_shape = scaling_shape
+
+                boxes = box_ops.scale_coords(
+                    (h, w), boxes, img0_shape, ratio_pad).round()
+
+                gn = np.array([scaling_shape[1], scaling_shape[0],
+                               scaling_shape[1], scaling_shape[0]],
+                              dtype=np.float64)
+
+                # Reference emits detections in reversed prediction order;
+                # the final file is conf-sorted anyway, so emit in score
+                # order here
+                for i in range(boxes.shape[0]):
+                    conf = float(scores[i])
+                    if conf < detection_threshold:
+                        continue
+                    xywh = (box_ops.xyxy2xywh(boxes[i:i + 1]) / gn)[0]
+                    api_box = ct_utils.convert_yolo_to_xywh(list(xywh))
+
+                    if 'classic' in self.compatibility_mode:
+                        api_box = ct_utils.truncate_float_array(
+                            api_box, precision=COORD_DIGITS)
+                        conf = ct_utils.truncate_float(
+                            conf, precision=CONF_DIGITS)
+                    else:
+                        api_box = ct_utils.round_float_array(
+                            api_box, precision=COORD_DIGITS)
+                        conf = ct_utils.round_float(
+                            conf, precision=CONF_DIGITS)
+
+                    if not self.use_model_native_classes:
+                        cls = int(classes[i]) + 1
+                        if cls not in (1, 2, 3):
+                            raise KeyError(
+                                '{} is not a valid class.'.format(cls))
+                    else:
+                        cls = int(classes[i])
+
+                    detections.append({
+                        'category': str(cls),
+                        'conf': conf,
+                        'bbox': api_box,
+                    })
+                    max_conf = max(max_conf, conf)
+
+            results[idx] = {
+                'file': info['file'],
+                'detections': detections,
+                'max_detection_conf': max_conf,
+            }
+
+
+def _to_bool(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ('true', '1', 'yes')

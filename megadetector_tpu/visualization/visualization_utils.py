@@ -1,0 +1,437 @@
+"""
+Image loading and rendering helpers.
+
+The loading path is correctness-relevant for detection parity: EXIF
+orientation must be applied exactly as the reference does (rotate by
+{3:180, 6:270, 8:90} degrees with expand=True; mirrored orientations
+unsupported), and images are always converted to RGB
+(reference: megadetector/visualization/visualization_utils.py:37-176,306).
+Implementation is original.
+"""
+
+import os
+
+from io import BytesIO
+
+import numpy as np
+
+from PIL import Image, ImageDraw, ImageFont, ImageFilter
+
+# EXIF tag 274 = Orientation; values map to counterclockwise PIL rotations
+EXIF_ORIENTATION_TAG = 274
+EXIF_IMAGE_NO_ROTATION = 1
+EXIF_IMAGE_ROTATIONS = {
+    3: 180,
+    6: 270,
+    8: 90
+}
+
+# Default per-category colors used when rendering boxes; category '1' =
+# animal, '2' = person, '3' = vehicle
+DEFAULT_COLORS = [
+    'AliceBlue', 'Red', 'RoyalBlue', 'Gold', 'Chartreuse', 'Aqua', 'Azure',
+    'Beige', 'Bisque', 'BlanchedAlmond', 'BlueViolet', 'BurlyWood',
+    'CadetBlue', 'AntiqueWhite', 'Chocolate', 'Coral', 'CornflowerBlue',
+    'Cornsilk', 'Crimson', 'Cyan', 'DarkCyan', 'DarkGoldenRod', 'DarkGrey',
+    'DarkKhaki', 'DarkOrange', 'DarkOrchid', 'DarkSalmon', 'DarkSeaGreen',
+    'DarkTurquoise', 'DarkViolet', 'DeepPink', 'DeepSkyBlue', 'DodgerBlue',
+    'FireBrick', 'FloralWhite', 'ForestGreen', 'Fuchsia', 'Gainsboro',
+    'GhostWhite', 'GoldenRod', 'Salmon', 'Tan', 'HoneyDew', 'HotPink',
+    'IndianRed', 'Ivory', 'Khaki', 'Lavender', 'LavenderBlush', 'LawnGreen',
+    'LemonChiffon', 'LightBlue', 'LightCoral', 'LightCyan',
+    'LightGoldenRodYellow', 'LightGray', 'LightGrey', 'LightGreen',
+    'LightPink', 'LightSalmon', 'LightSeaGreen', 'LightSkyBlue',
+    'LightSlateGray', 'LightSlateGrey', 'LightSteelBlue', 'LightYellow',
+    'Lime', 'LimeGreen', 'Linen', 'Magenta', 'MediumAquaMarine',
+    'MediumOrchid', 'MediumPurple', 'MediumSeaGreen', 'MediumSlateBlue',
+    'MediumSpringGreen', 'MediumTurquoise', 'MediumVioletRed', 'MintCream',
+    'MistyRose', 'Moccasin', 'NavajoWhite', 'OldLace', 'Olive', 'OliveDrab',
+    'Orange', 'OrangeRed', 'Orchid', 'PaleGoldenRod', 'PaleGreen',
+    'PaleTurquoise', 'PaleVioletRed', 'PapayaWhip', 'PeachPuff', 'Peru',
+    'Pink', 'Plum', 'PowderBlue', 'Purple', 'RosyBrown', 'Aquamarine',
+    'SaddleBrown', 'Green', 'SandyBrown', 'SeaGreen', 'SeaShell', 'Sienna',
+    'Silver', 'SkyBlue', 'SlateBlue', 'SlateGray', 'SlateGrey', 'Snow',
+    'SpringGreen', 'SteelBlue', 'GreenYellow', 'Teal', 'Thistle', 'Tomato',
+    'Turquoise', 'Violet', 'Wheat', 'White', 'WhiteSmoke', 'Yellow',
+    'YellowGreen'
+]
+
+DEFAULT_BOX_THICKNESS = 4
+DEFAULT_LABEL_FONT_SIZE = 16
+DEFAULT_DETECTOR_LABEL_MAP = {'1': 'animal', '2': 'person', '3': 'vehicle'}
+
+TEXTALIGN_LEFT = 0
+TEXTALIGN_RIGHT = 1
+
+
+#%% Loading
+
+
+def open_image(input_file, ignore_exif_rotation=False):
+    """
+    Open an image with PIL, convert to RGB, and apply EXIF orientation.
+
+    [input_file] may be a local path or a bytes stream. Lazy: pixel data is
+    not decoded until first use; see load_image() for the eager version.
+    """
+
+    if isinstance(input_file, str) and \
+            input_file.startswith(('http://', 'https://')):
+        import requests
+        response = requests.get(input_file)
+        image = Image.open(BytesIO(response.content))
+    else:
+        image = Image.open(input_file)
+
+    if image.mode not in ('RGBA', 'RGB', 'L', 'I;16'):
+        raise AttributeError(
+            'Image {} uses unsupported mode {}'.format(input_file, image.mode))
+
+    if image.mode in ('RGBA', 'L'):
+        image = image.convert(mode='RGB')
+
+    if not ignore_exif_rotation:
+        try:
+            exif = image._getexif()
+            orientation = exif.get(EXIF_ORIENTATION_TAG, None)
+            if orientation is not None and \
+                    orientation != EXIF_IMAGE_NO_ROTATION:
+                assert orientation in EXIF_IMAGE_ROTATIONS, \
+                    'Mirrored rotations are not supported'
+                image = image.rotate(
+                    EXIF_IMAGE_ROTATIONS[orientation], expand=True)
+        except Exception:
+            pass
+
+    return image
+
+
+def load_image(input_file, ignore_exif_rotation=False):
+    """Eager version of open_image(): forces pixel decode before returning."""
+
+    image = open_image(input_file, ignore_exif_rotation=ignore_exif_rotation)
+    image.load()
+    return image
+
+
+def load_image_as_array(input_file, ignore_exif_rotation=False):
+    """Load an image directly to an RGB uint8 numpy array (H, W, 3)."""
+
+    image = load_image(input_file, ignore_exif_rotation=ignore_exif_rotation)
+    arr = np.asarray(image)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr
+
+
+def exif_preserving_save(pil_image, output_file, quality='keep',
+                         default_quality=85, verbose=False):
+    """Save a PIL image, keeping JPEG quality/EXIF where possible."""
+
+    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    kwargs = {}
+    exif = pil_image.info.get('exif', None)
+    if exif is not None:
+        kwargs['exif'] = exif
+    if output_file.lower().endswith(('.jpg', '.jpeg')):
+        if quality == 'keep':
+            try:
+                pil_image.save(output_file, quality='keep', **kwargs)
+                return
+            except Exception:
+                kwargs['quality'] = default_quality
+        else:
+            kwargs['quality'] = quality if isinstance(quality, int) \
+                else default_quality
+    pil_image.save(output_file, **kwargs)
+
+
+def resize_image(image, target_width=-1, target_height=-1, output_file=None,
+                 no_enlarge_width=False, verbose=False, quality='keep'):
+    """
+    Resize a PIL image (or filename) to the given size; -1 in one dimension
+    preserves aspect ratio; -1 in both is a no-op (but still writes
+    output_file when given).
+    """
+
+    if isinstance(image, str):
+        image = load_image(image)
+
+    if target_width is None:
+        target_width = -1
+    if target_height is None:
+        target_height = -1
+
+    resize_required = not (target_width == -1 and target_height == -1)
+
+    if resize_required and (target_width == -1 or target_height == -1):
+        aspect_ratio = image.size[0] / image.size[1]
+        if target_width != -1:
+            target_height = int(target_width / aspect_ratio)
+        else:
+            target_width = int(aspect_ratio * target_height)
+
+    if no_enlarge_width and target_width > image.size[0]:
+        resize_required = False
+
+    if (target_width == image.size[0]) and (target_height == image.size[1]):
+        resize_required = False
+
+    if not resize_required:
+        if output_file is not None:
+            exif_preserving_save(image, output_file, quality=quality)
+        return image
+
+    assert target_width > 0 and target_height > 0, \
+        'Invalid resize target {}x{}'.format(target_width, target_height)
+
+    resized = image.resize((target_width, target_height),
+                           Image.Resampling.LANCZOS)
+    if output_file is not None:
+        exif_preserving_save(resized, output_file, quality=quality)
+    return resized
+
+
+#%% Rendering
+
+
+def crop_image(detections, image, confidence_threshold=0.15, expansion=0):
+    """
+    Crop detections above [confidence_threshold] out of a PIL image.
+    Returns a list of PIL images, one per qualifying detection; boxes are in
+    normalized MD xywh format; [expansion] is in pixels per side.
+    """
+
+    crops = []
+    img_w, img_h = image.size
+    for d in detections:
+        if d['conf'] < confidence_threshold:
+            continue
+        x, y, w, h = d['bbox']
+        left = int(round(x * img_w)) - expansion
+        top = int(round(y * img_h)) - expansion
+        right = int(round((x + w) * img_w)) + expansion
+        bottom = int(round((y + h) * img_h)) + expansion
+        left = max(left, 0)
+        top = max(top, 0)
+        right = min(right, img_w)
+        bottom = min(bottom, img_h)
+        crops.append(image.crop((left, top, right, bottom)))
+    return crops
+
+
+def blur_detections(image, detections, confidence_threshold=0.15,
+                    blur_radius=25):
+    """
+    Blur (in place) the regions covered by detections above the threshold;
+    typically used to anonymize humans.
+    """
+
+    img_w, img_h = image.size
+    for d in detections:
+        if d['conf'] < confidence_threshold:
+            continue
+        x, y, w, h = d['bbox']
+        box = (max(int(x * img_w), 0), max(int(y * img_h), 0),
+               min(int((x + w) * img_w), img_w),
+               min(int((y + h) * img_h), img_h))
+        if box[2] <= box[0] or box[3] <= box[1]:
+            continue
+        region = image.crop(box)
+        region = region.filter(ImageFilter.GaussianBlur(radius=blur_radius))
+        image.paste(region, box)
+    return image
+
+
+def _get_font(size):
+    """Best-effort truetype font; falls back to PIL's default."""
+
+    for name in ('DejaVuSans.ttf', 'Arial.ttf', 'arial.ttf'):
+        try:
+            return ImageFont.truetype(name, size)
+        except Exception:
+            continue
+    return ImageFont.load_default()
+
+
+def draw_bounding_box_on_image(image, ymin, xmin, ymax, xmax, clss=None,
+                               thickness=DEFAULT_BOX_THICKNESS,
+                               expansion=0, display_str_list=(),
+                               use_normalized_coordinates=True,
+                               label_font_size=DEFAULT_LABEL_FONT_SIZE,
+                               colormap=DEFAULT_COLORS,
+                               textalign=TEXTALIGN_LEFT):
+    """
+    Draw one box (and optional label strings) on a PIL image, in place.
+    Coordinates are (ymin, xmin, ymax, xmax), normalized by default.
+    """
+
+    draw = ImageDraw.Draw(image)
+    im_width, im_height = image.size
+    if use_normalized_coordinates:
+        left, right = xmin * im_width, xmax * im_width
+        top, bottom = ymin * im_height, ymax * im_height
+    else:
+        left, right, top, bottom = xmin, xmax, ymin, ymax
+
+    if expansion > 0:
+        left -= expansion
+        right += expansion
+        top -= expansion
+        bottom += expansion
+        left = max(left, 0)
+        top = max(top, 0)
+        right = min(right, im_width - 1)
+        bottom = min(bottom, im_height - 1)
+
+    if clss is None:
+        color = colormap[1]
+    else:
+        color = colormap[int(clss) % len(colormap)]
+
+    draw.line([(left, top), (left, bottom), (right, bottom), (right, top),
+               (left, top)], width=thickness, fill=color)
+
+    if len(display_str_list) > 0:
+        font = _get_font(label_font_size)
+        text_y = top
+        for display_str in display_str_list[::-1]:
+            try:
+                bbox = draw.textbbox((0, 0), display_str, font=font)
+                text_w = bbox[2] - bbox[0]
+                text_h = bbox[3] - bbox[1]
+            except Exception:
+                text_w, text_h = (8 * len(display_str), label_font_size)
+            margin = int(np.ceil(0.05 * text_h))
+            box_top = text_y - text_h - 2 * margin
+            if box_top < 0:
+                box_top = bottom
+                text_y = bottom + text_h + 2 * margin
+            text_x = left
+            if textalign == TEXTALIGN_RIGHT:
+                text_x = right - text_w
+            draw.rectangle([(text_x, box_top),
+                            (text_x + text_w + 2 * margin, text_y)],
+                           fill=color)
+            draw.text((text_x + margin, box_top + margin), display_str,
+                      fill='black', font=font)
+            text_y = box_top
+    return image
+
+
+def render_detection_bounding_boxes(
+        detections, image,
+        label_map=DEFAULT_DETECTOR_LABEL_MAP,
+        classification_label_map=None,
+        confidence_threshold=0.15,
+        thickness=DEFAULT_BOX_THICKNESS,
+        expansion=0,
+        classification_confidence_threshold=0.3,
+        max_classifications=3,
+        colormap=DEFAULT_COLORS,
+        label_font_size=DEFAULT_LABEL_FONT_SIZE):
+    """
+    Render MD-format detections (normalized xywh boxes) onto a PIL image, in
+    place, with per-category colors and 'label: conf%' strings; also renders
+    classification labels when present.
+    """
+
+    for detection in detections:
+        score = detection['conf']
+        if score is None or score < confidence_threshold:
+            continue
+
+        x, y, w, h = detection['bbox']
+        clss = detection['category']
+        label = label_map.get(clss, clss) if label_map else ''
+        display_strs = []
+        if label:
+            display_strs.append('{}: {:.0f}%'.format(label, 100 * score))
+
+        classifications = detection.get('classifications', [])
+        for classification in classifications[:max_classifications]:
+            class_id, class_conf = classification[0], classification[1]
+            if class_conf is None or \
+                    class_conf < classification_confidence_threshold:
+                continue
+            class_label = class_id
+            if classification_label_map and \
+                    class_id in classification_label_map:
+                class_label = classification_label_map[class_id]
+            display_strs.append('{}: {:.1f}%'.format(
+                class_label, 100 * class_conf))
+
+        draw_bounding_box_on_image(
+            image, y, x, y + h, x + w, clss=clss, thickness=thickness,
+            expansion=expansion, display_str_list=display_strs,
+            colormap=colormap, label_font_size=label_font_size)
+
+    return image
+
+
+def draw_bounding_boxes_on_file(input_file, output_file, detections,
+                                confidence_threshold=0.15,
+                                detector_label_map=DEFAULT_DETECTOR_LABEL_MAP,
+                                thickness=DEFAULT_BOX_THICKNESS,
+                                expansion=0, colormap=DEFAULT_COLORS,
+                                label_font_size=DEFAULT_LABEL_FONT_SIZE):
+    """Load an image, render detections, and save to [output_file]."""
+
+    image = load_image(input_file)
+    render_detection_bounding_boxes(
+        detections, image, label_map=detector_label_map,
+        confidence_threshold=confidence_threshold, thickness=thickness,
+        expansion=expansion, colormap=colormap,
+        label_font_size=label_font_size)
+    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    image.save(output_file)
+    return image
+
+
+def check_image_integrity(filename, modes=None):
+    """
+    Verify that an image can be opened / decoded. Returns a dict with
+    'file' and per-mode bool results ('exists', 'load', 'pixel_load').
+    """
+
+    if modes is None:
+        modes = ['exists', 'load']
+    result = {'file': filename}
+    if 'exists' in modes:
+        result['exists'] = os.path.isfile(filename)
+    if 'load' in modes:
+        try:
+            with Image.open(filename) as im:
+                im.verify()
+            result['load'] = True
+        except Exception:
+            result['load'] = False
+    if 'pixel_load' in modes:
+        try:
+            _ = load_image_as_array(filename)
+            result['pixel_load'] = True
+        except Exception:
+            result['pixel_load'] = False
+    return result
+
+
+def gray_scale_fraction(image, crop_size=(0.1, 0.1)):
+    """
+    Fraction of pixels that are grayscale (R==G==B); used to detect
+    night-time/IR images. [crop_size] trims border fractions first.
+    """
+
+    if isinstance(image, str):
+        image = load_image(image)
+    arr = np.asarray(image)
+    if arr.ndim == 2 or arr.shape[2] == 1:
+        return 1.0
+    h, w = arr.shape[:2]
+    dh = int(h * crop_size[0])
+    dw = int(w * crop_size[1])
+    arr = arr[dh:h - dh if h - dh > dh else h, dw:w - dw if w - dw > dw else w]
+    r = arr[..., 0].astype(np.int16)
+    g = arr[..., 1].astype(np.int16)
+    b = arr[..., 2].astype(np.int16)
+    gray = (r == g) & (g == b)
+    return float(np.mean(gray))

@@ -1,0 +1,192 @@
+"""
+End-to-end pipeline tests with a tiny random-weight checkpoint: detector
+API, batch driver, checkpointing/resume, and the MD output format contract.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from megadetector_tpu.models import yolov5
+from megadetector_tpu.models.convert_weights import save_checkpoint
+
+
+@pytest.fixture(scope='module')
+def tiny_checkpoint(tmp_path_factory):
+    """A yolov5n checkpoint with a 64px canvas, random weights."""
+
+    folder = tmp_path_factory.mktemp('model')
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=7)
+    path = str(folder / 'md_test.npz')
+    save_checkpoint(params, path, {
+        'metadata_format_version': 1.0,
+        'model_version_string': 'v5a.0.1',
+        'arch': 'yolov5n',
+        'model_type': 'yolov5',
+        'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': 64,
+        'strides': [8, 16, 32],
+        'anchors': cfg.anchors.tolist(),
+    })
+    return path
+
+
+@pytest.fixture(scope='module')
+def image_folder(tmp_path_factory):
+    """A folder of small synthetic JPEGs (including a corrupt one)."""
+
+    folder = tmp_path_factory.mktemp('images')
+    rng = np.random.RandomState(0)
+    sizes = [(80, 60), (60, 80), (64, 64), (100, 40)]
+    for i, (w, h) in enumerate(sizes):
+        arr = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(folder / 'img_{}.jpg'.format(i)))
+    sub = folder / 'camera2'
+    sub.mkdir()
+    Image.fromarray(rng.randint(0, 255, (48, 48, 3), dtype=np.uint8)) \
+        .save(str(sub / 'img_sub.jpg'))
+    # A corrupt file that should produce a failure record
+    with open(str(folder / 'corrupt.jpg'), 'wb') as f:
+        f.write(b'not actually a jpeg')
+    return str(folder)
+
+
+@pytest.fixture(scope='module')
+def detector(tiny_checkpoint):
+    from megadetector_tpu.models.detector import TPUDetector
+    return TPUDetector(tiny_checkpoint)
+
+
+def test_detector_single_image(detector):
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)
+    result = detector.generate_detections_one_image(
+        img, 'test.jpg', detection_threshold=0.005)
+    assert result['file'] == 'test.jpg'
+    assert result['detections'] is not None
+    for det in result['detections']:
+        assert det['category'] in ('1', '2', '3')
+        assert 0 <= det['conf'] <= 1
+        x, y, w, h = det['bbox']
+        assert -0.001 <= x <= 1.001 and -0.001 <= y <= 1.001
+        assert w >= 0 and h >= 0
+        assert x + w <= 1.001 and y + h <= 1.001
+        # Classic mode truncates to fixed digits
+        assert det['conf'] == round(det['conf'], 3)
+
+
+def test_detector_batch_matches_single(detector):
+    """Batch inference must agree with single-image inference."""
+
+    rng = np.random.RandomState(2)
+    imgs = [rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)
+            for _ in range(3)]
+    singles = [detector.generate_detections_one_image(
+        im, 'im{}.jpg'.format(i), detection_threshold=0.1)
+        for i, im in enumerate(imgs)]
+    batch = detector.generate_detections_one_batch(
+        imgs, ['im{}.jpg'.format(i) for i in range(3)],
+        detection_threshold=0.1)
+    for s, b in zip(singles, batch):
+        assert s['file'] == b['file']
+        assert len(s['detections']) == len(b['detections'])
+        for ds, db in zip(s['detections'], b['detections']):
+            assert ds['category'] == db['category']
+            assert ds['conf'] == pytest.approx(db['conf'], abs=1e-3)
+            assert ds['bbox'] == pytest.approx(db['bbox'], abs=2e-3)
+
+
+def test_detector_pil_input(detector):
+    img = Image.fromarray(
+        np.random.RandomState(3).randint(0, 255, (60, 80, 3),
+                                         dtype=np.uint8))
+    result = detector.generate_detections_one_image(img, 'pil.jpg',
+                                                    detection_threshold=0.1)
+    assert result['detections'] is not None
+
+
+def test_batch_driver_end_to_end(tiny_checkpoint, image_folder, tmp_path):
+    from megadetector_tpu.detection.run_detector_batch import (
+        load_and_run_detector_batch, write_results_to_file)
+    from megadetector_tpu.utils.path_utils import find_images
+
+    images = find_images(image_folder, recursive=True)
+    assert len(images) == 6  # 5 good + 1 corrupt
+
+    results = load_and_run_detector_batch(
+        tiny_checkpoint, images, quiet=True, batch_size=4)
+    assert len(results) == 6
+
+    by_file = {r['file']: r for r in results}
+    corrupt = [r for r in results if 'corrupt' in r['file']][0]
+    assert corrupt['detections'] is None
+    assert corrupt['failure'] == 'image access failure'
+    good = [r for r in results if 'corrupt' not in r['file']]
+    assert all(r['detections'] is not None for r in good)
+
+    # Write and validate the output format
+    output_file = str(tmp_path / 'results.json')
+    write_results_to_file(results, output_file,
+                          relative_path_base=image_folder,
+                          detector_file='md_v5a.0.1.pt')
+    with open(output_file) as f:
+        data = json.load(f)
+
+    assert data['info']['format_version'] == '1.6'
+    assert data['info']['detector'] == 'md_v5a.0.1.pt'
+    assert data['detection_categories'] == {
+        '1': 'animal', '2': 'person', '3': 'vehicle'}
+    assert len(data['images']) == 6
+    files = [im['file'] for im in data['images']]
+    assert files == sorted(files)
+    assert all('/' not in f or '\\' not in f for f in files)
+    for im in data['images']:
+        assert 'max_detection_conf' not in im
+        if im['detections'] is None:
+            assert 'failure' in im
+        else:
+            confs = [d['conf'] for d in im['detections']]
+            assert confs == sorted(confs, reverse=True)
+
+
+def test_checkpoint_resume(tiny_checkpoint, image_folder, tmp_path):
+    from megadetector_tpu.detection.run_detector_batch import (
+        load_and_run_detector_batch, write_checkpoint, load_checkpoint)
+    from megadetector_tpu.utils.path_utils import find_images
+
+    images = find_images(image_folder, recursive=True)
+    checkpoint_path = str(tmp_path / 'md_checkpoint_test.json')
+
+    # Simulate a partial run: first 2 images processed
+    partial = load_and_run_detector_batch(
+        tiny_checkpoint, images[:2], quiet=True, batch_size=2)
+    write_checkpoint(checkpoint_path, partial)
+
+    restored = load_checkpoint(checkpoint_path)
+    assert len(restored) == 2
+
+    # Resume: only remaining images get processed
+    results = load_and_run_detector_batch(
+        tiny_checkpoint, images, results=restored, quiet=True,
+        batch_size=4, checkpoint_path=checkpoint_path,
+        checkpoint_frequency=2)
+    assert len(results) == len(images)
+    assert len(set(r['file'] for r in results)) == len(images)
+
+
+def test_checkpoint_backup_semantics(tmp_path):
+    from megadetector_tpu.detection.run_detector_batch import (
+        write_checkpoint, load_checkpoint)
+
+    path = str(tmp_path / 'ckpt.json')
+    write_checkpoint(path, [{'file': 'a.jpg', 'detections': []}])
+    write_checkpoint(path, [{'file': 'a.jpg', 'detections': []},
+                            {'file': 'b.jpg', 'detections': []}])
+    assert len(load_checkpoint(path)) == 2
+    assert not os.path.exists(path + '_tmp')
