@@ -1,0 +1,468 @@
+"""
+Repeat detection elimination (RDE): find "that rock looks like an animal"
+false positives by clustering near-identical boxes that recur many times
+at one location (camera folder), then flag them for human review and flip
+their confidences negative.
+
+Behavioral contract follows the reference
+(megadetector/postprocessing/repeat_detection_elimination/
+repeat_detections_core.py): default thresholds (conf in [0.1, 1.0], IoU
+0.9, occurrence >= 20, suspicious size <= 0.2 of the image, :84-100),
+per-location candidate clustering with instances allowed to join multiple
+clusters (:666-784), a human-review filtering folder of rendered
+detections plus a detection index (:1112), and negative-confidence
+flipping of confirmed repeats (:815-880). The reference's Rust-backed
+quadtree (fastquadtree) is replaced by a uniform grid-hash spatial index
+(detections are tiny and near-uniformly distributed; grid cells bound the
+IoU candidate set just as well).
+"""
+
+import json
+import os
+import shutil
+
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor, ProcessPoolExecutor
+from datetime import datetime
+
+from tqdm import tqdm
+
+from megadetector_tpu.utils import ct_utils
+from megadetector_tpu.utils.path_utils import is_image_file
+
+DETECTION_INDEX_FILE_NAME = 'detectionIndex.json'
+
+
+#%% Options
+
+
+class RepeatDetectionOptions:
+    """
+    Options controlling find_repeat_detections(); field names match the
+    reference so workflow code ports over unchanged.
+    """
+
+    def __init__(self):
+        self.imageBase = ''
+        self.outputBase = ''
+
+        # Only detections in this confidence range are considered
+        self.confidenceMin = 0.1
+        self.confidenceMax = 1.0
+        # Two boxes are "the same detection" above this IoU
+        self.iouThreshold = 0.9
+        # A candidate becomes suspicious at this many occurrences
+        self.occurrenceThreshold = 20
+        # Relative-size bounds on suspicious detections
+        self.minSuspiciousDetectionSize = 0.0
+        self.maxSuspiciousDetectionSize = 0.2
+
+        self.maxImagesPerFolder = None
+        self.excludeClasses = []
+        self.nWorkers = 10
+        self.parallelizationUsesThreads = True
+
+        # Write the human-review folder of rendered detections
+        self.bWriteFilteringFolder = True
+        self.bParallelizeComparisons = True
+        self.bParallelizeRendering = True
+        self.categoryAgnosticComparisons = False
+
+        self.maxOutputImageWidth = 2000
+        self.lineThickness = 10
+        self.boxExpansion = 2
+
+        # How to map images to locations: strip this many levels from the
+        # leaf folder, or supply a custom function
+        self.nDirLevelsFromLeaf = 0
+        self.customDirNameFunction = None
+        self.includeFolders = None
+        self.excludeFolders = None
+
+        # Previously-generated filtering folder to apply instead of
+        # recomputing (after human review)
+        self.filterFileToLoad = ''
+
+        self.bRenderOtherDetections = False
+        self.otherDetectionsThreshold = 0.2
+        self.debugMaxDir = -1
+
+
+class RepeatDetectionResults:
+    """Results of a repeat-detection analysis."""
+
+    def __init__(self):
+        # The loaded results dict (mutated in place)
+        self.detection_data = None
+        # {location: [candidate dicts]} for suspicious detections
+        self.suspicious_detections = {}
+        self.filter_file = None
+        self.output_file = None
+
+
+#%% Spatial grid index
+
+
+class GridIndex:
+    """
+    Uniform grid-hash over normalized [0,1] box space. insert() registers a
+    box with a payload; query() returns payloads whose cells overlap a box.
+    Replaces the reference's Rust quadtree for candidate lookup.
+    """
+
+    def __init__(self, cell_size=0.05):
+        self.cell_size = cell_size
+        self.cells = defaultdict(list)
+        self.items = []
+
+    def _cell_range(self, bbox):
+        x0 = int(bbox[0] / self.cell_size)
+        y0 = int(bbox[1] / self.cell_size)
+        x1 = int((bbox[0] + bbox[2]) / self.cell_size)
+        y1 = int((bbox[1] + bbox[3]) / self.cell_size)
+        return x0, y0, x1, y1
+
+    def insert(self, bbox, payload):
+        self.items.append(payload)
+        x0, y0, x1, y1 = self._cell_range(bbox)
+        for cx in range(x0, x1 + 1):
+            for cy in range(y0, y1 + 1):
+                self.cells[(cx, cy)].append(payload)
+
+    def query(self, bbox):
+        x0, y0, x1, y1 = self._cell_range(bbox)
+        seen = set()
+        out = []
+        for cx in range(x0, x1 + 1):
+            for cy in range(y0, y1 + 1):
+                for payload in self.cells.get((cx, cy), ()):
+                    pid = id(payload)
+                    if pid not in seen:
+                        seen.add(pid)
+                        out.append(payload)
+        return out
+
+    def all_items(self):
+        return list(self.items)
+
+
+#%% Location mapping
+
+
+def image_file_to_location(filename, options):
+    """Map an image path to its location identifier (folder)."""
+
+    if options.customDirNameFunction is not None:
+        return options.customDirNameFunction(filename)
+    location = os.path.dirname(filename.replace('\\', '/'))
+    for _ in range(options.nDirLevelsFromLeaf):
+        location = os.path.dirname(location)
+    return location
+
+
+#%% Core per-location matching
+
+
+def _find_matches_in_directory(dir_name, images, options):
+    """
+    Cluster near-identical detections within one location.
+
+    Args:
+        dir_name: location identifier
+        images: list of image dicts (MD format) at this location
+        options: RepeatDetectionOptions
+
+    Returns:
+        list of candidate dicts:
+        {'bbox', 'category', 'relative_dir', 'instances': [
+            {'filename', 'i_detection', 'bbox', 'conf'}]}
+    """
+
+    if options.maxImagesPerFolder is not None and \
+            len(images) > options.maxImagesPerFolder:
+        return []
+    if options.includeFolders is not None and \
+            dir_name not in options.includeFolders:
+        return []
+    if options.excludeFolders is not None and \
+            dir_name in options.excludeFolders:
+        return []
+
+    index = GridIndex(cell_size=max(
+        options.maxSuspiciousDetectionSize, 0.05))
+
+    for im in images:
+        filename = im['file']
+        if not is_image_file(filename):
+            continue
+        detections = im.get('detections')
+        if detections is None:
+            continue
+
+        for i_detection, detection in enumerate(detections):
+            conf = detection['conf']
+            if conf < options.confidenceMin or conf > options.confidenceMax:
+                continue
+            if options.excludeClasses and \
+                    int(detection['category']) in options.excludeClasses:
+                continue
+            bbox = detection['bbox']
+            w, h = bbox[2], bbox[3]
+            if w <= 0 or h <= 0:
+                continue
+            size = w * h
+            if size > options.maxSuspiciousDetectionSize or \
+                    size < options.minSuspiciousDetectionSize:
+                continue
+
+            instance = {'filename': filename,
+                        'i_detection': i_detection,
+                        'bbox': list(bbox),
+                        'conf': conf}
+            category = detection['category']
+
+            found = False
+            for candidate in index.query(bbox):
+                if not options.categoryAgnosticComparisons and \
+                        candidate['category'] != category:
+                    continue
+                try:
+                    iou = ct_utils.get_iou(bbox, candidate['bbox'])
+                except AssertionError:
+                    continue
+                if iou >= options.iouThreshold:
+                    found = True
+                    # An instance may join multiple candidates, matching
+                    # the reference's no-break behavior
+                    candidate['instances'].append(instance)
+            if not found:
+                candidate = {'bbox': list(bbox),
+                             'category': category,
+                             'relative_dir': dir_name,
+                             'instances': [instance]}
+                index.insert(bbox, candidate)
+
+    return index.all_items()
+
+
+#%% Main analysis
+
+
+def find_repeat_detections(input_filename, output_filename=None,
+                           options=None):
+    """
+    Run the repeat-detection analysis over an MD results file.
+
+    When options.filterFileToLoad is empty: compute suspicious detections,
+    optionally write the human-review filtering folder
+    (options.outputBase), and write [output_filename] with repeats'
+    confidences flipped negative.
+
+    When options.filterFileToLoad points to a detectionIndex.json from a
+    (possibly human-edited) filtering folder: apply that filter instead of
+    recomputing.
+
+    Returns a RepeatDetectionResults.
+    """
+
+    if options is None:
+        options = RepeatDetectionOptions()
+
+    to_return = RepeatDetectionResults()
+    to_return.output_file = output_filename
+
+    with open(input_filename) as f:
+        data = json.load(f)
+    to_return.detection_data = data
+
+    if options.filterFileToLoad:
+        # Apply a previously-computed (human-reviewed) filter
+        suspicious = _load_filter_file(options.filterFileToLoad)
+        to_return.filter_file = options.filterFileToLoad
+    else:
+        # Group images by location
+        location_to_images = defaultdict(list)
+        for im in data['images']:
+            location = image_file_to_location(im['file'], options)
+            location_to_images[location].append(im)
+
+        locations = sorted(location_to_images.keys())
+        if options.debugMaxDir > 0:
+            locations = locations[:options.debugMaxDir]
+
+        print('Finding repeat detections in {} locations'.format(
+            len(locations)))
+
+        def _one(location):
+            return _find_matches_in_directory(
+                location, location_to_images[location], options)
+
+        if options.bParallelizeComparisons and options.nWorkers > 1 and \
+                len(locations) > 1:
+            pool_cls = ThreadPoolExecutor if \
+                options.parallelizationUsesThreads else ProcessPoolExecutor
+            with pool_cls(max_workers=options.nWorkers) as pool:
+                all_candidates = list(tqdm(
+                    pool.map(_one, locations), total=len(locations),
+                    desc='Comparing detections'))
+        else:
+            all_candidates = [_one(loc) for loc in tqdm(
+                locations, desc='Comparing detections')]
+
+        # Flag suspicious candidates
+        suspicious = []
+        for candidates in all_candidates:
+            for candidate in candidates:
+                # Unique files: a burst of N frames of a moving animal
+                # produces N instances in N files; repeats recur across
+                # many files
+                n = len(candidate['instances'])
+                if n >= options.occurrenceThreshold:
+                    suspicious.append(candidate)
+
+        print('Found {} suspicious detection groups'.format(
+            len(suspicious)))
+
+        if options.bWriteFilteringFolder and options.outputBase:
+            to_return.filter_file = _write_filtering_folder(
+                suspicious, data, options)
+
+    # Group by location for reporting
+    by_location = defaultdict(list)
+    for s in suspicious:
+        by_location[s['relative_dir']].append(s)
+    to_return.suspicious_detections = dict(by_location)
+
+    # Flip confidences and write output
+    n_changes = _update_detection_table(data, suspicious)
+    print('Flipped {} detection confidences'.format(n_changes))
+
+    if output_filename is not None:
+        ct_utils.write_json(output_filename, data, force_str=True)
+
+    return to_return
+
+
+def _update_detection_table(data, suspicious_detections):
+    """Make confirmed repeats' confidences negative (in place)."""
+
+    fn_to_image = {im['file']: im for im in data['images']}
+    n_changes = 0
+    for candidate in suspicious_detections:
+        for instance in candidate['instances']:
+            im = fn_to_image.get(instance['filename'])
+            if im is None or im.get('detections') is None:
+                continue
+            det = im['detections'][instance['i_detection']]
+            assert det['bbox'][0:4] == instance['bbox'][0:4], \
+                'Detection index mismatch for {}'.format(
+                    instance['filename'])
+            if det['conf'] >= 0:
+                det['conf'] = -1 * det['conf']
+                n_changes += 1
+    return n_changes
+
+
+#%% Filtering folder (human review)
+
+
+def _render_candidate(i_candidate, candidate, data, options):
+    """Render one suspicious detection to the filtering folder."""
+
+    from megadetector_tpu.visualization import visualization_utils as \
+        vis_utils
+
+    instance = candidate['instances'][0]
+    source = os.path.join(options.imageBase, instance['filename'])
+    rendered_name = 'detection_{:0>4d}.jpg'.format(i_candidate)
+    target = os.path.join(options.outputBase, rendered_name)
+
+    try:
+        image = vis_utils.load_image(source)
+        detection = {'category': candidate['category'],
+                     'conf': abs(instance['conf']),
+                     'bbox': candidate['bbox']}
+        vis_utils.render_detection_bounding_boxes(
+            [detection], image,
+            confidence_threshold=0.0,
+            thickness=options.lineThickness,
+            expansion=options.boxExpansion)
+        if options.maxOutputImageWidth is not None and \
+                image.size[0] > options.maxOutputImageWidth:
+            vis_utils.resize_image(
+                image, target_width=options.maxOutputImageWidth,
+                output_file=target, quality=85)
+        else:
+            image.save(target)
+        return rendered_name
+    except Exception as e:
+        print('Warning: rendering error for {}: {}'.format(source, e))
+        return None
+
+
+def _write_filtering_folder(suspicious_detections, data, options):
+    """
+    Write rendered suspicious detections + detectionIndex.json to
+    options.outputBase. A human then DELETES renderings that show real
+    animals; remove_repeat_detections applies what remains.
+    """
+
+    folder = os.path.join(
+        options.outputBase,
+        'filtering_{}'.format(datetime.now().strftime('%Y.%m.%d.%H.%M.%S')))
+    os.makedirs(folder, exist_ok=True)
+
+    render_options = options
+    original_base = options.outputBase
+    options.outputBase = folder
+
+    entries = []
+
+    def _render(args):
+        i_candidate, candidate = args
+        rendered = _render_candidate(i_candidate, candidate, data,
+                                     render_options)
+        return i_candidate, rendered
+
+    jobs = list(enumerate(suspicious_detections))
+    if options.bParallelizeRendering and options.nWorkers > 1:
+        with ThreadPoolExecutor(max_workers=options.nWorkers) as pool:
+            rendered_list = list(tqdm(pool.map(_render, jobs),
+                                      total=len(jobs), desc='Rendering'))
+    else:
+        rendered_list = [_render(j) for j in tqdm(jobs, desc='Rendering')]
+
+    options.outputBase = original_base
+
+    rendered_by_idx = dict(rendered_list)
+    for i_candidate, candidate in enumerate(suspicious_detections):
+        entry = dict(candidate)
+        entry['rendered_file'] = rendered_by_idx.get(i_candidate)
+        entries.append(entry)
+
+    filter_file = os.path.join(folder, DETECTION_INDEX_FILE_NAME)
+    ct_utils.write_json(filter_file, {'suspicious_detections': entries})
+    print('Wrote filtering folder to {}'.format(folder))
+    return filter_file
+
+
+def _load_filter_file(filter_file, require_rendered_file_exists=True):
+    """
+    Load a detectionIndex.json; candidates whose rendered file was deleted
+    by the human reviewer are dropped (those were real animals).
+    """
+
+    with open(filter_file) as f:
+        index = json.load(f)
+    folder = os.path.dirname(filter_file)
+
+    kept = []
+    for entry in index['suspicious_detections']:
+        rendered = entry.get('rendered_file')
+        if require_rendered_file_exists and rendered is not None:
+            if not os.path.isfile(os.path.join(folder, rendered)):
+                continue
+        kept.append(entry)
+    print('Filter file: keeping {} of {} suspicious detections'.format(
+        len(kept), len(index['suspicious_detections'])))
+    return kept
