@@ -1,0 +1,308 @@
+"""
+Compare detection results across models: categorize per-image agreement
+(common detections, common non-detections, A-only, B-only, class
+transitions), render side-by-side sample pages, and support N-way
+comparison as all pairwise comparisons.
+
+Behavioral contract follows the reference
+(megadetector/postprocessing/compare_batch_results.py:124,626,1627,1700):
+per-pair confidence thresholds (optionally per category), IoU-based
+detection matching, sampled HTML galleries per agreement category, and
+find_equivalent_threshold for cross-model threshold calibration (:1827).
+"""
+
+import argparse
+import collections
+import json
+import os
+import random
+import sys
+
+from megadetector_tpu.utils import ct_utils
+from megadetector_tpu.utils.write_html_image_list import \
+    write_html_image_list
+
+
+class PairwiseBatchComparisonResults:
+    """Results of one pairwise comparison."""
+
+    def __init__(self):
+        self.categories_to_image_files = {}
+        self.filename_a = None
+        self.filename_b = None
+
+
+class BatchComparisonOptions:
+    """Options controlling compare_batch_results()."""
+
+    def __init__(self):
+        self.output_folder = None
+        self.image_folder = None
+        self.job_name = 'comparison'
+
+        self.results_filename_a = None
+        self.results_filename_b = None
+        self.results_description_a = None
+        self.results_description_b = None
+
+        # Thresholds: float or {category_name: float}
+        self.detection_thresholds_a = 0.15
+        self.detection_thresholds_b = 0.15
+        self.rendering_confidence_threshold_a = 0.1
+        self.rendering_confidence_threshold_b = 0.1
+
+        self.iou_threshold = 0.5
+        self.max_images_per_category = 100
+        self.random_seed = 0
+        self.parallelize_rendering = False
+        self.error_on_non_matching_lists = True
+
+
+def _above_threshold_detections(im, thresholds, categories):
+    """Detections above the (possibly per-category) threshold."""
+
+    out = []
+    for d in im.get('detections') or []:
+        if isinstance(thresholds, dict):
+            name = categories.get(d['category'], d['category'])
+            t = thresholds.get(name, thresholds.get('default', 0.15))
+        else:
+            t = thresholds
+        if d['conf'] >= t:
+            out.append(d)
+    return out
+
+
+def _detections_match(dets_a, dets_b, iou_threshold):
+    """
+    True when every detection in each list has a same-category match in
+    the other at IoU >= threshold.
+    """
+
+    def one_way(src, dst):
+        for d in src:
+            matched = False
+            for e in dst:
+                if d['category'] != e['category']:
+                    continue
+                try:
+                    if ct_utils.get_iou(d['bbox'], e['bbox']) >= \
+                            iou_threshold:
+                        matched = True
+                        break
+                except AssertionError:
+                    continue
+            if not matched:
+                return False
+        return True
+
+    return one_way(dets_a, dets_b) and one_way(dets_b, dets_a)
+
+
+def _pairwise_compare_batch_results(options, results_a, results_b):
+    """Categorize agreement for one pair of loaded results dicts."""
+
+    categories_a = results_a.get('detection_categories', {})
+    categories_b = results_b.get('detection_categories', {})
+
+    images_a = {im['file']: im for im in results_a['images']}
+    images_b = {im['file']: im for im in results_b['images']}
+
+    common_files = sorted(set(images_a.keys()) & set(images_b.keys()))
+    if options.error_on_non_matching_lists:
+        only_a = set(images_a) - set(images_b)
+        only_b = set(images_b) - set(images_a)
+        if only_a or only_b:
+            raise ValueError(
+                'Image lists differ: {} only in A, {} only in B'.format(
+                    len(only_a), len(only_b)))
+
+    categories_to_image_files = collections.defaultdict(list)
+
+    for fn in common_files:
+        im_a = images_a[fn]
+        im_b = images_b[fn]
+        if im_a.get('detections') is None or \
+                im_b.get('detections') is None:
+            categories_to_image_files['failures'].append(fn)
+            continue
+        dets_a = _above_threshold_detections(
+            im_a, options.detection_thresholds_a, categories_a)
+        dets_b = _above_threshold_detections(
+            im_b, options.detection_thresholds_b, categories_b)
+
+        a_positive = len(dets_a) > 0
+        b_positive = len(dets_b) > 0
+
+        if not a_positive and not b_positive:
+            key = 'common_non_detections'
+        elif a_positive and not b_positive:
+            key = 'detections_a_only'
+        elif b_positive and not a_positive:
+            key = 'detections_b_only'
+        else:
+            cats_a = set(d['category'] for d in dets_a)
+            cats_b = set(d['category'] for d in dets_b)
+            if cats_a != cats_b:
+                key = 'class_transitions'
+            elif _detections_match(dets_a, dets_b,
+                                   options.iou_threshold):
+                key = 'common_detections'
+            else:
+                key = 'common_detections_differing_boxes'
+        categories_to_image_files[key].append(fn)
+
+    results = PairwiseBatchComparisonResults()
+    results.categories_to_image_files = dict(categories_to_image_files)
+    results.filename_a = options.results_filename_a
+    results.filename_b = options.results_filename_b
+    return results
+
+
+def compare_batch_results(options):
+    """
+    Full pairwise comparison with HTML output. Returns the
+    PairwiseBatchComparisonResults (with .html_output_file set when an
+    output folder was provided).
+    """
+
+    with open(options.results_filename_a) as f:
+        results_a = json.load(f)
+    with open(options.results_filename_b) as f:
+        results_b = json.load(f)
+
+    pairwise = _pairwise_compare_batch_results(options, results_a,
+                                               results_b)
+
+    if options.output_folder is None:
+        return pairwise
+
+    os.makedirs(options.output_folder, exist_ok=True)
+    rng = random.Random(options.random_seed)
+
+    desc_a = options.results_description_a or \
+        os.path.basename(options.results_filename_a)
+    desc_b = options.results_description_b or \
+        os.path.basename(options.results_filename_b)
+
+    index_html = os.path.join(options.output_folder, 'index.html')
+    with open(index_html, 'w') as f:
+        f.write('<html><body>\n<h1>Comparison: {} vs {}</h1>\n<ul>\n'
+                .format(desc_a, desc_b))
+        for key in sorted(pairwise.categories_to_image_files.keys()):
+            files = pairwise.categories_to_image_files[key]
+            sample = files
+            if options.max_images_per_category is not None and \
+                    len(files) > options.max_images_per_category:
+                sample = rng.sample(files,
+                                    options.max_images_per_category)
+            page_fn = os.path.join(options.output_folder, key + '.html')
+            entries = []
+            for fn in sample:
+                src = os.path.join(options.image_folder, fn) \
+                    if options.image_folder else fn
+                entries.append({'filename': src, 'title': fn})
+            write_html_image_list(
+                page_fn, entries,
+                options={'headerHtml': '<h1>{}</h1>'.format(key)})
+            f.write('<li><a href="{}">{}</a>: {} images</li>\n'.format(
+                os.path.basename(page_fn), key, len(files)))
+        f.write('</ul>\n</body></html>\n')
+
+    pairwise.html_output_file = index_html
+    print('Wrote comparison to {}'.format(index_html))
+    return pairwise
+
+
+def n_way_comparison(filenames, options, detection_thresholds=None,
+                     rendering_thresholds=None):
+    """
+    All-pairs comparison across N results files; returns a list of
+    pairwise results (reference: compare_batch_results.py:1700).
+    """
+
+    if detection_thresholds is None:
+        detection_thresholds = [0.15] * len(filenames)
+    assert len(detection_thresholds) == len(filenames)
+
+    all_results = []
+    for i_a in range(len(filenames)):
+        for i_b in range(i_a + 1, len(filenames)):
+            pair_options = BatchComparisonOptions()
+            for k, v in vars(options).items():
+                setattr(pair_options, k, v)
+            pair_options.results_filename_a = filenames[i_a]
+            pair_options.results_filename_b = filenames[i_b]
+            pair_options.detection_thresholds_a = \
+                detection_thresholds[i_a]
+            pair_options.detection_thresholds_b = \
+                detection_thresholds[i_b]
+            if options.output_folder is not None:
+                pair_options.output_folder = os.path.join(
+                    options.output_folder,
+                    'pair_{:0>2d}_{:0>2d}'.format(i_a, i_b))
+            all_results.append(compare_batch_results(pair_options))
+    return all_results
+
+
+def find_equivalent_threshold(results_filename_a, results_filename_b,
+                              threshold_a, category=None):
+    """
+    Find the threshold for model B that marks (approximately) the same
+    number of images positive as threshold_a does for model A
+    (reference: compare_batch_results.py:1827).
+    """
+
+    with open(results_filename_a) as f:
+        results_a = json.load(f)
+    with open(results_filename_b) as f:
+        results_b = json.load(f)
+
+    def max_confs(results):
+        out = []
+        for im in results['images']:
+            dets = im.get('detections') or []
+            if category is not None:
+                dets = [d for d in dets if d['category'] == category]
+            out.append(max([d['conf'] for d in dets], default=0.0))
+        return sorted(out, reverse=True)
+
+    confs_a = max_confs(results_a)
+    confs_b = max_confs(results_b)
+    n_positive_a = sum(1 for c in confs_a if c >= threshold_a)
+    if n_positive_a == 0:
+        return 1.0
+    if n_positive_a > len(confs_b):
+        return 0.0
+    return confs_b[n_positive_a - 1]
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description='Compare two MD results files')
+    parser.add_argument('output_folder')
+    parser.add_argument('image_folder')
+    parser.add_argument('results_file_a')
+    parser.add_argument('results_file_b')
+    parser.add_argument('--detection_threshold_a', type=float,
+                        default=0.15)
+    parser.add_argument('--detection_threshold_b', type=float,
+                        default=0.15)
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+
+    args = parser.parse_args()
+    options = BatchComparisonOptions()
+    options.output_folder = args.output_folder
+    options.image_folder = args.image_folder
+    options.results_filename_a = args.results_file_a
+    options.results_filename_b = args.results_file_b
+    options.detection_thresholds_a = args.detection_threshold_a
+    options.detection_thresholds_b = args.detection_threshold_b
+    compare_batch_results(options)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,338 @@
+"""
+Render an HTML preview of a batch of detection results: sampled images in
+per-category pages (detections by category, non-detections, optional
+"almost detections"), with boxes drawn; given COCO-CT ground truth,
+additionally compute precision/recall and per-image TP/FP/TN/FN pages.
+
+Behavioral contract follows the reference
+(megadetector/postprocessing/postprocess_batch_results.py:78-2152):
+category pages named detections_animal / detections_person /
+detections_vehicle / multiple categories / non_detections /
+almost_detections, sampling with a fixed seed, thumbnail rendering in a
+parallel pool, index.html linking the subpages with counts and
+percentages.
+"""
+
+import argparse
+import collections
+import json
+import os
+import random
+import sys
+
+from concurrent.futures import ThreadPoolExecutor
+
+from tqdm import tqdm
+
+from megadetector_tpu.utils import ct_utils
+from megadetector_tpu.utils.write_html_image_list import \
+    write_html_image_list
+from megadetector_tpu.visualization import visualization_utils as vis_utils
+
+
+class PostProcessingOptions:
+    """Options controlling process_batch_results()."""
+
+    def __init__(self):
+        self.md_results_file = ''
+        self.output_dir = ''
+        self.image_base_dir = ''
+
+        # None = pull the typical threshold from the results file's
+        # detector metadata (or 0.2)
+        self.confidence_threshold = None
+
+        # Images sampled per category page (-1 = all)
+        self.num_images_to_sample = 500
+        self.sample_seed = 0
+        self.viz_target_width = 800
+        self.line_thickness = 4
+        self.box_expansion = 0
+        self.sort_classification_results_by_count = False
+
+        # Add an 'almost_detections' page for images whose max conf lands
+        # in [almost_detection_confidence_threshold, confidence_threshold)
+        self.include_almost_detections = False
+        self.almost_detection_confidence_threshold = None
+
+        self.separate_detections_by_category = True
+        self.parallelize_rendering = True
+        self.parallelize_rendering_n_cores = 8
+
+        # Optional COCO-CT ground truth for P/R analysis
+        self.ground_truth_json_file = None
+
+        self.footer_text = ''
+
+
+class PostProcessingResults:
+    """Results of process_batch_results()."""
+
+    def __init__(self):
+        self.output_html_file = None
+        self.category_to_images = {}
+        self.eval_metrics = None
+
+
+def _image_category(im, detection_categories, threshold, options):
+    """
+    Page assignment for one image: 'detections_<cat>', 'multiple
+    categories', 'non_detections', 'almost_detections', or 'failures'.
+    """
+
+    if im.get('detections') is None:
+        return 'failures'
+
+    above = set()
+    max_conf = 0.0
+    for d in im['detections']:
+        max_conf = max(max_conf, d['conf'])
+        if d['conf'] >= threshold:
+            above.add(detection_categories.get(d['category'],
+                                               d['category']))
+
+    if len(above) == 0:
+        if options.include_almost_detections and \
+                max_conf >= options.almost_detection_confidence_threshold:
+            return 'almost_detections'
+        return 'non_detections'
+    if not options.separate_detections_by_category:
+        return 'detections'
+    if len(above) == 1:
+        return 'detections_{}'.format(above.pop())
+    return 'multiple categories'
+
+
+def _render_image(job):
+    """Render one sampled image with boxes to the output folder."""
+
+    (im, source, target, detection_categories, threshold, options) = job
+    try:
+        image = vis_utils.load_image(source)
+        detections = im.get('detections') or []
+        vis_utils.render_detection_bounding_boxes(
+            detections, image,
+            label_map=detection_categories,
+            confidence_threshold=threshold,
+            thickness=options.line_thickness,
+            expansion=options.box_expansion)
+        if options.viz_target_width is not None and \
+                image.size[0] > options.viz_target_width:
+            image = vis_utils.resize_image(
+                image, target_width=options.viz_target_width)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        image.convert('RGB').save(target, quality=85)
+        return True
+    except Exception as e:
+        print('Warning: rendering error for {}: {}'.format(source, e))
+        return False
+
+
+def process_batch_results(options):
+    """
+    Build the HTML preview (and optional ground-truth eval). Returns a
+    PostProcessingResults with output_html_file set.
+    """
+
+    with open(options.md_results_file) as f:
+        data = json.load(f)
+
+    detection_categories = data.get('detection_categories', {})
+
+    threshold = options.confidence_threshold
+    if threshold is None:
+        md = data.get('info', {}).get('detector_metadata', {})
+        threshold = md.get('typical_detection_threshold', 0.2)
+
+    if options.include_almost_detections and \
+            options.almost_detection_confidence_threshold is None:
+        options.almost_detection_confidence_threshold = threshold * 0.5
+
+    os.makedirs(options.output_dir, exist_ok=True)
+
+    # --- Assign images to pages
+    category_to_images = collections.defaultdict(list)
+    for im in data['images']:
+        page = _image_category(im, detection_categories, threshold,
+                               options)
+        category_to_images[page].append(im)
+
+    # --- Sample
+    rng = random.Random(options.sample_seed)
+    sampled = {}
+    for page, images in category_to_images.items():
+        if options.num_images_to_sample is not None and \
+                options.num_images_to_sample > 0 and \
+                len(images) > options.num_images_to_sample:
+            sampled[page] = rng.sample(images,
+                                       options.num_images_to_sample)
+        else:
+            sampled[page] = images
+
+    # --- Render thumbnails
+    render_jobs = []
+    page_entries = collections.defaultdict(list)
+    for page, images in sampled.items():
+        page_dir = os.path.join(options.output_dir,
+                                page.replace(' ', '_'))
+        for i_image, im in enumerate(images):
+            source = os.path.join(options.image_base_dir, im['file'])
+            target = os.path.join(
+                page_dir, '{:0>5d}_{}.jpg'.format(
+                    i_image,
+                    im['file'].replace('/', '~').replace('\\', '~')[-80:]))
+            title = '{} (max conf {:.3f})'.format(
+                im['file'], ct_utils.get_max_conf(im))
+            page_entries[page].append({
+                'filename': os.path.relpath(target, options.output_dir),
+                'title': title,
+            })
+            if im.get('detections') is not None:
+                render_jobs.append((im, source, target,
+                                    detection_categories, threshold,
+                                    options))
+
+    if options.parallelize_rendering and \
+            options.parallelize_rendering_n_cores > 1 and render_jobs:
+        with ThreadPoolExecutor(
+                max_workers=options.parallelize_rendering_n_cores) as pool:
+            list(tqdm(pool.map(_render_image, render_jobs),
+                      total=len(render_jobs), desc='Rendering'))
+    else:
+        for job in tqdm(render_jobs, desc='Rendering'):
+            _render_image(job)
+
+    # --- Per-page HTML
+    page_to_html = {}
+    for page, entries in page_entries.items():
+        page_html = os.path.join(options.output_dir,
+                                 page.replace(' ', '_') + '.html')
+        write_html_image_list(
+            page_html, entries,
+            options={'headerHtml': '<h1>{}</h1>'.format(page),
+                     'maxFiguresPerHtmlFile': 2500})
+        page_to_html[page] = page_html
+
+    # --- Optional ground-truth eval
+    eval_metrics = None
+    if options.ground_truth_json_file is not None:
+        eval_metrics = _evaluate_against_ground_truth(
+            data, options.ground_truth_json_file, threshold)
+
+    # --- Index page
+    n_total = len(data['images'])
+    index_html = os.path.join(options.output_dir, 'index.html')
+    with open(index_html, 'w') as f:
+        f.write('<html><head><meta charset="utf-8"/></head><body>\n')
+        f.write('<h1>Detection results preview</h1>\n')
+        f.write('<p>Confidence threshold: {:.3f}; {} images total</p>\n'
+                .format(threshold, n_total))
+        f.write('<ul>\n')
+        for page in sorted(category_to_images.keys()):
+            n = len(category_to_images[page])
+            n_sampled = len(sampled.get(page, []))
+            pct = 100.0 * n / max(n_total, 1)
+            link = os.path.basename(page_to_html[page]) \
+                if page in page_to_html else None
+            if link:
+                f.write('<li><a href="{}">{}</a>: {} images ({:.1f}%), '
+                        '{} sampled</li>\n'.format(link, page, n, pct,
+                                                   n_sampled))
+            else:
+                f.write('<li>{}: {} images ({:.1f}%)</li>\n'.format(
+                    page, n, pct))
+        f.write('</ul>\n')
+        if eval_metrics is not None:
+            f.write('<h2>Ground-truth evaluation</h2>\n')
+            f.write('<p>Image-level precision: {:.3f}, recall: {:.3f} '
+                    '(at threshold {:.3f})</p>\n'.format(
+                        eval_metrics['precision'],
+                        eval_metrics['recall'], threshold))
+            f.write('<p>TP {tp}, FP {fp}, TN {tn}, FN {fn}</p>\n'.format(
+                **eval_metrics))
+        if options.footer_text:
+            f.write('<p>{}</p>\n'.format(options.footer_text))
+        f.write('</body></html>\n')
+
+    results = PostProcessingResults()
+    results.output_html_file = index_html
+    results.category_to_images = dict(category_to_images)
+    results.eval_metrics = eval_metrics
+    print('Wrote preview to {}'.format(index_html))
+    return results
+
+
+def _evaluate_against_ground_truth(md_data, ground_truth_file, threshold):
+    """
+    Image-level P/R against a COCO Camera Traps ground-truth file: an
+    image is ground-truth-positive if it has any non-empty annotation,
+    predicted-positive if any detection >= threshold.
+    """
+
+    with open(ground_truth_file) as f:
+        gt = json.load(f)
+
+    empty_category_ids = set()
+    for cat in gt.get('categories', []):
+        if cat['name'].lower() in ('empty', 'blank', 'none', 'misfire'):
+            empty_category_ids.add(cat['id'])
+
+    image_id_to_positive = {}
+    for im in gt.get('images', []):
+        image_id_to_positive[im['id']] = False
+        fn = im.get('file_name', im['id'])
+        image_id_to_positive[fn] = False
+    fn_by_id = {im['id']: im.get('file_name', im['id'])
+                for im in gt.get('images', [])}
+    for ann in gt.get('annotations', []):
+        if ann.get('category_id') not in empty_category_ids:
+            image_id_to_positive[ann['image_id']] = True
+            if ann['image_id'] in fn_by_id:
+                image_id_to_positive[fn_by_id[ann['image_id']]] = True
+
+    tp = fp = tn = fn_count = 0
+    for im in md_data['images']:
+        key = im['file']
+        if key not in image_id_to_positive:
+            continue
+        gt_positive = image_id_to_positive[key]
+        pred_positive = any(
+            d['conf'] >= threshold for d in (im.get('detections') or []))
+        if gt_positive and pred_positive:
+            tp += 1
+        elif gt_positive:
+            fn_count += 1
+        elif pred_positive:
+            fp += 1
+        else:
+            tn += 1
+
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn_count, 1)
+    return {'tp': tp, 'fp': fp, 'tn': tn, 'fn': fn_count,
+            'precision': precision, 'recall': recall}
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description='Render an HTML preview of MD results')
+    parser.add_argument('md_results_file')
+    parser.add_argument('output_dir')
+    parser.add_argument('--image_base_dir', default='')
+    parser.add_argument('--confidence_threshold', type=float, default=None)
+    parser.add_argument('--num_images_to_sample', type=int, default=500)
+    parser.add_argument('--include_almost_detections', action='store_true')
+    parser.add_argument('--ground_truth_json_file', default=None)
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+
+    args = parser.parse_args()
+    options = PostProcessingOptions()
+    ct_utils.args_to_object(args, options)
+    process_batch_results(options)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,204 @@
+"""Tests for HTML previews, result comparison, and the HTML gallery util."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from megadetector_tpu.utils import ct_utils
+
+
+def _build_image_tree(base, files, size=(40, 60)):
+    rng = np.random.RandomState(0)
+    for fn in files:
+        p = os.path.join(base, fn)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(rng.randint(0, 255, (size[0], size[1], 3),
+                                    dtype=np.uint8)).save(p)
+
+
+def _results(images):
+    return {'images': images,
+            'detection_categories': {'1': 'animal', '2': 'person',
+                                     '3': 'vehicle'},
+            'info': {'format_version': '1.6',
+                     'detector_metadata': {
+                         'typical_detection_threshold': 0.2}}}
+
+
+def test_write_html_image_list(tmp_path):
+    from megadetector_tpu.utils.write_html_image_list import \
+        write_html_image_list
+    out = str(tmp_path / 'gallery.html')
+    write_html_image_list(out, [
+        'img1.jpg',
+        {'filename': 'img2.jpg', 'title': 'second image',
+         'linkTarget': 'img2_full.jpg'},
+    ])
+    html = open(out).read()
+    assert 'img1.jpg' in html
+    assert 'second image' in html
+    assert 'img2_full.jpg' in html
+
+
+def test_write_html_image_list_pagination(tmp_path):
+    from megadetector_tpu.utils.write_html_image_list import \
+        write_html_image_list
+    out = str(tmp_path / 'gallery.html')
+    images = ['img{}.jpg'.format(i) for i in range(10)]
+    files = write_html_image_list(out, images,
+                                  {'maxFiguresPerHtmlFile': 4})
+    assert len(files) == 4  # index + 3 pages
+    assert all(os.path.isfile(f) for f in files)
+
+
+def test_process_batch_results(tmp_path):
+    from megadetector_tpu.postprocessing.postprocess_batch_results import (
+        PostProcessingOptions, process_batch_results)
+
+    files = ['cam1/a.jpg', 'cam1/b.jpg', 'cam2/c.jpg', 'cam2/d.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+
+    images = [
+        {'file': 'cam1/a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'cam1/b.jpg', 'detections': []},
+        {'file': 'cam2/c.jpg', 'detections': [
+            {'category': '1', 'conf': 0.8, 'bbox': [0.1, 0.1, 0.2, 0.2]},
+            {'category': '2', 'conf': 0.7, 'bbox': [0.5, 0.5, 0.2, 0.2]}]},
+        {'file': 'cam2/d.jpg', 'detections': [
+            {'category': '1', 'conf': 0.15,
+             'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+    ]
+    results_file = str(tmp_path / 'results.json')
+    ct_utils.write_json(results_file, _results(images))
+
+    options = PostProcessingOptions()
+    options.md_results_file = results_file
+    options.output_dir = str(tmp_path / 'preview')
+    options.image_base_dir = image_base
+    options.include_almost_detections = True
+    options.num_images_to_sample = 10
+    options.parallelize_rendering = False
+
+    out = process_batch_results(options)
+    assert os.path.isfile(out.output_html_file)
+    cats = out.category_to_images
+    assert len(cats['detections_animal']) == 1
+    assert len(cats['multiple categories']) == 1
+    assert len(cats['non_detections']) == 1
+    assert len(cats['almost_detections']) == 1
+    html = open(out.output_html_file).read()
+    assert 'detections_animal' in html
+
+
+def test_process_batch_results_with_ground_truth(tmp_path):
+    from megadetector_tpu.postprocessing.postprocess_batch_results import (
+        PostProcessingOptions, process_batch_results)
+
+    files = ['a.jpg', 'b.jpg', 'c.jpg', 'd.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+
+    # a: TP, b: TN, c: FP, d: FN
+    images = [
+        {'file': 'a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'b.jpg', 'detections': []},
+        {'file': 'c.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'd.jpg', 'detections': []},
+    ]
+    results_file = str(tmp_path / 'results.json')
+    ct_utils.write_json(results_file, _results(images))
+
+    gt = {
+        'images': [{'id': fn, 'file_name': fn} for fn in files],
+        'annotations': [
+            {'id': 0, 'image_id': 'a.jpg', 'category_id': 1},
+            {'id': 1, 'image_id': 'b.jpg', 'category_id': 0},
+            {'id': 2, 'image_id': 'c.jpg', 'category_id': 0},
+            {'id': 3, 'image_id': 'd.jpg', 'category_id': 1},
+        ],
+        'categories': [{'id': 0, 'name': 'empty'},
+                       {'id': 1, 'name': 'deer'}],
+    }
+    gt_file = str(tmp_path / 'gt.json')
+    ct_utils.write_json(gt_file, gt)
+
+    options = PostProcessingOptions()
+    options.md_results_file = results_file
+    options.output_dir = str(tmp_path / 'preview')
+    options.image_base_dir = image_base
+    options.ground_truth_json_file = gt_file
+    options.parallelize_rendering = False
+
+    out = process_batch_results(options)
+    m = out.eval_metrics
+    assert m['tp'] == 1 and m['tn'] == 1 and m['fp'] == 1 and m['fn'] == 1
+    assert m['precision'] == 0.5 and m['recall'] == 0.5
+
+
+def test_compare_batch_results(tmp_path):
+    from megadetector_tpu.postprocessing.compare_batch_results import (
+        BatchComparisonOptions, compare_batch_results)
+
+    box = [0.1, 0.1, 0.2, 0.2]
+    images_a = [
+        {'file': 'x.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': box}]},
+        {'file': 'y.jpg', 'detections': []},
+        {'file': 'z.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': box}]},
+        {'file': 'w.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': box}]},
+    ]
+    images_b = [
+        {'file': 'x.jpg', 'detections': [
+            {'category': '1', 'conf': 0.85, 'bbox': box}]},  # agree
+        {'file': 'y.jpg', 'detections': []},                  # agree empty
+        {'file': 'z.jpg', 'detections': []},                  # a only
+        {'file': 'w.jpg', 'detections': [
+            {'category': '2', 'conf': 0.9, 'bbox': box}]},    # class change
+    ]
+    file_a = str(tmp_path / 'a.json')
+    file_b = str(tmp_path / 'b.json')
+    ct_utils.write_json(file_a, _results(images_a))
+    ct_utils.write_json(file_b, _results(images_b))
+
+    options = BatchComparisonOptions()
+    options.results_filename_a = file_a
+    options.results_filename_b = file_b
+    options.output_folder = str(tmp_path / 'cmp')
+
+    out = compare_batch_results(options)
+    cats = out.categories_to_image_files
+    assert cats['common_detections'] == ['x.jpg']
+    assert cats['common_non_detections'] == ['y.jpg']
+    assert cats['detections_a_only'] == ['z.jpg']
+    assert cats['class_transitions'] == ['w.jpg']
+    assert os.path.isfile(out.html_output_file)
+
+
+def test_find_equivalent_threshold(tmp_path):
+    from megadetector_tpu.postprocessing.compare_batch_results import (
+        find_equivalent_threshold)
+
+    # Model A marks 2 of 4 images positive at 0.5; model B's confidences
+    # are shifted down: equivalent threshold should mark the same count
+    def file_with_confs(confs, name):
+        images = [{'file': 'im{}.jpg'.format(i), 'detections': [
+            {'category': '1', 'conf': c, 'bbox': [0.1, 0.1, 0.2, 0.2]}]}
+            for i, c in enumerate(confs)]
+        p = str(tmp_path / name)
+        ct_utils.write_json(p, _results(images))
+        return p
+
+    file_a = file_with_confs([0.9, 0.7, 0.3, 0.1], 'a.json')
+    file_b = file_with_confs([0.6, 0.45, 0.2, 0.05], 'b.json')
+    t = find_equivalent_threshold(file_a, file_b, 0.5)
+    assert t == pytest.approx(0.45)
