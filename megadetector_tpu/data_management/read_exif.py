@@ -1,0 +1,208 @@
+"""
+EXIF reading: per-image tag extraction (PIL-based), GPS coordinate
+parsing, and parallel folder-level EXIF harvesting.
+
+Behavioral contract follows the reference
+(megadetector/data_management/read_exif.py:338,562,880): read_pil_exif
+returns a flat {tag name: value} dict including parsed GPSInfo;
+read_exif_from_folder walks a folder in a thread pool and writes a list
+of {'file_name', 'exif_tags'} records.
+"""
+
+import json
+import os
+
+from concurrent.futures import ThreadPoolExecutor
+
+from tqdm import tqdm
+
+from megadetector_tpu.utils import ct_utils
+from megadetector_tpu.utils import path_utils
+
+
+class ReadExifOptions:
+    """Options controlling read_exif_from_folder()."""
+
+    def __init__(self):
+        self.verbose = False
+        self.n_workers = 8
+        self.tags_to_include = None
+        self.tags_to_exclude = None
+        self.byte_handling = 'convert_to_string'  # 'delete', 'raw'
+        self.processing_library = 'pil'
+
+
+def _clean_value(v, byte_handling='convert_to_string'):
+    if isinstance(v, bytes):
+        if byte_handling == 'delete':
+            return None
+        if byte_handling == 'convert_to_string':
+            try:
+                return v.decode('utf-8', errors='replace')
+            except Exception:
+                return str(v)
+        return v
+    # IFDRational and similar: coerce to float
+    if hasattr(v, 'numerator') and hasattr(v, 'denominator'):
+        try:
+            return float(v)
+        except (ZeroDivisionError, ValueError):
+            return None
+    if isinstance(v, tuple):
+        return tuple(_clean_value(x, byte_handling) for x in v)
+    return v
+
+
+def read_pil_exif(im, options=None):
+    """
+    Read EXIF tags from a PIL image (or filename) into a flat dict keyed
+    by tag name, with GPSInfo expanded into named GPS tags
+    (reference: read_exif.py:338).
+    """
+
+    from PIL import Image
+    from PIL.ExifTags import TAGS, GPSTAGS
+
+    if options is None:
+        options = ReadExifOptions()
+
+    opened_here = False
+    if isinstance(im, str):
+        im = Image.open(im)
+        opened_here = True
+
+    try:
+        exif = im._getexif()
+    except Exception:
+        exif = None
+    if exif is None:
+        try:
+            exif = dict(im.getexif())
+        except Exception:
+            exif = None
+    if opened_here:
+        im.close()
+    if not exif:
+        return {}
+
+    tags = {}
+    for tag_id, value in exif.items():
+        name = TAGS.get(tag_id, str(tag_id))
+        if name == 'GPSInfo' and isinstance(value, dict):
+            for gps_id, gps_value in value.items():
+                gps_name = GPSTAGS.get(gps_id, 'GPS_{}'.format(gps_id))
+                tags[gps_name] = _clean_value(gps_value,
+                                              options.byte_handling)
+            continue
+        cleaned = _clean_value(value, options.byte_handling)
+        if cleaned is None and value is not None:
+            continue
+        tags[name] = cleaned
+
+    if options.tags_to_include is not None:
+        tags = {k: v for k, v in tags.items()
+                if k in options.tags_to_include}
+    if options.tags_to_exclude is not None:
+        tags = {k: v for k, v in tags.items()
+                if k not in options.tags_to_exclude}
+
+    return tags
+
+
+def exif_gps_to_decimal_degrees(tags):
+    """
+    Convert GPSLatitude/GPSLongitude (+Ref) tags into signed decimal
+    degrees; returns (lat, lon) or None.
+    """
+
+    def _dms_to_decimal(dms, ref):
+        try:
+            d, m, s = [float(x) for x in dms]
+        except (TypeError, ValueError):
+            return None
+        decimal = d + m / 60.0 + s / 3600.0
+        if ref in ('S', 'W'):
+            decimal = -decimal
+        return decimal
+
+    lat = tags.get('GPSLatitude')
+    lon = tags.get('GPSLongitude')
+    if lat is None or lon is None:
+        return None
+    lat_dd = _dms_to_decimal(lat, tags.get('GPSLatitudeRef', 'N'))
+    lon_dd = _dms_to_decimal(lon, tags.get('GPSLongitudeRef', 'E'))
+    if lat_dd is None or lon_dd is None:
+        return None
+    return lat_dd, lon_dd
+
+
+def read_exif_from_image(filename, options=None):
+    """EXIF tags for one image file; {} on failure."""
+
+    try:
+        return read_pil_exif(filename, options)
+    except Exception:
+        return {}
+
+
+def read_exif_from_folder(input_folder, output_file=None, options=None,
+                          filenames=None, recursive=True):
+    """
+    Harvest EXIF from every image in a folder (thread pool). Returns a
+    list of {'file_name': relative path, 'exif_tags': dict}; writes
+    [output_file] when given (reference: read_exif.py:880).
+    """
+
+    if options is None:
+        options = ReadExifOptions()
+
+    if filenames is None:
+        filenames = path_utils.find_images(
+            input_folder, recursive=recursive, return_relative_paths=True)
+
+    def _one(fn):
+        tags = read_exif_from_image(
+            os.path.join(input_folder, fn), options)
+        return {'file_name': fn, 'exif_tags': tags}
+
+    if options.n_workers <= 1:
+        results = [_one(fn) for fn in tqdm(filenames,
+                                           desc='Reading EXIF')]
+    else:
+        with ThreadPoolExecutor(max_workers=options.n_workers) as pool:
+            results = list(tqdm(pool.map(_one, filenames),
+                                total=len(filenames),
+                                desc='Reading EXIF'))
+
+    if output_file is not None:
+        ct_utils.write_json(output_file, results, force_str=True)
+    return results
+
+
+def exif_results_to_cct(exif_results, cct_output_file=None):
+    """
+    Convert EXIF harvest results to a minimal CCT-style dict with
+    'datetime' and 'location' (from folder) fields
+    (reference: read_exif.py:964).
+    """
+
+    images = []
+    for r in exif_results:
+        tags = r.get('exif_tags', {})
+        dt = tags.get('DateTimeOriginal', tags.get('DateTime'))
+        im = {
+            'id': r['file_name'],
+            'file_name': r['file_name'],
+            'datetime': dt,
+            'location': os.path.dirname(r['file_name']),
+        }
+        gps = exif_gps_to_decimal_degrees(tags)
+        if gps is not None:
+            im['latitude'], im['longitude'] = gps
+        images.append(im)
+
+    cct = {'images': images, 'annotations': [], 'categories': [],
+           'info': {'description': 'EXIF-derived CCT metadata'}}
+    if cct_output_file is not None:
+        ct_utils.write_json(cct_output_file, cct, force_str=True)
+    return cct
