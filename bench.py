@@ -16,6 +16,7 @@ detection/run_detector.py:261).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -24,8 +25,33 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 17.6  # MDv5 on RTX 4090, reference megadetector.md:350
 
 
+def _accelerator_is_healthy(timeout_s=180):
+    """
+    Probe the default JAX backend in a subprocess with a timeout: a wedged
+    remote-TPU tunnel blocks forever in device ops, which would otherwise
+    hang the whole benchmark.
+    """
+
+    probe = ('import jax, numpy as np;'
+             'x = jax.device_put(np.ones((128,128), np.float32));'
+             'y = jax.jit(lambda a: (a @ a).sum())(x);'
+             'print(float(y))')
+    try:
+        out = subprocess.run([sys.executable, '-c', probe],
+                             capture_output=True, timeout=timeout_s)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def bench(batch_sizes=(8, 16, 32), image_size=1280, dtype_name='bfloat16',
           warmup=2, iters=5, verbose=True):
+    if not _accelerator_is_healthy():
+        print('Accelerator probe failed/hung; falling back to CPU',
+              file=sys.stderr)
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
     import jax
     import jax.numpy as jnp
 

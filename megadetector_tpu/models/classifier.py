@@ -1,0 +1,179 @@
+"""
+Species classifier wrapper: batched crop classification on TPU.
+
+Plays the role of the reference's SpeciesNet classifier stage
+(megadetector/detection/run_md_and_speciesnet.py:782 runs the classifier
+forward on batches of preprocessed crops). Checkpoints are .npz pytrees
+(see models/convert_weights.py) with metadata carrying class names, input
+size, and normalization constants; the network is the EfficientNetV2
+family (models/efficientnet.py).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from megadetector_tpu.models import efficientnet
+from megadetector_tpu.models.convert_weights import load_checkpoint
+
+
+class SpeciesClassifier:
+    """
+    Batched image classifier.
+
+    Classifier options:
+        dtype: 'float32' (default) or 'bfloat16'
+        image_size: input side (default from metadata, else 480)
+        crop_mode: 'stretch' (resize bbox crop to the square input,
+            SpeciesNet-style) or 'pad' (letterbox the crop)
+    """
+
+    def __init__(self, model_path, classifier_options=None, verbose=False):
+
+        options = dict(classifier_options or {})
+        self.verbose = verbose
+
+        params, metadata = load_checkpoint(model_path)
+        self.metadata = metadata or {}
+
+        arch = options.get('arch',
+                           self.metadata.get('arch', 'efficientnetv2_m'))
+        num_classes = int(self.metadata.get('num_classes',
+                                            options.get('num_classes', 0)))
+        if num_classes == 0:
+            # Infer from the fc weights
+            num_classes = params['fc']['w'].shape[-1]
+
+        self.config = efficientnet.EfficientNetConfig(
+            arch, num_classes=num_classes)
+        self.image_size = int(options.get(
+            'image_size', self.metadata.get('image_size', 480)))
+        self.class_names = self.metadata.get(
+            'class_names',
+            ['class_{}'.format(i) for i in range(num_classes)])
+        self.crop_mode = options.get('crop_mode', 'stretch')
+
+        # Normalization applied on device (defaults: [0,1] scaling only,
+        # matching SpeciesNet's preprocessing)
+        self.mean = np.asarray(
+            self.metadata.get('normalization_mean', [0.0, 0.0, 0.0]),
+            np.float32)
+        self.std = np.asarray(
+            self.metadata.get('normalization_std', [1.0, 1.0, 1.0]),
+            np.float32)
+
+        dtype_name = options.get('dtype', 'float32')
+        self.compute_dtype = {'float32': jnp.float32,
+                              'bfloat16': jnp.bfloat16,
+                              'bf16': jnp.bfloat16}[dtype_name]
+        if self.compute_dtype == jnp.bfloat16:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.bfloat16), params)
+        else:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), params)
+        self.params = jax.device_put(params)
+
+        self._compiled = {}
+
+    def _get_compiled(self, batch_size):
+        if batch_size in self._compiled:
+            return self._compiled[batch_size]
+
+        config = self.config
+        dtype = self.compute_dtype
+        mean = jnp.asarray(self.mean)
+        std = jnp.asarray(self.std)
+
+        def program(params, crops_u8):
+            x = crops_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            logits = efficientnet.apply(config, params, x, dtype=dtype)
+            return jax.nn.softmax(logits, axis=-1)
+
+        fn = jax.jit(program)
+        self._compiled[batch_size] = fn
+        return fn
+
+    def preprocess_crop(self, crop):
+        """HWC uint8 crop -> [image_size, image_size, 3] uint8."""
+
+        import cv2
+        s = self.image_size
+        if self.crop_mode == 'stretch':
+            return cv2.resize(crop, (s, s),
+                              interpolation=cv2.INTER_LINEAR)
+        # 'pad': letterbox into the square
+        from megadetector_tpu.ops.boxes import letterbox
+        out, _, _ = letterbox(crop, (s, s), auto=False, scaleup=True)
+        return out
+
+    def classify_batch(self, crops):
+        """
+        Classify a list of HWC uint8 crops (pre-resized or raw). Returns
+        [N, num_classes] numpy probabilities.
+        """
+
+        if len(crops) == 0:
+            return np.zeros((0, self.config.num_classes), np.float32)
+
+        s = self.image_size
+        processed = []
+        for crop in crops:
+            if crop.shape[0] != s or crop.shape[1] != s:
+                crop = self.preprocess_crop(crop)
+            processed.append(crop)
+        batch = np.stack(processed).astype(np.uint8)
+
+        fn = self._get_compiled(batch.shape[0])
+        probs = fn(self.params, batch)
+        return np.asarray(jax.device_get(probs), np.float32)
+
+    def top_k(self, probs, k=5):
+        """[(class_id_str, conf), ...] descending, for one probs row."""
+
+        order = np.argsort(-probs)[:k]
+        return [[str(int(i)), float(probs[i])] for i in order]
+
+
+def extract_crop(image_np, bbox_norm, expansion=0.0, square=False):
+    """
+    Extract a detection crop from an HWC image given a normalized MD
+    bbox [x, y, w, h]. [expansion] grows the box by that fraction per
+    side; [square] expands the short side to make the crop square.
+    Returns the crop (may be empty for degenerate boxes).
+    """
+
+    img_h, img_w = image_np.shape[:2]
+    x, y, w, h = bbox_norm
+    x0 = x * img_w
+    y0 = y * img_h
+    x1 = (x + w) * img_w
+    y1 = (y + h) * img_h
+
+    if expansion > 0:
+        dx = (x1 - x0) * expansion
+        dy = (y1 - y0) * expansion
+        x0 -= dx
+        x1 += dx
+        y0 -= dy
+        y1 += dy
+
+    if square:
+        bw = x1 - x0
+        bh = y1 - y0
+        if bw > bh:
+            pad = (bw - bh) / 2
+            y0 -= pad
+            y1 += pad
+        else:
+            pad = (bh - bw) / 2
+            x0 -= pad
+            x1 += pad
+
+    x0 = int(max(0, np.floor(x0)))
+    y0 = int(max(0, np.floor(y0)))
+    x1 = int(min(img_w, np.ceil(x1)))
+    y1 = int(min(img_h, np.ceil(y1)))
+    return image_np[y0:y1, x0:x1]

@@ -1,0 +1,338 @@
+"""
+EfficientNetV2 image classifier, TPU-native.
+
+This is the species-classifier backbone for the two-stage
+detect -> crop -> classify pipeline (the reference delegates to the
+`speciesnet` package, whose always-crop model is an EfficientNetV2-M;
+invoked from megadetector/detection/run_md_and_speciesnet.py:782). Here
+the network is implemented from the published architecture as pure
+functional JAX over NHWC tensors: stem conv, FusedMBConv stages, MBConv
+stages with squeeze-excitation, 1x1 head conv, global average pool, and a
+linear classifier.
+
+Inference-only graph: BatchNorm folds into conv weights at conversion.
+Weight conversion from torchvision efficientnet_v2_* checkpoints uses
+ordered tensor consumption (both graphs enumerate convs in the same
+order), so no name mapping is needed.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+#%% Architecture configs
+#
+# Stage spec: (block, expansion, kernel, stride, channels, layers)
+# block: 'fused' = FusedMBConv (no SE), 'mb' = MBConv (SE ratio 0.25)
+
+EFFICIENTNET_V2_CONFIGS = {
+    'efficientnetv2_s': {
+        'stem_channels': 24,
+        'stages': [
+            ('fused', 1, 3, 1, 24, 2),
+            ('fused', 4, 3, 2, 48, 4),
+            ('fused', 4, 3, 2, 64, 4),
+            ('mb', 4, 3, 2, 128, 6),
+            ('mb', 6, 3, 1, 160, 9),
+            ('mb', 6, 3, 2, 256, 15),
+        ],
+        'head_channels': 1280,
+    },
+    'efficientnetv2_m': {
+        'stem_channels': 24,
+        'stages': [
+            ('fused', 1, 3, 1, 24, 3),
+            ('fused', 4, 3, 2, 48, 5),
+            ('fused', 4, 3, 2, 80, 5),
+            ('mb', 4, 3, 2, 160, 7),
+            ('mb', 6, 3, 1, 176, 14),
+            ('mb', 6, 3, 2, 304, 18),
+            ('mb', 6, 3, 1, 512, 5),
+        ],
+        'head_channels': 1280,
+    },
+}
+
+
+class EfficientNetConfig:
+    """Resolved EfficientNetV2 architecture."""
+
+    def __init__(self, arch='efficientnetv2_m', num_classes=1000,
+                 image_size=480):
+        assert arch in EFFICIENTNET_V2_CONFIGS, \
+            'Unknown arch {}'.format(arch)
+        self.arch = arch
+        self.num_classes = num_classes
+        self.image_size = image_size
+        cfg = EFFICIENTNET_V2_CONFIGS[arch]
+        self.stem_channels = cfg['stem_channels']
+        self.stages = cfg['stages']
+        self.head_channels = cfg['head_channels']
+
+
+#%% Initialization
+
+
+def _conv_slot(rng, c_in, c_out, k, groups=1):
+    fan_in = (c_in // groups) * k * k
+    std = math.sqrt(2.0 / fan_in)
+    w = rng.standard_normal((k, k, c_in // groups, c_out)) \
+        .astype(np.float32) * std
+    return {'w': w, 'b': np.zeros((c_out,), np.float32)}
+
+
+def init_params(config, seed=0):
+    """Random parameters (tests/bench); structure mirrors apply()."""
+
+    rng = np.random.RandomState(seed)
+    params = {'stem': _conv_slot(rng, 3, config.stem_channels, 3)}
+
+    c_in = config.stem_channels
+    for i_stage, (block, expansion, k, stride, c_out, layers) in \
+            enumerate(config.stages):
+        stage_params = []
+        for i_layer in range(layers):
+            s = stride if i_layer == 0 else 1
+            block_params = {}
+            c_exp = c_in * expansion
+            if block == 'fused':
+                if expansion == 1:
+                    block_params['project'] = _conv_slot(rng, c_in, c_out, k)
+                else:
+                    block_params['expand'] = _conv_slot(rng, c_in, c_exp, k)
+                    block_params['project'] = _conv_slot(rng, c_exp, c_out, 1)
+            else:  # mbconv
+                block_params['expand'] = _conv_slot(rng, c_in, c_exp, 1)
+                block_params['dw'] = _conv_slot(rng, c_exp, c_exp, k,
+                                                groups=c_exp)
+                c_se = max(1, c_in // 4)
+                block_params['se_reduce'] = _conv_slot(rng, c_exp, c_se, 1)
+                block_params['se_expand'] = _conv_slot(rng, c_se, c_exp, 1)
+                block_params['project'] = _conv_slot(rng, c_exp, c_out, 1)
+            stage_params.append(block_params)
+            c_in = c_out
+        params['stage{}'.format(i_stage)] = {
+            'b{}'.format(j): bp for j, bp in enumerate(stage_params)}
+
+    params['head'] = _conv_slot(rng, c_in, config.head_channels, 1)
+    std = 1.0 / math.sqrt(config.head_channels)
+    params['fc'] = {
+        'w': rng.uniform(-std, std, (config.head_channels,
+                                     config.num_classes)
+                         ).astype(np.float32),
+        'b': np.zeros((config.num_classes,), np.float32),
+    }
+    return params
+
+
+#%% Forward
+
+
+def _conv(p, x, stride=1, groups=1, act=True, dtype=None):
+    w = p['w']
+    b = p['b']
+    if dtype is not None:
+        w = w.astype(dtype)
+        b = b.astype(dtype)
+    k = w.shape[0]
+    pad = k // 2
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=groups)
+    y = y + b
+    if act:
+        y = y * jax.nn.sigmoid(y)  # SiLU
+    return y
+
+
+def _se(block_params, x, dtype=None):
+    """Squeeze-and-excitation over NHWC."""
+
+    s = jnp.mean(x, axis=(1, 2), keepdims=True)
+    s = _conv(block_params['se_reduce'], s, act=True, dtype=dtype)
+    s = _conv(block_params['se_expand'], s, act=False, dtype=dtype)
+    return x * jax.nn.sigmoid(s)
+
+
+def apply(config, params, x, dtype=None):
+    """
+    Run the classifier.
+
+    Args:
+        config: EfficientNetConfig
+        params: parameter pytree
+        x: [B, H, W, 3] float images (normalized by the caller)
+        dtype: compute dtype
+
+    Returns:
+        [B, num_classes] logits (float32)
+    """
+
+    if dtype is not None:
+        x = x.astype(dtype)
+
+    x = _conv(params['stem'], x, stride=2, dtype=dtype)
+
+    c_in = config.stem_channels
+    for i_stage, (block, expansion, k, stride, c_out, layers) in \
+            enumerate(config.stages):
+        stage_params = params['stage{}'.format(i_stage)]
+        for i_layer in range(layers):
+            bp = stage_params['b{}'.format(i_layer)]
+            s = stride if i_layer == 0 else 1
+            shortcut = x
+            use_residual = (s == 1 and c_in == c_out)
+
+            if block == 'fused':
+                if expansion == 1:
+                    y = _conv(bp['project'], x, stride=s, dtype=dtype)
+                else:
+                    y = _conv(bp['expand'], x, stride=s, dtype=dtype)
+                    y = _conv(bp['project'], y, act=False, dtype=dtype)
+            else:
+                y = _conv(bp['expand'], x, dtype=dtype)
+                c_exp = y.shape[-1]
+                y = _conv(bp['dw'], y, stride=s, groups=c_exp, dtype=dtype)
+                y = _se(bp, y, dtype=dtype)
+                y = _conv(bp['project'], y, act=False, dtype=dtype)
+
+            if use_residual:
+                y = y + shortcut
+            x = y
+            c_in = c_out
+
+    x = _conv(params['head'], x, dtype=dtype)
+    x = jnp.mean(x, axis=(1, 2))
+
+    w = params['fc']['w']
+    b = params['fc']['b']
+    if dtype is not None:
+        w = w.astype(dtype)
+        b = b.astype(dtype)
+    logits = jnp.dot(x, w, preferred_element_type=jnp.float32) + \
+        b.astype(jnp.float32)
+    return logits
+
+
+def num_params(params):
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(params))
+
+
+#%% Conversion from torchvision checkpoints
+
+
+def convert_torchvision_state_dict(state_dict, config):
+    """
+    Convert a torchvision efficientnet_v2_* state dict to this module's
+    param pytree by ordered consumption: torchvision enumerates conv/BN
+    pairs in exactly the construction order used here, so we fold each BN
+    into its conv and fill our slots in order. The final linear layer maps
+    to 'fc'.
+    """
+
+    from megadetector_tpu.models.convert_weights import fuse_conv_bn
+
+    # Ordered (conv_weight, bn or bias) pairs from the state dict
+    keys = list(state_dict.keys())
+    conv_entries = []
+    i = 0
+    fc_w = None
+    fc_b = None
+    while i < len(keys):
+        k = keys[i]
+        if k.endswith('.weight') and state_dict[k].ndim == 4:
+            conv_w = state_dict[k]
+            # Look ahead for BN (weight/bias/mean/var) on the same block
+            if i + 4 < len(keys) and keys[i + 1].endswith('.weight') and \
+                    state_dict[keys[i + 1]].ndim == 1 and \
+                    'running_mean' in keys[i + 3]:
+                bn_w = state_dict[keys[i + 1]]
+                bn_b = state_dict[keys[i + 2]]
+                bn_m = state_dict[keys[i + 3]]
+                bn_v = state_dict[keys[i + 4]]
+                w, b = fuse_conv_bn(np.asarray(conv_w, np.float64),
+                                    np.asarray(bn_w, np.float64),
+                                    np.asarray(bn_b, np.float64),
+                                    np.asarray(bn_m, np.float64),
+                                    np.asarray(bn_v, np.float64),
+                                    eps=1e-3)
+                conv_entries.append((w.astype(np.float32),
+                                     b.astype(np.float32)))
+                i += 5
+                if i < len(keys) and 'num_batches_tracked' in keys[i]:
+                    i += 1
+                continue
+            # Conv with plain bias (SE layers)
+            if i + 1 < len(keys) and keys[i + 1].endswith('.bias'):
+                conv_entries.append(
+                    (np.asarray(conv_w, np.float32),
+                     np.asarray(state_dict[keys[i + 1]], np.float32)))
+                i += 2
+                continue
+            conv_entries.append(
+                (np.asarray(conv_w, np.float32),
+                 np.zeros(conv_w.shape[0], np.float32)))
+            i += 1
+        elif k.endswith('.weight') and state_dict[k].ndim == 2:
+            fc_w = np.asarray(state_dict[k], np.float32)
+            if i + 1 < len(keys) and keys[i + 1].endswith('.bias'):
+                fc_b = np.asarray(state_dict[keys[i + 1]], np.float32)
+                i += 2
+            else:
+                fc_b = np.zeros(fc_w.shape[0], np.float32)
+                i += 1
+        else:
+            i += 1
+
+    assert fc_w is not None, 'No linear classifier found in state dict'
+
+    def oihw_to_hwio(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    entries = iter(conv_entries)
+
+    def next_conv(depthwise_channels=None):
+        w, b = next(entries)
+        if depthwise_channels is not None:
+            # torch depthwise: [C, 1, k, k] -> HWIO [k, k, 1, C]
+            w = np.transpose(w, (2, 3, 1, 0))
+        else:
+            w = oihw_to_hwio(w)
+        return {'w': w, 'b': b}
+
+    params = {'stem': next_conv()}
+    c_in = config.stem_channels
+    for i_stage, (block, expansion, k, stride, c_out, layers) in \
+            enumerate(config.stages):
+        stage_params = {}
+        for i_layer in range(layers):
+            bp = {}
+            if block == 'fused':
+                if expansion == 1:
+                    bp['project'] = next_conv()
+                else:
+                    bp['expand'] = next_conv()
+                    bp['project'] = next_conv()
+            else:
+                bp['expand'] = next_conv()
+                bp['dw'] = next_conv(depthwise_channels=True)
+                bp['se_reduce'] = next_conv()
+                bp['se_expand'] = next_conv()
+                bp['project'] = next_conv()
+            stage_params['b{}'.format(i_layer)] = bp
+            c_in = c_out
+        params['stage{}'.format(i_stage)] = stage_params
+
+    params['head'] = next_conv()
+    remaining = sum(1 for _ in entries)
+    assert remaining == 0, \
+        '{} unconsumed conv tensors in state dict'.format(remaining)
+
+    params['fc'] = {'w': fc_w.T.copy(), 'b': fc_b}
+    return params

@@ -1,0 +1,339 @@
+"""
+Classification postprocessing: within-image and sequence-level label
+smoothing, taxa-list restriction, and non-animal classification stripping.
+
+Behavioral contract follows the reference
+(megadetector/postprocessing/classification_postprocessing.py): image-level
+smoothing (:839) expresses "an image with 700 cows and one deer is 701
+cows" — when the dominant class has at least
+min_detections_to_overwrite_secondary above-threshold classifications and
+no other class exceeds max_detections_nondominant_class, flip everything
+to the dominant class; 'other'-ish categories are overwritten more
+aggressively (min_detections_to_overwrite_other); sequence-level smoothing
+(:948) applies the same logic across a sequence; taxa restriction (:1182)
+remaps predictions outside an allow-list; non-animal classification
+stripping (:1119) removes classifications from person/vehicle detections.
+"""
+
+import argparse
+import json
+import sys
+
+from collections import defaultdict
+
+from megadetector_tpu.utils import ct_utils
+
+
+class ClassificationSmoothingOptions:
+    """Options for image- and sequence-level smoothing."""
+
+    def __init__(self):
+        # Flip non-dominant classifications when the dominant class has at
+        # least this many above-threshold detections...
+        self.min_detections_to_overwrite_secondary = 4
+        # ...and no other class has more than this many
+        self.max_detections_nondominant_class = 1
+        # 'Other'-ish categories get overwritten at a lower bar
+        self.min_detections_to_overwrite_other = 2
+        self.other_category_names = ['other', 'unknown', 'no cv result',
+                                     'animal', 'blank', 'mammal']
+        # Only classifications above this confidence participate
+        self.classification_confidence_threshold = 0.5
+        # Only detections above this confidence participate
+        self.detection_confidence_threshold = 0.15
+
+
+def _category_descriptions(data):
+    """{category id: lower-cased name} for classification categories."""
+
+    return {k: str(v).lower()
+            for k, v in data.get('classification_categories', {}).items()}
+
+
+def _top_classification(det, conf_threshold):
+    """(category_id, conf) of the detection's top classification, or None."""
+
+    classifications = det.get('classifications')
+    if not classifications:
+        return None
+    top = classifications[0]
+    if top[1] < conf_threshold:
+        return None
+    return top[0], top[1]
+
+
+def _collect_class_counts(images, options):
+    """Count above-threshold top classifications across [images]."""
+
+    counts = defaultdict(int)
+    for im in images:
+        for det in im.get('detections') or []:
+            if det['conf'] < options.detection_confidence_threshold:
+                continue
+            top = _top_classification(
+                det, options.classification_confidence_threshold)
+            if top is not None:
+                counts[top[0]] += 1
+    return counts
+
+
+def _flip_classifications(images, target_category, options,
+                          category_names, only_other=False):
+    """Flip qualifying detections' classifications to [target_category]."""
+
+    n_changed = 0
+    for im in images:
+        for det in im.get('detections') or []:
+            if det['conf'] < options.detection_confidence_threshold:
+                continue
+            top = _top_classification(
+                det, options.classification_confidence_threshold)
+            if top is None or top[0] == target_category:
+                continue
+            if only_other:
+                name = category_names.get(top[0], '')
+                if name not in options.other_category_names:
+                    continue
+            det['classifications'] = [[target_category, top[1]]]
+            n_changed += 1
+    return n_changed
+
+
+def _smooth_image_group(images, options, category_names):
+    """Core smoothing rule applied to a group of images (1 or a sequence)."""
+
+    counts = _collect_class_counts(images, options)
+    if not counts:
+        return 0
+
+    # Dominant class excluding 'other'-ish categories
+    sorted_counts = sorted(counts.items(), key=lambda kv: -kv[1])
+    non_other = [(c, n) for c, n in sorted_counts
+                 if category_names.get(c, '') not in
+                 options.other_category_names]
+    if not non_other:
+        return 0
+    dominant_category, dominant_count = non_other[0]
+
+    n_changed = 0
+
+    # Aggressive 'other' overwrite
+    if dominant_count >= options.min_detections_to_overwrite_other:
+        n_changed += _flip_classifications(
+            images, dominant_category, options, category_names,
+            only_other=True)
+
+    # Full overwrite when dominance is strong enough
+    others = [n for c, n in counts.items()
+              if c != dominant_category and
+              category_names.get(c, '') not in
+              options.other_category_names]
+    max_nondominant = max(others, default=0)
+    if dominant_count >= options.min_detections_to_overwrite_secondary \
+            and max_nondominant <= options.max_detections_nondominant_class:
+        n_changed += _flip_classifications(
+            images, dominant_category, options, category_names)
+
+    return n_changed
+
+
+def smooth_classification_results_image_level(input_file, output_file=None,
+                                              options=None):
+    """
+    Smooth classifications within each image. [input_file] may be a path
+    or an already-loaded dict. Returns the (modified) dict.
+    """
+
+    if options is None:
+        options = ClassificationSmoothingOptions()
+
+    if isinstance(input_file, str):
+        with open(input_file) as f:
+            data = json.load(f)
+    else:
+        data = input_file
+
+    category_names = _category_descriptions(data)
+    n_changed = 0
+    for im in data['images']:
+        n_changed += _smooth_image_group([im], options, category_names)
+
+    print('Image-level smoothing: changed {} classifications'.format(
+        n_changed))
+    if output_file is not None:
+        ct_utils.write_json(output_file, data, force_str=True)
+    return data
+
+
+def smooth_classification_results_sequence_level(
+        input_file, cct_sequence_information, output_file=None,
+        options=None):
+    """
+    Smooth classifications across each sequence.
+    [cct_sequence_information] is a CCT-style dict (or list of image
+    dicts) whose images carry 'file_name' and 'seq_id' (see
+    data_management.cct_json_utils.create_sequences), or a plain
+    {filename: seq_id} mapping.
+    """
+
+    if options is None:
+        options = ClassificationSmoothingOptions()
+
+    if isinstance(input_file, str):
+        with open(input_file) as f:
+            data = json.load(f)
+    else:
+        data = input_file
+
+    # Build filename -> sequence map
+    if isinstance(cct_sequence_information, dict) and \
+            'images' in cct_sequence_information:
+        fn_to_seq = {im['file_name']: im.get('seq_id')
+                     for im in cct_sequence_information['images']}
+    elif isinstance(cct_sequence_information, list):
+        fn_to_seq = {im['file_name']: im.get('seq_id')
+                     for im in cct_sequence_information}
+    else:
+        fn_to_seq = dict(cct_sequence_information)
+
+    seq_to_images = defaultdict(list)
+    for im in data['images']:
+        seq_id = fn_to_seq.get(im['file'])
+        if seq_id is None:
+            seq_id = '_unsequenced_{}'.format(im['file'])
+        seq_to_images[seq_id].append(im)
+
+    category_names = _category_descriptions(data)
+    n_changed = 0
+    for seq_id, images in seq_to_images.items():
+        n_changed += _smooth_image_group(images, options, category_names)
+
+    print('Sequence-level smoothing: changed {} classifications'.format(
+        n_changed))
+    if output_file is not None:
+        ct_utils.write_json(output_file, data, force_str=True)
+    return data
+
+
+def restrict_to_taxa_list(taxa_list, speciesnet_taxonomy_file,
+                          input_file, output_file=None,
+                          allow_walk_down=False):
+    """
+    Restrict classifications to an allow-list of category names.
+    Predictions outside the list are remapped to an ancestor on the list
+    when [speciesnet_taxonomy_file] provides a {name: parent chain}
+    mapping ({child_name: [ancestor names...]} JSON), else dropped.
+    (Reference: classification_postprocessing.py:1182; the reference uses
+    the WI taxonomy — here any parent-chain mapping works.)
+    """
+
+    if isinstance(taxa_list, str):
+        with open(taxa_list) as f:
+            taxa = set(line.strip().lower() for line in f
+                       if len(line.strip()) > 0)
+    else:
+        taxa = set(t.lower() for t in taxa_list)
+
+    parent_chains = {}
+    if speciesnet_taxonomy_file is not None:
+        with open(speciesnet_taxonomy_file) as f:
+            parent_chains = {k.lower(): [p.lower() for p in v]
+                             for k, v in json.load(f).items()}
+
+    if isinstance(input_file, str):
+        with open(input_file) as f:
+            data = json.load(f)
+    else:
+        data = input_file
+
+    categories = data.get('classification_categories', {})
+    name_to_id = {str(v).lower(): k for k, v in categories.items()}
+
+    def remap_category(cat_id):
+        name = str(categories.get(cat_id, '')).lower()
+        if name in taxa:
+            return cat_id
+        for ancestor in parent_chains.get(name, []):
+            if ancestor in taxa and ancestor in name_to_id:
+                return name_to_id[ancestor]
+        return None
+
+    n_remapped = 0
+    n_dropped = 0
+    for im in data['images']:
+        for det in im.get('detections') or []:
+            classifications = det.get('classifications')
+            if not classifications:
+                continue
+            new_classifications = []
+            for c in classifications:
+                new_id = remap_category(c[0])
+                if new_id is None:
+                    n_dropped += 1
+                    continue
+                if new_id != c[0]:
+                    n_remapped += 1
+                new_classifications.append([new_id] + list(c[1:]))
+            det['classifications'] = new_classifications
+
+    print('Taxa restriction: remapped {}, dropped {}'.format(
+        n_remapped, n_dropped))
+    if output_file is not None:
+        ct_utils.write_json(output_file, data, force_str=True)
+    return data
+
+
+def strip_classifications_from_nonanimal_detections(
+        input_file, output_file=None, animal_categories=('1',)):
+    """
+    Remove classifications from non-animal detections
+    (reference: classification_postprocessing.py:1119).
+    """
+
+    if isinstance(input_file, str):
+        with open(input_file) as f:
+            data = json.load(f)
+    else:
+        data = input_file
+
+    n_stripped = 0
+    for im in data['images']:
+        for det in im.get('detections') or []:
+            if det['category'] not in animal_categories and \
+                    det.get('classifications'):
+                del det['classifications']
+                n_stripped += 1
+
+    print('Stripped classifications from {} non-animal detections'.format(
+        n_stripped))
+    if output_file is not None:
+        ct_utils.write_json(output_file, data, force_str=True)
+    return data
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description='Smooth classification results in an MD results file')
+    parser.add_argument('input_file')
+    parser.add_argument('output_file')
+    parser.add_argument('--sequence_information', default=None,
+                        help='CCT .json with seq_id fields (enables '
+                             'sequence-level smoothing)')
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+
+    args = parser.parse_args()
+    if args.sequence_information is not None:
+        with open(args.sequence_information) as f:
+            cct = json.load(f)
+        smooth_classification_results_sequence_level(
+            args.input_file, cct, args.output_file)
+    else:
+        smooth_classification_results_image_level(
+            args.input_file, args.output_file)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,282 @@
+"""Tests for the two-stage classification pipeline and postprocessing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from megadetector_tpu.models import efficientnet
+from megadetector_tpu.models import yolov5
+from megadetector_tpu.models.convert_weights import save_checkpoint
+from megadetector_tpu.utils import ct_utils
+
+
+@pytest.fixture(scope='module')
+def tiny_classifier(tmp_path_factory):
+    folder = tmp_path_factory.mktemp('classifier')
+    cfg = efficientnet.EfficientNetConfig('efficientnetv2_s',
+                                          num_classes=4)
+    params = efficientnet.init_params(cfg, seed=3)
+    path = str(folder / 'classifier.npz')
+    save_checkpoint(params, path, {
+        'arch': 'efficientnetv2_s',
+        'num_classes': 4,
+        'class_names': ['deer', 'fox', 'cow', 'other'],
+        'image_size': 64,
+    })
+    return path
+
+
+@pytest.fixture(scope='module')
+def tiny_detector(tmp_path_factory):
+    folder = tmp_path_factory.mktemp('detector')
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=7)
+    path = str(folder / 'detector.npz')
+    save_checkpoint(params, path, {
+        'model_version_string': 'v5a.0.1', 'arch': 'yolov5n',
+        'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': 64, 'anchors': cfg.anchors.tolist(),
+    })
+    return path
+
+
+def test_classifier_batch(tiny_classifier):
+    from megadetector_tpu.models.classifier import SpeciesClassifier
+    classifier = SpeciesClassifier(tiny_classifier)
+    rng = np.random.RandomState(0)
+    crops = [rng.randint(0, 255, (40, 30, 3), dtype=np.uint8)
+             for _ in range(3)]
+    probs = classifier.classify_batch(crops)
+    assert probs.shape == (3, 4)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    top = classifier.top_k(probs[0], k=2)
+    assert len(top) == 2
+    assert top[0][1] >= top[1][1]
+
+
+def test_extract_crop():
+    from megadetector_tpu.models.classifier import extract_crop
+    img = np.arange(100 * 200 * 3, dtype=np.uint8).reshape(100, 200, 3)
+    crop = extract_crop(img, [0.25, 0.2, 0.5, 0.6])
+    assert crop.shape == (60, 100, 3)
+    # Expansion grows the crop
+    crop_e = extract_crop(img, [0.25, 0.2, 0.5, 0.6], expansion=0.1)
+    assert crop_e.shape[0] > 60 and crop_e.shape[1] > 100
+    # Square mode equalizes sides (within clamping)
+    crop_s = extract_crop(img, [0.4, 0.4, 0.2, 0.1], square=True)
+    assert abs(crop_s.shape[0] - crop_s.shape[1]) <= 1
+
+
+def test_two_stage_pipeline(tiny_detector, tiny_classifier, tmp_path):
+    from megadetector_tpu.detection.run_md_and_classifier import (
+        MDAndClassifierOptions, run_md_and_classifier)
+
+    input_folder = str(tmp_path / 'images')
+    os.makedirs(input_folder)
+    rng = np.random.RandomState(1)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (60, 80, 3),
+                                    dtype=np.uint8)).save(
+            os.path.join(input_folder, 'im{}.jpg'.format(i)))
+
+    options = MDAndClassifierOptions()
+    options.input_folder = input_folder
+    options.output_file = str(tmp_path / 'two_stage.json')
+    options.detector_model = tiny_detector
+    options.classifier_model = tiny_classifier
+    options.classification_confidence_threshold = 0.01
+    options.include_videos = False
+    options.verbose = False
+
+    data = run_md_and_classifier(options)
+
+    assert 'classification_categories' in data
+    assert data['classification_categories']['0'] == 'deer'
+    # At least one animal detection got classified (random weights emit
+    # many detections)
+    n_classified = sum(
+        1 for im in data['images']
+        for det in im.get('detections') or []
+        if 'classifications' in det)
+    assert n_classified > 0
+    for im in data['images']:
+        for det in im.get('detections') or []:
+            for c in det.get('classifications', []):
+                assert c[0] in data['classification_categories']
+                assert 0 <= c[1] <= 1
+
+
+def _smoothing_scenario():
+    """5 cow detections, 1 deer, 1 'other' in one image."""
+
+    detections = []
+    for i in range(5):
+        detections.append({'category': '1', 'conf': 0.9,
+                           'bbox': [0.1 * i, 0.1, 0.05, 0.05],
+                           'classifications': [['2', 0.9]]})  # cow
+    detections.append({'category': '1', 'conf': 0.9,
+                       'bbox': [0.6, 0.1, 0.05, 0.05],
+                       'classifications': [['0', 0.8]]})      # deer
+    detections.append({'category': '1', 'conf': 0.9,
+                       'bbox': [0.7, 0.1, 0.05, 0.05],
+                       'classifications': [['3', 0.8]]})      # other
+    return {
+        'images': [{'file': 'a.jpg', 'detections': detections}],
+        'detection_categories': {'1': 'animal'},
+        'classification_categories': {'0': 'deer', '1': 'fox',
+                                      '2': 'cow', '3': 'other'},
+        'info': {'format_version': '1.6'},
+    }
+
+
+def test_image_level_smoothing():
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import (ClassificationSmoothingOptions,
+                smooth_classification_results_image_level)
+
+    data = _smoothing_scenario()
+    options = ClassificationSmoothingOptions()
+    out = smooth_classification_results_image_level(data, None, options)
+    dets = out['images'][0]['detections']
+    # Everything flipped to cow ('2'): 5 cows >= 4, nondominant deer = 1
+    for det in dets:
+        assert det['classifications'][0][0] == '2'
+
+
+def test_image_level_smoothing_respects_limits():
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import (ClassificationSmoothingOptions,
+                smooth_classification_results_image_level)
+
+    data = _smoothing_scenario()
+    # Add a second deer: nondominant count 2 > max 1 -> no full flip,
+    # but 'other' still gets overwritten
+    data['images'][0]['detections'].append(
+        {'category': '1', 'conf': 0.9, 'bbox': [0.8, 0.1, 0.05, 0.05],
+         'classifications': [['0', 0.8]]})
+    options = ClassificationSmoothingOptions()
+    out = smooth_classification_results_image_level(data, None, options)
+    dets = out['images'][0]['detections']
+    deer = [d for d in dets if d['classifications'][0][0] == '0']
+    assert len(deer) == 2  # deer survived
+    others = [d for d in dets if d['classifications'][0][0] == '3']
+    assert len(others) == 0  # 'other' overwritten to cow
+
+
+def test_sequence_level_smoothing():
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import (ClassificationSmoothingOptions,
+                smooth_classification_results_sequence_level)
+
+    # Each image alone is ambiguous, the sequence is dominated by cows
+    images = []
+    for i in range(4):
+        images.append({'file': 'im{}.jpg'.format(i), 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.05, 0.05],
+             'classifications': [['2', 0.9]]}]})
+    images.append({'file': 'im4.jpg', 'detections': [
+        {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.05, 0.05],
+         'classifications': [['0', 0.8]]}]})
+    data = {'images': images,
+            'detection_categories': {'1': 'animal'},
+            'classification_categories': {'0': 'deer', '2': 'cow'},
+            'info': {}}
+    fn_to_seq = {'im{}.jpg'.format(i): 'seq0' for i in range(5)}
+    out = smooth_classification_results_sequence_level(
+        data, fn_to_seq, None, ClassificationSmoothingOptions())
+    assert out['images'][4]['detections'][0]['classifications'][0][0] == \
+        '2'
+
+
+def test_restrict_to_taxa_list(tmp_path):
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import restrict_to_taxa_list
+
+    data = _smoothing_scenario()
+    taxonomy = {'cow': ['mammal'], 'deer': ['mammal']}
+    taxonomy_file = str(tmp_path / 'taxonomy.json')
+    ct_utils.write_json(taxonomy_file, taxonomy)
+    data['classification_categories']['4'] = 'mammal'
+
+    out = restrict_to_taxa_list(['deer', 'mammal'], taxonomy_file, data)
+    for im in out['images']:
+        for det in im.get('detections') or []:
+            for c in det.get('classifications', []):
+                name = out['classification_categories'][c[0]]
+                assert name in ('deer', 'mammal')
+
+
+def test_strip_nonanimal_classifications():
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import strip_classifications_from_nonanimal_detections
+
+    data = {'images': [{'file': 'a.jpg', 'detections': [
+        {'category': '1', 'conf': 0.9, 'bbox': [0, 0, 0.1, 0.1],
+         'classifications': [['0', 0.9]]},
+        {'category': '2', 'conf': 0.9, 'bbox': [0, 0, 0.1, 0.1],
+         'classifications': [['0', 0.9]]},
+    ]}], 'detection_categories': {'1': 'animal', '2': 'person'},
+        'info': {}}
+    out = strip_classifications_from_nonanimal_detections(data)
+    dets = out['images'][0]['detections']
+    assert 'classifications' in dets[0]
+    assert 'classifications' not in dets[1]
+
+
+def test_crop_folder_round_trip(tmp_path):
+    from megadetector_tpu.postprocessing.create_crop_folder import (
+        CreateCropFolderOptions, create_crop_folder,
+        crop_results_to_image_results)
+
+    input_folder = str(tmp_path / 'images')
+    os.makedirs(input_folder)
+    rng = np.random.RandomState(5)
+    Image.fromarray(rng.randint(0, 255, (100, 100, 3),
+                                dtype=np.uint8)).save(
+        os.path.join(input_folder, 'x.jpg'))
+
+    results = {'images': [{'file': 'x.jpg', 'detections': [
+        {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.4, 0.4]},
+        {'category': '1', 'conf': 0.05, 'bbox': [0.6, 0.6, 0.2, 0.2]},
+    ]}], 'detection_categories': {'1': 'animal'},
+        'info': {'format_version': '1.6'}}
+    results_file = str(tmp_path / 'results.json')
+    ct_utils.write_json(results_file, results)
+
+    crop_folder = str(tmp_path / 'crops')
+    tagged_file = str(tmp_path / 'tagged.json')
+    crops_md_file = str(tmp_path / 'crops_md.json')
+    options = CreateCropFolderOptions()
+    options.n_threads = 1
+    create_crop_folder(results_file, input_folder, crop_folder,
+                       tagged_file, crops_md_file, options)
+
+    with open(tagged_file) as f:
+        tagged = json.load(f)
+    dets = tagged['images'][0]['detections']
+    assert 'crop_filename' in dets[0]
+    assert 'crop_filename' not in dets[1]  # below threshold
+    crop_path = os.path.join(crop_folder, dets[0]['crop_filename'])
+    assert os.path.isfile(crop_path)
+    with Image.open(crop_path) as crop_im:
+        assert crop_im.size == (40, 40)
+
+    # Simulate crop-level classification, then map back
+    with open(crops_md_file) as f:
+        crops_md = json.load(f)
+    crops_md['images'][0]['detections'][0]['classifications'] = \
+        [['0', 0.95]]
+    crops_md['classification_categories'] = {'0': 'deer'}
+    classified_crops_file = str(tmp_path / 'crops_classified.json')
+    ct_utils.write_json(classified_crops_file, crops_md)
+
+    final = crop_results_to_image_results(
+        tagged_file, classified_crops_file, None)
+    assert final['images'][0]['detections'][0]['classifications'] == \
+        [['0', 0.95]]
+    assert final['classification_categories'] == {'0': 'deer'}
