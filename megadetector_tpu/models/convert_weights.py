@@ -366,10 +366,20 @@ def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
         arch = entry.get('arch', 'yolov5l6')
         image_size = entry.get('image_size', image_size)
 
+    # Detect the ultralytics (anchor-free v8-style) layout from its
+    # characteristic decoupled-head keys
+    is_ultralytics = any('.dfl.' in k or ('.cv3.' in k and '.2.weight' in k)
+                         for k in state_dict)
+
     if num_classes is None:
         names = extras.get('names')
         if names is not None:
             num_classes = len(names)
+        elif is_ultralytics:
+            cls_keys = sorted(k for k in state_dict
+                              if '.cv3.0.2.weight' in k)
+            assert cls_keys, 'Cannot infer class count'
+            num_classes = state_dict[cls_keys[0]].shape[0]
         else:
             # Infer from a detect-head shape: out_channels = na*(5+nc)
             head_keys = [k for k in state_dict
@@ -378,10 +388,26 @@ def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
             out_ch = state_dict[sorted(head_keys)[0]].shape[0]
             num_classes = out_ch // 3 - 5
 
-    config = YoloV5Config(arch, num_classes=num_classes)
-    params, anchors = convert_yolov5_state_dict(state_dict, config)
-    if anchors is not None:
-        config.anchors = anchors
+    anchors = None
+    if is_ultralytics:
+        from megadetector_tpu.models.yolov8 import (
+            YoloV8Config, convert_ultralytics_state_dict)
+        if arch is None or not arch.startswith('yolov8'):
+            # Infer the variant from the stem width
+            stem_key = [k for k in state_dict
+                        if k.endswith('0.conv.weight')][0]
+            stem_ch = state_dict[stem_key].shape[0]
+            arch = {16: 'yolov8n', 32: 'yolov8s', 48: 'yolov8m',
+                    64: 'yolov8l', 80: 'yolov8x'}.get(stem_ch, 'yolov8l')
+        config = YoloV8Config(arch, num_classes=num_classes)
+        params = convert_ultralytics_state_dict(state_dict, config)
+        model_type = 'ultralytics'
+    else:
+        config = YoloV5Config(arch, num_classes=num_classes)
+        params, anchors = convert_yolov5_state_dict(state_dict, config)
+        if anchors is not None:
+            config.anchors = anchors
+        model_type = 'yolov5'
 
     names = extras.get('names',
                        ['animal', 'person', 'vehicle'][:num_classes])
@@ -392,13 +418,15 @@ def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
         'metadata_format_version': 1.0,
         'model_version_string': model_version,
         'arch': arch,
-        'model_type': 'yolov5',
+        'model_type': model_type,
         'num_classes': int(num_classes),
         'class_names': list(names),
         'image_size': int(image_size),
         'strides': [int(s) for s in config.strides],
-        'anchors': np.asarray(config.anchors).tolist(),
     }
+    if anchors is not None or hasattr(config, 'anchors'):
+        if getattr(config, 'anchors', None) is not None:
+            metadata['anchors'] = np.asarray(config.anchors).tolist()
 
     if output_path is None:
         output_path = os.path.join(

@@ -140,8 +140,16 @@ class TPUDetector:
         arch = options.get('arch', metadata.get('arch', 'yolov5l6'))
         num_classes = int(metadata.get('num_classes', 3))
         anchors = metadata.get('anchors', None)
-        self.config = yolov5.YoloV5Config(arch, num_classes=num_classes,
-                                          anchors=anchors)
+        self.model_type = metadata.get('model_type', 'yolov5')
+        if arch.startswith('yolov8') or self.model_type == 'ultralytics':
+            from megadetector_tpu.models import yolov8
+            self.config = yolov8.YoloV8Config(arch,
+                                              num_classes=num_classes)
+            self._apply_fn = yolov8.apply
+        else:
+            self.config = yolov5.YoloV5Config(
+                arch, num_classes=num_classes, anchors=anchors)
+            self._apply_fn = yolov5.apply
         self.letterbox_stride = int(self.config.max_stride)
 
         image_size = options.get('image_size',
@@ -180,10 +188,11 @@ class TPUDetector:
         dtype = self.compute_dtype
         pre_nms_topk = self.pre_nms_topk
         max_det = self.max_det
+        apply_fn = self._apply_fn
 
         def program(params, images_u8, conf_thres, iou_thres):
             x = images_u8.astype(dtype) / dtype(255.0)
-            pred = yolov5.apply(config, params, x, dtype=dtype)
+            pred = apply_fn(config, params, x, dtype=dtype)
             return batched_nms(pred, conf_thres, iou_thres,
                                max_det=max_det, pre_nms_topk=pre_nms_topk)
 
