@@ -94,6 +94,14 @@ class TPUDetector:
         self.pre_nms_topk = int(options.get('pre_nms_topk', 1024))
         self.max_det = int(options.get('max_det', 300))
 
+        # 'host': cv2 letterbox on the loader threads (parity mode);
+        # 'device': images ship as raw uint8 staging canvases and the
+        # letterbox resize/pad/normalize runs fused inside the XLA program
+        self.preprocess_mode = options.get('preprocess_mode', 'host')
+        assert self.preprocess_mode in ('host', 'device')
+        # Staging canvases are bucketed to this multiple in device mode
+        self.staging_multiple = int(options.get('staging_multiple', 256))
+
         self.model_path = model_path
         self.printed_image_size_warning = False
 
@@ -211,6 +219,44 @@ class TPUDetector:
         self._compiled[key] = fn
         return fn
 
+    def _get_compiled_device_preprocess(self, batch_size, staging_size,
+                                        canvas_size):
+        """Compiled program: staged uint8 -> letterbox -> forward -> NMS."""
+
+        key = ('dev', batch_size, staging_size, canvas_size)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        from megadetector_tpu.ops.preprocess_device import letterbox_one
+
+        config = self.config
+        dtype = self.compute_dtype
+        pre_nms_topk = self.pre_nms_topk
+        max_det = self.max_det
+        apply_fn = self._apply_fn
+
+        def program(params, staged_u8, sizes, conf_thres, iou_thres):
+            x = jax.vmap(
+                lambda img, hw: letterbox_one(img, hw[0], hw[1],
+                                              canvas_size)
+            )(staged_u8, sizes)
+            pred = apply_fn(config, params, x.astype(dtype), dtype=dtype)
+            return batched_nms(pred, conf_thres, iou_thres,
+                               max_det=max_det, pre_nms_topk=pre_nms_topk)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(self.mesh, P(self.batch_axis))
+            replicated = NamedSharding(self.mesh, P())
+            fn = jax.jit(program,
+                         in_shardings=(replicated, data, data, None, None),
+                         out_shardings=NamedSharding(
+                             self.mesh, P(self.batch_axis)))
+        else:
+            fn = jax.jit(program)
+        self._compiled[key] = fn
+        return fn
+
     #%% Preprocessing
 
     def preprocess_image(self, img_original, image_id='unknown',
@@ -239,6 +285,21 @@ class TPUDetector:
         else:
             image_size = self.default_image_size
             self.printed_image_size_warning = False
+
+        if self.preprocess_mode == 'device' and \
+                'classic' in self.compatibility_mode:
+            # Device mode: the letterbox runs on the TPU; here we only
+            # record the raw image (geometry is identical to the classic
+            # full-canvas letterbox, so downstream scale_coords is
+            # unchanged)
+            result['img_processed'] = None
+            result['img_original'] = img_original
+            result['img_original_pil'] = img_original_pil
+            result['target_shape'] = (image_size, image_size)
+            result['scaling_shape'] = scaling_shape
+            result['letterbox_ratio'] = None
+            result['letterbox_pad'] = None
+            return result
 
         if 'classic' in self.compatibility_mode:
             # Classic: single letterbox onto the full square canvas with
@@ -349,19 +410,33 @@ class TPUDetector:
     def _run_batch(self, infos, results, detection_threshold, augment):
         """Stack preprocessed images, run the device program, emit dicts."""
 
-        imgs = [info['img_processed'] for _, info in infos]
-        h, w = imgs[0].shape[:2]
-        for im in imgs:
-            assert im.shape[:2] == (h, w), \
-                'Heterogeneous canvas in one batch'
-
-        batch = np.stack(imgs).astype(np.uint8)
-
         nms_iou = 0.45 if 'classic' in self.compatibility_mode else 0.6
 
-        fn = self._get_compiled(batch.shape[0], h, w)
-        out = fn(self.params, batch,
-                 jnp.float32(detection_threshold), jnp.float32(nms_iou))
+        if self.preprocess_mode == 'device' and \
+                infos[0][1].get('img_processed') is None:
+            from megadetector_tpu.ops.preprocess_device import stage_images
+            canvas = infos[0][1]['target_shape'][0]
+            raw_imgs = [np.asarray(info['img_original'])
+                        for _, info in infos]
+            staged, sizes = stage_images(
+                raw_imgs, multiple=self.staging_multiple)
+            h = w = canvas
+            fn = self._get_compiled_device_preprocess(
+                staged.shape[0], staged.shape[1], canvas)
+            out = fn(self.params, staged, sizes,
+                     jnp.float32(detection_threshold),
+                     jnp.float32(nms_iou))
+        else:
+            imgs = [info['img_processed'] for _, info in infos]
+            h, w = imgs[0].shape[:2]
+            for im in imgs:
+                assert im.shape[:2] == (h, w), \
+                    'Heterogeneous canvas in one batch'
+            batch = np.stack(imgs).astype(np.uint8)
+            fn = self._get_compiled(batch.shape[0], h, w)
+            out = fn(self.params, batch,
+                     jnp.float32(detection_threshold),
+                     jnp.float32(nms_iou))
         out = jax.device_get(out)
 
         for slot, (idx, info) in enumerate(infos):

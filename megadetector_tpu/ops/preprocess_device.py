@@ -1,0 +1,144 @@
+"""
+On-device letterbox preprocessing: batched resize + pad + normalize
+inside the XLA program.
+
+This replaces the host cv2 letterbox (the reference's per-image CPU
+preprocessing, megadetector/detection/pytorch_detector.py:1030-1109 and
+the BASELINE north-star "letterbox-resize + pad + normalize fuses into a
+kernel feeding HBM batches"): the host only decodes JPEGs and memcpys
+each image into a fixed uint8 staging canvas; the device computes, per
+image, the letterbox geometry (identical to ops/boxes.letterbox with
+auto=False, scaleup=True), a bilinear resize with cv2's half-pixel
+convention, gray (114) padding, and the /255 normalization — all fused by
+XLA into the convolution pipeline's input.
+
+Boxes scale back with the same scale_coords math as the host path, since
+the geometry (r = min(S/h, S/w), centered rounded padding) is identical.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_half_away(x):
+    """round() with ties away from zero (matches Python round for the
+    positive values used here closely enough; cv2/letterbox use
+    int(round(x)))."""
+
+    return jnp.floor(x + 0.5)
+
+
+def letterbox_one(image_u8, height, width, out_size, pad_value=114.0):
+    """
+    Letterbox one image from a staging canvas onto [out_size, out_size].
+
+    Args:
+        image_u8: [S0, S0, 3] uint8 staging canvas; the valid image
+            occupies the top-left [height, width] region
+        height, width: traced int32 scalars, the valid region
+        out_size: static output side
+        pad_value: gray fill
+
+    Returns:
+        [out_size, out_size, 3] float32 in [0, 1]
+    """
+
+    s = out_size
+    h = height.astype(jnp.float32)
+    w = width.astype(jnp.float32)
+
+    r = jnp.minimum(s / h, s / w)
+    new_w = _round_half_away(w * r)
+    new_h = _round_half_away(h * r)
+    # letterbox splits the pad as dw/2 with round(x -/+ 0.1): the left/top
+    # side gets round(pad/2 - 0.1)
+    left = _round_half_away((s - new_w) / 2.0 - 0.1)
+    top = _round_half_away((s - new_h) / 2.0 - 0.1)
+
+    # Destination pixel grid
+    iy = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+
+    in_region = (iy >= top) & (iy < top + new_h) & \
+                (ix >= left) & (ix < left + new_w)
+
+    # cv2 half-pixel source mapping: src = (dst + 0.5) * (src_size /
+    # dst_size) - 0.5
+    sy = (iy - top + 0.5) * (h / new_h) - 0.5
+    sx = (ix - left + 0.5) * (w / new_w) - 0.5
+    sy = jnp.clip(sy, 0.0, h - 1.0)
+    sx = jnp.clip(sx, 0.0, w - 1.0)
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0)[..., None]
+    wx = (sx - x0)[..., None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, height - 1)
+    x1 = jnp.minimum(x0 + 1, width - 1)
+
+    img = image_u8.astype(jnp.float32)
+
+    def gather(yi, xi):
+        return img[yi, xi]
+
+    p00 = gather(y0, x0)
+    p01 = gather(y0, x1)
+    p10 = gather(y1, x0)
+    p11 = gather(y1, x1)
+
+    interp = (p00 * (1 - wy) * (1 - wx) + p01 * (1 - wy) * wx +
+              p10 * wy * (1 - wx) + p11 * wy * wx)
+
+    out = jnp.where(in_region[..., None], interp, pad_value)
+    return out / 255.0
+
+
+@functools.partial(jax.jit, static_argnames=('out_size',))
+def letterbox_batch(images_u8, sizes, out_size):
+    """
+    Batched on-device letterbox.
+
+    Args:
+        images_u8: [B, S0, S0, 3] uint8 staging canvases
+        sizes: [B, 2] int32 (height, width) of each valid region
+        out_size: static canvas side (e.g. 1280)
+
+    Returns:
+        [B, out_size, out_size, 3] float32 in [0, 1]
+    """
+
+    return jax.vmap(
+        lambda img, hw: letterbox_one(img, hw[0], hw[1], out_size)
+    )(images_u8, sizes)
+
+
+def stage_images(images, staging_size=None, multiple=128):
+    """
+    Host-side staging: copy variable-size HWC uint8 images into one padded
+    uint8 batch canvas (memcpy only — no resize). Images larger than the
+    staging canvas are NOT handled here (pre-shrink on host first).
+
+    Returns (staged [B, S0, S0, 3] uint8, sizes [B, 2] int32).
+    """
+
+    max_h = max(im.shape[0] for im in images)
+    max_w = max(im.shape[1] for im in images)
+    if staging_size is None:
+        side = max(max_h, max_w)
+        staging_size = ((side + multiple - 1) // multiple) * multiple
+    assert max_h <= staging_size and max_w <= staging_size, \
+        'Image exceeds staging canvas'
+
+    staged = np.zeros((len(images), staging_size, staging_size, 3),
+                      dtype=np.uint8)
+    sizes = np.zeros((len(images), 2), dtype=np.int32)
+    for i, im in enumerate(images):
+        h, w = im.shape[:2]
+        staged[i, :h, :w] = im
+        sizes[i] = (h, w)
+    return staged, sizes

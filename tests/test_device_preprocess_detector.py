@@ -1,0 +1,67 @@
+"""Detector-level parity: device-preprocess mode vs host-preprocess mode."""
+
+import numpy as np
+import pytest
+
+from megadetector_tpu.models import yolov5
+from megadetector_tpu.models.convert_weights import save_checkpoint
+
+
+@pytest.fixture(scope='module')
+def tiny_checkpoint(tmp_path_factory):
+    folder = tmp_path_factory.mktemp('model')
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=7)
+    path = str(folder / 'md_test.npz')
+    save_checkpoint(params, path, {
+        'model_version_string': 'v5a.0.1', 'arch': 'yolov5n',
+        'model_type': 'yolov5', 'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': 64, 'anchors': cfg.anchors.tolist(),
+    })
+    return path
+
+
+def test_device_mode_matches_host_mode(tiny_checkpoint):
+    from megadetector_tpu.models.detector import TPUDetector
+
+    host_det = TPUDetector(tiny_checkpoint,
+                           {'preprocess_mode': 'host'})
+    device_det = TPUDetector(tiny_checkpoint,
+                             {'preprocess_mode': 'device'})
+
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+            for (h, w) in [(60, 80), (80, 60), (64, 64)]]
+    ids = ['im{}.jpg'.format(i) for i in range(3)]
+
+    host_out = host_det.generate_detections_one_batch(
+        list(imgs), list(ids), detection_threshold=0.1)
+    device_out = device_det.generate_detections_one_batch(
+        list(imgs), list(ids), detection_threshold=0.1)
+
+    # IoU-matched tolerance comparison (the golden-harness comparator):
+    # random weights produce many near-threshold detections, so compare
+    # well above the output floor and allow the device resize's rounding
+    # differences
+    from megadetector_tpu.utils.md_tests import (MDTestOptions,
+                                                 compare_detection_lists)
+    options = MDTestOptions()
+    options.comparison_confidence_threshold = 0.2
+    options.iou_match_threshold = 0.7
+    options.max_conf_error = 0.03
+    options.max_coord_error = 0.03
+
+    total_matched = 0
+    total_errors = 0
+    for h_im, d_im in zip(host_out, device_out):
+        assert h_im['file'] == d_im['file']
+        r = compare_detection_lists(h_im['detections'],
+                                    d_im['detections'], options,
+                                    image_id=h_im['file'])
+        total_matched += len(r['matched'])
+        total_errors += len(r['errors'])
+    # The confident detection sets must broadly agree
+    assert total_matched > 0
+    assert total_errors <= max(1, total_matched // 5), \
+        '{} errors vs {} matches'.format(total_errors, total_matched)

@@ -1,0 +1,70 @@
+"""On-device letterbox vs host cv2 letterbox parity tests."""
+
+import numpy as np
+import pytest
+
+from megadetector_tpu.ops import boxes as box_ops
+from megadetector_tpu.ops.preprocess_device import (letterbox_batch,
+                                                    stage_images)
+
+cv2 = pytest.importorskip('cv2')
+
+
+def _compare_one(h, w, out_size, seed=0, atol=4.0):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+
+    host, ratio, pad = box_ops.letterbox(
+        img, (out_size, out_size), auto=False, scaleup=True)
+
+    staged, sizes = stage_images([img])
+    device = np.asarray(letterbox_batch(staged, sizes, out_size))[0] * 255.0
+
+    assert host.shape == device.shape
+    diff = np.abs(device - host.astype(np.float32))
+    # cv2 uses fixed-point bilinear; allow small per-pixel deviation and
+    # require near-exact agreement overall
+    assert np.mean(diff) < 1.0, 'mean diff {}'.format(np.mean(diff))
+    assert np.percentile(diff, 99) <= atol, \
+        '99p diff {}'.format(np.percentile(diff, 99))
+
+
+def test_device_letterbox_downscale():
+    _compare_one(480, 640, 128)
+
+
+def test_device_letterbox_upscale():
+    _compare_one(50, 70, 128)
+
+
+def test_device_letterbox_tall():
+    _compare_one(300, 100, 128)
+
+
+def test_device_letterbox_exact_fit():
+    _compare_one(128, 128, 128)
+
+
+def test_pad_region_is_gray():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (64, 128, 3), dtype=np.uint8)
+    staged, sizes = stage_images([img])
+    out = np.asarray(letterbox_batch(staged, sizes, 128))[0] * 255.0
+    # 64x128 -> resized to 128 wide, 128 tall region = 128; r=1 -> wait:
+    # r = min(128/64, 128/128) = 1 -> image occupies rows 32..96
+    assert np.allclose(out[:32], 114.0, atol=0.5)
+    assert np.allclose(out[96:], 114.0, atol=0.5)
+
+
+def test_batch_heterogeneous_sizes():
+    rng = np.random.RandomState(2)
+    imgs = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+            for (h, w) in [(100, 200), (200, 100), (150, 150)]]
+    staged, sizes = stage_images(imgs)
+    out = np.asarray(letterbox_batch(staged, sizes, 128))
+    assert out.shape == (3, 128, 128, 3)
+    for i, im in enumerate(imgs):
+        host, _, _ = box_ops.letterbox(im, (128, 128), auto=False,
+                                       scaleup=True)
+        diff = np.abs(out[i] * 255.0 - host.astype(np.float32))
+        assert np.mean(diff) < 1.0
