@@ -219,6 +219,69 @@ class TPUDetector:
         self._compiled[key] = fn
         return fn
 
+    def _get_compiled_augment(self, batch_size, height, width):
+        """
+        Test-time-augmentation program: identity + horizontally-flipped
+        0.83x + 0.67x scales, predictions de-scaled into canvas space and
+        concatenated before NMS (the YOLOv5-style TTA behind the
+        reference's augment=True flag, pytorch_detector.py:1313; scale
+        sizes snap to stride multiples so each pass stays static-shape).
+        """
+
+        key = ('aug', batch_size, height, width)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        config = self.config
+        dtype = self.compute_dtype
+        pre_nms_topk = self.pre_nms_topk
+        max_det = self.max_det
+        apply_fn = self._apply_fn
+        stride = int(self.letterbox_stride)
+
+        def snap(v):
+            return max(stride, int(round(v / stride)) * stride)
+
+        sizes = [(height, width, False)]
+        for s, flip in ((0.83, True), (0.67, False)):
+            sizes.append((snap(height * s), snap(width * s), flip))
+
+        def program(params, images_u8, conf_thres, iou_thres):
+            x = images_u8.astype(dtype) / dtype(255.0)
+            preds = []
+            for (h_s, w_s, flip) in sizes:
+                xi = x
+                if (h_s, w_s) != (height, width):
+                    xi = jax.image.resize(
+                        x, (x.shape[0], h_s, w_s, x.shape[3]),
+                        method='bilinear').astype(dtype)
+                if flip:
+                    xi = xi[:, :, ::-1, :]
+                p = apply_fn(config, params, xi, dtype=dtype)
+                # De-scale into canvas pixel space
+                sx = width / w_s
+                sy = height / h_s
+                cx, cy = p[..., 0], p[..., 1]
+                w_box, h_box = p[..., 2], p[..., 3]
+                if flip:
+                    cx = w_s - cx
+                cx = cx * sx
+                cy = cy * sy
+                w_box = w_box * sx
+                h_box = h_box * sy
+                p = jnp.concatenate(
+                    [cx[..., None], cy[..., None], w_box[..., None],
+                     h_box[..., None], p[..., 4:]], axis=-1)
+                preds.append(p)
+            pred = jnp.concatenate(preds, axis=1)
+            return batched_nms(pred, conf_thres, iou_thres,
+                               max_det=max_det,
+                               pre_nms_topk=pre_nms_topk)
+
+        fn = jax.jit(program)
+        self._compiled[key] = fn
+        return fn
+
     def _get_compiled_device_preprocess(self, batch_size, staging_size,
                                         canvas_size):
         """Compiled program: staged uint8 -> letterbox -> forward -> NMS."""
@@ -433,7 +496,10 @@ class TPUDetector:
                 assert im.shape[:2] == (h, w), \
                     'Heterogeneous canvas in one batch'
             batch = np.stack(imgs).astype(np.uint8)
-            fn = self._get_compiled(batch.shape[0], h, w)
+            if augment:
+                fn = self._get_compiled_augment(batch.shape[0], h, w)
+            else:
+                fn = self._get_compiled(batch.shape[0], h, w)
             out = fn(self.params, batch,
                      jnp.float32(detection_threshold),
                      jnp.float32(nms_iou))
