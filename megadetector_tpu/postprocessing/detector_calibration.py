@@ -1,0 +1,154 @@
+"""
+Cross-model confidence calibration: compare two models' confidence scales
+by IoU-matching their detections on the same images, then fit a monotone
+mapping so thresholds tuned for model A transfer to model B.
+
+Behavioral contract follows the reference
+(megadetector/postprocessing/detector_calibration.py:117,395): matched
+confidence pairs per category, a fitted mapping, and comparison plots
+(plots optional here; the mapping itself is the load-bearing output).
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from megadetector_tpu.utils import ct_utils
+
+
+class CalibrationOptions:
+    """Options controlling compare_model_confidence_values()."""
+
+    def __init__(self):
+        self.iou_threshold = 0.6
+        self.confidence_threshold = 0.025
+        self.max_samples_per_category = 20000
+        self.categories_to_compare = None
+
+
+def compare_model_confidence_values(results_a, results_b, options=None):
+    """
+    IoU-match detections between two results files (paths or dicts) on
+    common images; returns {category: (confs_a, confs_b)} numpy pairs.
+    """
+
+    if options is None:
+        options = CalibrationOptions()
+
+    if isinstance(results_a, str):
+        with open(results_a) as f:
+            results_a = json.load(f)
+    if isinstance(results_b, str):
+        with open(results_b) as f:
+            results_b = json.load(f)
+
+    images_a = {im['file']: im for im in results_a['images']}
+    images_b = {im['file']: im for im in results_b['images']}
+
+    pairs = {}
+
+    for fn in sorted(set(images_a) & set(images_b)):
+        dets_a = images_a[fn].get('detections') or []
+        dets_b = images_b[fn].get('detections') or []
+        used_b = set()
+        for det_a in dets_a:
+            if det_a['conf'] < options.confidence_threshold:
+                continue
+            cat = det_a['category']
+            if options.categories_to_compare is not None and \
+                    cat not in options.categories_to_compare:
+                continue
+            best = None
+            best_iou = options.iou_threshold
+            for i_b, det_b in enumerate(dets_b):
+                if i_b in used_b or det_b['category'] != cat:
+                    continue
+                if det_b['conf'] < options.confidence_threshold:
+                    continue
+                try:
+                    iou = ct_utils.get_iou(det_a['bbox'], det_b['bbox'])
+                except AssertionError:
+                    continue
+                if iou >= best_iou:
+                    best_iou = iou
+                    best = i_b
+            if best is not None:
+                used_b.add(best)
+                pairs.setdefault(cat, ([], []))
+                pairs[cat][0].append(det_a['conf'])
+                pairs[cat][1].append(dets_b[best]['conf'])
+
+    out = {}
+    for cat, (a, b) in pairs.items():
+        a = np.asarray(a)
+        b = np.asarray(b)
+        if len(a) > options.max_samples_per_category:
+            idx = np.random.RandomState(0).choice(
+                len(a), options.max_samples_per_category, replace=False)
+            a, b = a[idx], b[idx]
+        out[cat] = (a, b)
+    return out
+
+
+def fit_confidence_mapping(confs_a, confs_b, n_bins=20):
+    """
+    Fit a monotone piecewise-linear mapping from model A's confidence
+    scale to model B's via quantile matching. Returns
+    (a_quantiles, b_quantiles); use map_confidence() to apply.
+    """
+
+    qs = np.linspace(0, 1, n_bins + 1)
+    a_q = np.quantile(confs_a, qs)
+    b_q = np.quantile(confs_b, qs)
+    # Enforce monotonicity
+    a_q = np.maximum.accumulate(a_q)
+    b_q = np.maximum.accumulate(b_q)
+    return a_q, b_q
+
+
+def map_confidence(conf, a_quantiles, b_quantiles):
+    """Apply a fitted mapping: model-A confidence -> model-B scale."""
+
+    return float(np.interp(conf, a_quantiles, b_quantiles))
+
+
+def calibrate_threshold(results_a, results_b, threshold_a, options=None):
+    """
+    The headline use: what model-B threshold corresponds to [threshold_a]
+    on model A? Returns a float (per matched-pair quantile mapping over
+    all categories).
+    """
+
+    pairs = compare_model_confidence_values(results_a, results_b, options)
+    all_a = np.concatenate([p[0] for p in pairs.values()]) \
+        if pairs else np.array([])
+    all_b = np.concatenate([p[1] for p in pairs.values()]) \
+        if pairs else np.array([])
+    if len(all_a) < 2:
+        return threshold_a
+    a_q, b_q = fit_confidence_mapping(all_a, all_b)
+    return map_confidence(threshold_a, a_q, b_q)
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description='Calibrate confidence thresholds across two models')
+    parser.add_argument('results_a')
+    parser.add_argument('results_b')
+    parser.add_argument('threshold_a', type=float)
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+
+    args = parser.parse_args()
+    t = calibrate_threshold(args.results_a, args.results_b,
+                            args.threshold_a)
+    print('Model-B threshold equivalent to {:.3f}: {:.3f}'.format(
+        args.threshold_a, t))
+
+
+if __name__ == '__main__':
+    main()

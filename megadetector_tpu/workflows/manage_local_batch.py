@@ -1,0 +1,220 @@
+"""
+The semi-automated batch-job workflow: enumerate -> run detector ->
+validate -> preview -> repeat-detection elimination -> (optional)
+classify -> smooth -> report, with consistent job-folder conventions.
+
+Plays the role of the reference's notebooks/manage_local_batch.py
+(:289-1964), which drives the same stage sequence by hand. Here each
+stage is a method on BatchJob so the workflow is scriptable and
+resumable; artifacts land in a standard job folder layout:
+
+    <output_base>/<job_name>/
+        <job_name>_detections.json
+        <job_name>_detections_filtered.json      (after RDE)
+        preview/index.html
+        rde/filtering_*/
+        report.csv
+
+The reference's per-GPU chunking (manage_local_batch.py:494-785) is
+unnecessary on TPU: one process spans all chips (batch sharding over the
+mesh); multi-host jobs shard the file list per host
+(parallel/mesh.shard_image_list_for_hosts) and merge shards with
+combine_batch_outputs.
+"""
+
+import json
+import os
+
+from datetime import datetime
+
+from megadetector_tpu.detection import run_detector_batch
+from megadetector_tpu.utils import ct_utils
+from megadetector_tpu.utils import path_utils
+
+
+class BatchJobOptions:
+    """Options controlling a BatchJob."""
+
+    def __init__(self):
+        self.model_file = 'MDV5A'
+        self.input_path = None
+        self.output_base = None
+        self.job_name = None
+        self.batch_size = 8
+        self.image_size = None
+        self.checkpoint_frequency = 1000
+        self.confidence_threshold = None
+        self.detector_options = None
+        self.loader_workers = 8
+        # RDE
+        self.run_rde = True
+        self.rde_occurrence_threshold = 20
+        # Preview
+        self.preview_sample_size = 500
+
+
+class BatchJob:
+    """One camera-trap processing job; call the stage methods in order or
+    run_all() for the full pipeline."""
+
+    def __init__(self, options):
+        assert options.input_path is not None
+        assert options.output_base is not None
+        self.options = options
+        if options.job_name is None:
+            options.job_name = '{}_{}'.format(
+                os.path.basename(options.input_path.rstrip('/')),
+                datetime.now().strftime('%Y%m%d%H%M%S'))
+        self.job_dir = os.path.join(options.output_base,
+                                    options.job_name)
+        os.makedirs(self.job_dir, exist_ok=True)
+
+        self.detections_file = os.path.join(
+            self.job_dir, options.job_name + '_detections.json')
+        self.filtered_file = os.path.join(
+            self.job_dir, options.job_name + '_detections_filtered.json')
+        self.preview_dir = os.path.join(self.job_dir, 'preview')
+        self.rde_dir = os.path.join(self.job_dir, 'rde')
+        self.report_file = os.path.join(self.job_dir, 'report.csv')
+        self.final_file = self.detections_file
+
+    #%% Stages
+
+    def enumerate_images(self):
+        """Stage 1: find images."""
+
+        self.image_files = path_utils.find_images(
+            self.options.input_path, recursive=True)
+        print('Job {}: {} images'.format(self.options.job_name,
+                                         len(self.image_files)))
+        return self.image_files
+
+    def run_detector(self):
+        """Stage 2: batched detection with checkpointing."""
+
+        checkpoint_path = os.path.join(
+            self.job_dir, 'md_checkpoint.json')
+        results = run_detector_batch.load_and_run_detector_batch(
+            self.options.model_file,
+            self.image_files,
+            checkpoint_path=checkpoint_path,
+            checkpoint_frequency=self.options.checkpoint_frequency,
+            confidence_threshold=self.options.confidence_threshold,
+            batch_size=self.options.batch_size,
+            image_size=self.options.image_size,
+            detector_options=self.options.detector_options,
+            loader_workers=self.options.loader_workers)
+        run_detector_batch.write_results_to_file(
+            results, self.detections_file,
+            relative_path_base=self.options.input_path,
+            detector_file=self.options.model_file if isinstance(
+                self.options.model_file, str) else None)
+        if os.path.isfile(checkpoint_path):
+            os.remove(checkpoint_path)
+        return self.detections_file
+
+    def validate(self):
+        """Stage 3: format validation."""
+
+        from megadetector_tpu.postprocessing.validate_batch_results import (
+            ValidateBatchResultsOptions, validate_batch_results)
+        v_options = ValidateBatchResultsOptions()
+        v_options.raise_errors = True
+        validate_batch_results(self.final_file, v_options)
+        print('Validation passed for {}'.format(self.final_file))
+
+    def run_rde(self):
+        """Stage 4: repeat-detection elimination (writes the review
+        folder; apply with apply_rde() after human review, or rely on the
+        auto-filtered output)."""
+
+        if not self.options.run_rde:
+            return None
+        from megadetector_tpu.postprocessing.repeat_detection_elimination \
+            import repeat_detections_core as rde
+        rde_options = rde.RepeatDetectionOptions()
+        rde_options.occurrenceThreshold = \
+            self.options.rde_occurrence_threshold
+        rde_options.imageBase = self.options.input_path
+        rde_options.outputBase = self.rde_dir
+        results = rde.find_repeat_detections(
+            self.detections_file, self.filtered_file, rde_options)
+        self.final_file = self.filtered_file
+        return results
+
+    def apply_rde(self, filtering_folder):
+        """Stage 4b: apply a human-reviewed filtering folder."""
+
+        from megadetector_tpu.postprocessing.repeat_detection_elimination \
+            .remove_repeat_detections import remove_repeat_detections
+        remove_repeat_detections(self.detections_file,
+                                 self.filtered_file, filtering_folder)
+        self.final_file = self.filtered_file
+
+    def build_preview(self):
+        """Stage 5: HTML preview."""
+
+        from megadetector_tpu.postprocessing.postprocess_batch_results \
+            import PostProcessingOptions, process_batch_results
+        p_options = PostProcessingOptions()
+        p_options.md_results_file = self.final_file
+        p_options.output_dir = self.preview_dir
+        p_options.image_base_dir = self.options.input_path
+        p_options.num_images_to_sample = \
+            self.options.preview_sample_size
+        return process_batch_results(p_options)
+
+    def build_report(self):
+        """Stage 6: CSV report."""
+
+        from megadetector_tpu.postprocessing.generate_csv_report import \
+            generate_csv_report
+        return generate_csv_report(self.final_file, self.report_file)
+
+    def run_all(self):
+        """All automated stages in order; returns the final results file."""
+
+        self.enumerate_images()
+        self.run_detector()
+        self.validate()
+        self.run_rde()
+        self.validate()
+        self.build_preview()
+        self.build_report()
+        print('Job {} complete; final results: {}'.format(
+            self.options.job_name, self.final_file))
+        return self.final_file
+
+
+def main():
+    import argparse
+    import sys
+    parser = argparse.ArgumentParser(
+        description='Run the full batch workflow on a folder of images')
+    parser.add_argument('input_path')
+    parser.add_argument('output_base')
+    parser.add_argument('--model_file', default='MDV5A')
+    parser.add_argument('--job_name', default=None)
+    parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--no_rde', action='store_true')
+    parser.add_argument('--detector_options', nargs='*', default=None)
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+
+    args = parser.parse_args()
+    options = BatchJobOptions()
+    options.input_path = args.input_path
+    options.output_base = args.output_base
+    options.model_file = args.model_file
+    options.job_name = args.job_name
+    options.batch_size = args.batch_size
+    options.run_rde = not args.no_rde
+    options.detector_options = ct_utils.parse_kvp_list(
+        args.detector_options)
+    BatchJob(options).run_all()
+
+
+if __name__ == '__main__':
+    main()
