@@ -75,9 +75,11 @@ def _greedy_suppress(iou, valid, iou_thres):
 
 
 @functools.partial(
-    jax.jit, static_argnames=('max_det', 'pre_nms_topk', 'class_agnostic'))
+    jax.jit, static_argnames=('max_det', 'pre_nms_topk', 'class_agnostic',
+                              'use_pallas'))
 def batched_nms(pred, conf_thres, iou_thres, max_det=300,
-                pre_nms_topk=1024, class_agnostic=False):
+                pre_nms_topk=1024, class_agnostic=False,
+                use_pallas=False):
     """
     Full detection post-processing: candidate selection + per-class NMS.
 
@@ -132,8 +134,15 @@ def batched_nms(pred, conf_thres, iou_thres, max_det=300,
             shift = classes.astype(boxes.dtype)[:, None] * _CLASS_OFFSET
             offset_boxes = boxes + shift
 
-        iou = _pairwise_iou_xyxy(offset_boxes)
-        keep = _greedy_suppress(iou, valid_k, iou_thres)
+        if use_pallas:
+            # VMEM-resident greedy scan (see ops/pallas_nms.py); vmap
+            # lifts the [K] call to the batch
+            from megadetector_tpu.ops.pallas_nms import pallas_greedy_nms
+            keep = pallas_greedy_nms(offset_boxes[None], valid_k[None],
+                                     iou_thres)[0]
+        else:
+            iou = _pairwise_iou_xyxy(offset_boxes)
+            keep = _greedy_suppress(iou, valid_k, iou_thres)
 
         # Compact kept detections to the front, preserving score order
         kept_scores = jnp.where(keep, scores, -1.0)
