@@ -1,0 +1,157 @@
+"""
+Parity oracle: run inference through an external YOLO repo's val.py and
+convert the output to MD format, for golden-file comparison against the
+TPU pipeline.
+
+In the reference this is a first-class inference path
+(megadetector/detection/run_inference_with_yolov5_val.py:287, with a flat
+symlink farm for unique IDs :140-152 and YOLO-json -> MD-json conversion
+via data_management/yolo_output_to_md_output.py). In the TPU framework
+its role is verification: generate reference results with the original
+torch stack (when available), then compare against TPU results with
+utils/md_tests.compare_results. Test-time augmentation, which the
+reference reached through val.py, is native here
+(TPUDetector augment=True).
+"""
+
+import os
+import sys
+import tempfile
+
+from megadetector_tpu.data_management.yolo_output_to_md_output import (
+    yolo_json_output_to_md_output,
+)
+from megadetector_tpu.utils import path_utils
+from megadetector_tpu.utils.process_utils import execute_and_print
+
+
+class YoloInferenceOptions:
+    """Options controlling run_inference_with_yolo_val()."""
+
+    def __init__(self):
+        self.input_folder = None
+        self.model_filename = None
+        self.output_file = None
+        self.yolo_working_folder = None  # the yolov5 repo checkout
+        self.image_size = 1280
+        self.conf_thres = 0.005
+        self.batch_size = 1
+        self.device_string = 'cpu'
+        self.augment = False
+        self.symlink_folder = None
+        self.yolo_category_id_to_name = {0: 'animal', 1: 'person',
+                                         2: 'vehicle'}
+        self.remove_symlink_folder = True
+
+
+def run_inference_with_yolo_val(options):
+    """
+    Run the external val.py and convert results to MD format. Requires a
+    YOLOv5 repo checkout (options.yolo_working_folder) and torch; raises
+    a clear error otherwise. Returns the MD-format dict.
+    """
+
+    assert options.yolo_working_folder is not None and \
+        os.path.isdir(options.yolo_working_folder), \
+        'run_inference_with_yolo_val requires a YOLO repo checkout ' \
+        '(yolo_working_folder); for native TPU inference use ' \
+        'run_detector_batch, and for TTA use augment=True'
+    assert os.path.isfile(os.path.join(options.yolo_working_folder,
+                                       'val.py')), \
+        'No val.py in {}'.format(options.yolo_working_folder)
+
+    # Build a flat symlink farm so every image has a unique basename
+    # (val.py writes per-image IDs from basenames)
+    symlink_folder = options.symlink_folder or tempfile.mkdtemp(
+        prefix='yolo_val_symlinks_')
+    os.makedirs(symlink_folder, exist_ok=True)
+
+    images = path_utils.find_images(options.input_folder, recursive=True)
+    image_id_to_relative_path = {}
+    for i_image, image_path in enumerate(images):
+        ext = os.path.splitext(image_path)[1]
+        link_name = 'im_{:0>8d}{}'.format(i_image, ext)
+        image_id_to_relative_path['im_{:0>8d}'.format(i_image)] = \
+            os.path.relpath(image_path, options.input_folder)
+        path_utils.safe_create_link(
+            os.path.abspath(image_path),
+            os.path.join(symlink_folder, link_name))
+
+    project_dir = tempfile.mkdtemp(prefix='yolo_val_results_')
+    cmd = ('cd "{}" && python val.py --task test --data "{}" '
+           '--weights "{}" --batch-size {} --imgsz {} --conf-thres {} '
+           '--device {} --save-json --project "{}" --name results '
+           '--exist-ok{}').format(
+               options.yolo_working_folder,
+               _write_dataset_yaml(symlink_folder),
+               options.model_filename, options.batch_size,
+               options.image_size, options.conf_thres,
+               options.device_string, project_dir,
+               ' --augment' if options.augment else '')
+    result = execute_and_print(cmd, print_output=False)
+    if result['status'] != 0:
+        raise RuntimeError(
+            'val.py failed (status {}):\n{}'.format(
+                result['status'], ''.join(result['output'][-20:])))
+
+    # Find the predictions json
+    predictions_files = []
+    for root, _, files in os.walk(project_dir):
+        predictions_files.extend(
+            os.path.join(root, f) for f in files
+            if f.endswith('_predictions.json') or f == 'best_predictions.json')
+    assert len(predictions_files) > 0, 'No predictions file produced'
+
+    md = yolo_json_output_to_md_output(
+        predictions_files[0], options.input_folder, options.output_file,
+        yolo_category_id_to_name=options.yolo_category_id_to_name,
+        image_id_to_relative_path=image_id_to_relative_path)
+
+    if options.remove_symlink_folder:
+        import shutil
+        shutil.rmtree(symlink_folder, ignore_errors=True)
+
+    return md
+
+
+def _write_dataset_yaml(image_folder):
+    """Minimal dataset.yaml pointing val.py's 'test' split at a folder."""
+
+    yaml_path = os.path.join(tempfile.gettempdir(),
+                             'yolo_val_dataset.yaml')
+    with open(yaml_path, 'w') as f:
+        f.write('path: {}\ntrain: .\nval: .\ntest: .\n'.format(
+            image_folder))
+        f.write('names:\n  0: animal\n  1: person\n  2: vehicle\n')
+    return yaml_path
+
+
+def main():
+    import argparse
+    parser = argparse.ArgumentParser(
+        description='Run inference through an external YOLO val.py '
+                    '(parity oracle)')
+    parser.add_argument('model_filename')
+    parser.add_argument('input_folder')
+    parser.add_argument('output_file')
+    parser.add_argument('--yolo_working_folder', required=True)
+    parser.add_argument('--image_size', type=int, default=1280)
+    parser.add_argument('--augment', action='store_true')
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+
+    args = parser.parse_args()
+    options = YoloInferenceOptions()
+    options.model_filename = args.model_filename
+    options.input_folder = args.input_folder
+    options.output_file = args.output_file
+    options.yolo_working_folder = args.yolo_working_folder
+    options.image_size = args.image_size
+    options.augment = args.augment
+    run_inference_with_yolo_val(options)
+
+
+if __name__ == '__main__':
+    main()

@@ -149,7 +149,14 @@ class TPUDetector:
         num_classes = int(metadata.get('num_classes', 3))
         anchors = metadata.get('anchors', None)
         self.model_type = metadata.get('model_type', 'yolov5')
-        if arch.startswith('yolov8') or self.model_type == 'ultralytics':
+        if arch.startswith('detr') or self.model_type in ('rfdetr',
+                                                          'detr'):
+            from megadetector_tpu.models import detr
+            self.config = detr.DetrConfig(
+                arch if arch.startswith('detr') else 'detr_base',
+                num_classes=num_classes)
+            self._apply_fn = detr.apply
+        elif arch.startswith('yolov8') or self.model_type == 'ultralytics':
             from megadetector_tpu.models import yolov8
             self.config = yolov8.YoloV8Config(arch,
                                               num_classes=num_classes)

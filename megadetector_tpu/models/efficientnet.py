@@ -84,8 +84,16 @@ def _conv_slot(rng, c_in, c_out, k, groups=1):
     return {'w': w, 'b': np.zeros((c_out,), np.float32)}
 
 
-def init_params(config, seed=0):
-    """Random parameters (tests/bench); structure mirrors apply()."""
+def init_params(config, seed=0, train_init=False):
+    """
+    Random parameters; structure mirrors apply().
+
+    The inference graph has BatchNorm folded away, so plain He init makes
+    activations explode with depth. For from-scratch training,
+    [train_init] zero-initializes each residual block's projection (the
+    block starts as identity, NFNet/Fixup-style) and the classifier head,
+    keeping the normalization-free graph trainable.
+    """
 
     rng = np.random.RandomState(seed)
     params = {'stem': _conv_slot(rng, 3, config.stem_channels, 3)}
@@ -96,6 +104,7 @@ def init_params(config, seed=0):
         stage_params = []
         for i_layer in range(layers):
             s = stride if i_layer == 0 else 1
+            use_residual = (s == 1 and c_in == c_out)
             block_params = {}
             c_exp = c_in * expansion
             if block == 'fused':
@@ -112,6 +121,11 @@ def init_params(config, seed=0):
                 block_params['se_reduce'] = _conv_slot(rng, c_exp, c_se, 1)
                 block_params['se_expand'] = _conv_slot(rng, c_se, c_exp, 1)
                 block_params['project'] = _conv_slot(rng, c_exp, c_out, 1)
+            if train_init and use_residual:
+                block_params['project']['w'] = \
+                    np.zeros_like(block_params['project']['w'])
+            elif train_init:
+                block_params['project']['w'] *= 0.5
             stage_params.append(block_params)
             c_in = c_out
         params['stage{}'.format(i_stage)] = {
@@ -120,9 +134,10 @@ def init_params(config, seed=0):
     params['head'] = _conv_slot(rng, c_in, config.head_channels, 1)
     std = 1.0 / math.sqrt(config.head_channels)
     params['fc'] = {
-        'w': rng.uniform(-std, std, (config.head_channels,
-                                     config.num_classes)
-                         ).astype(np.float32),
+        'w': np.zeros((config.head_channels, config.num_classes),
+                      np.float32) if train_init else
+        rng.uniform(-std, std, (config.head_channels,
+                                config.num_classes)).astype(np.float32),
         'b': np.zeros((config.num_classes,), np.float32),
     }
     return params
