@@ -289,6 +289,55 @@ def read_metadata_from_model_file(detector_filename, verbose=False):
     return None
 
 
+def add_metadata_to_model_file(model_filename, metadata,
+                               output_filename=None):
+    """
+    Embed model metadata. For converted .npz checkpoints, updates the
+    .metadata.json sidecar; for reference .pt zipfiles, adds a
+    megadetector_info.json inside the archive
+    (reference semantics: detection/pytorch_detector.py:617-672).
+    Returns the filename written.
+    """
+
+    import json
+
+    assert isinstance(metadata, dict)
+    metadata = dict(metadata)
+    metadata.setdefault('metadata_format_version', 1.0)
+
+    if model_filename.endswith('.npz') or os.path.isdir(model_filename):
+        if os.path.isdir(model_filename):
+            meta_file = os.path.join(model_filename, 'metadata.json')
+        else:
+            meta_file = os.path.splitext(model_filename)[0] + \
+                '.metadata.json'
+        existing = {}
+        if os.path.isfile(meta_file):
+            with open(meta_file) as f:
+                existing = json.load(f)
+        existing.update(metadata)
+        with open(meta_file, 'w') as f:
+            json.dump(existing, f, indent=1)
+        return model_filename
+
+    assert model_filename.endswith(('.pt', '.zip')), \
+        'Unsupported model file {}'.format(model_filename)
+    if output_filename is None:
+        output_filename = model_filename
+    if output_filename != model_filename:
+        import shutil
+        shutil.copyfile(model_filename, output_filename)
+    with zipfile.ZipFile(output_filename, 'a') as zf:
+        names = [n for n in zf.namelist()
+                 if n.endswith('megadetector_info.json')]
+        assert len(names) == 0, \
+            'Model file already contains metadata'
+        root = zf.namelist()[0].split('/')[0] if zf.namelist() else ''
+        arcname = (root + '/' if root else '') + 'megadetector_info.json'
+        zf.writestr(arcname, json.dumps(metadata, indent=1))
+    return output_filename
+
+
 #%% Download
 
 
