@@ -107,9 +107,14 @@ def load_detector(model_file, force_cpu=False, detector_options=None,
                 verbose=verbose)
         model_file = converted
     elif model_file.endswith('.pb'):
-        raise NotImplementedError(
-            'TF v1 frozen-graph models (MDv2-v4) are deprecated and not '
-            'supported by the TPU framework; use MDv5 or later')
+        # Legacy MDv2-v4 frozen graphs: TF CPU runtime (no TPU path)
+        from megadetector_tpu.detection.tf_detector import TFDetector
+        detector = TFDetector(model_file,
+                              detector_options=detector_options,
+                              verbose=verbose)
+        elapsed = time.time() - start
+        print('Loaded model in {:.2f} seconds'.format(elapsed))
+        return detector
 
     detector = TPUDetector(model_file, detector_options=detector_options,
                            verbose=verbose)
