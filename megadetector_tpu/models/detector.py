@@ -52,6 +52,14 @@ DEFAULT_DETECTOR_LABEL_MAP = {
     '3': 'vehicle',
 }
 
+DEFAULT_COMPATIBILITY_MODE = 'classic'
+
+# Test hook: when True, constructing a detector with the default
+# compatibility mode raises — used by test drivers to verify that option
+# plumbing reaches the detector (reference:
+# detection/pytorch_detector.py:733-737, the 'classic-test' sentinel)
+require_non_default_compatibility_mode = False
+
 
 class TPUDetector:
     """
@@ -79,6 +87,11 @@ class TPUDetector:
 
         if _to_bool(options.get('force_cpu', False)):
             jax.config.update('jax_platforms', 'cpu')
+
+        if require_non_default_compatibility_mode:
+            assert options.get('compatibility_mode') not in \
+                (None, '', DEFAULT_COMPATIBILITY_MODE), \
+                'A non-default compatibility mode is required'
         self.compatibility_mode = options.get('compatibility_mode',
                                               'classic') or 'classic'
         self.use_model_native_classes = _to_bool(
