@@ -337,7 +337,8 @@ def write_results_to_file(results,
                           info=None,
                           include_max_conf=False,
                           custom_metadata=None,
-                          force_forward_slashes=True):
+                          force_forward_slashes=True,
+                          detection_categories=None):
     """
     Write detection results to a file in the MD output format
     (https://lila.science/megadetector-output-format). Behavior matches the
@@ -415,7 +416,8 @@ def write_results_to_file(results,
     final_output = {
         'images': results,
         'detection_categories':
-            run_detector.DEFAULT_DETECTOR_LABEL_MAP,
+            detection_categories if detection_categories is not None
+            else run_detector.DEFAULT_DETECTOR_LABEL_MAP,
         'info': info,
     }
 
@@ -464,6 +466,17 @@ def main():
     parser.add_argument('--ncores', type=int, default=0,
                         help='(compatibility) loader workers when > 0')
     parser.add_argument('--loader_workers', type=int, default=8)
+    parser.add_argument('--use_image_queue', action='store_true',
+                        help='(compatibility) the TPU pipeline always '
+                             'uses an async image queue')
+    parser.add_argument('--preprocess_on_image_queue',
+                        action='store_true',
+                        help='(compatibility) preprocessing always runs '
+                             'on the loader workers')
+    parser.add_argument('--class_mapping_filename', default=None,
+                        help='JSON {category_id: name} to use instead of '
+                             'the default label map (implies '
+                             'use_model_native_classes)')
     parser.add_argument('--include_image_size', action='store_true')
     parser.add_argument('--include_image_timestamp', action='store_true')
     parser.add_argument('--include_exif_data', action='store_true')
@@ -490,6 +503,12 @@ def main():
                 args.output_file))
 
     detector_options = ct_utils.parse_kvp_list(args.detector_options)
+
+    custom_category_map = None
+    if args.class_mapping_filename is not None:
+        with open(args.class_mapping_filename) as f:
+            custom_category_map = json.load(f)
+        detector_options['use_model_native_classes'] = 'true'
 
     # Enumerate images
     if os.path.isdir(args.image_file):
@@ -577,7 +596,8 @@ def main():
         relative_path_base=relative_path_base,
         detector_file=args.detector_file if isinstance(
             args.detector_file, str) else None,
-        include_max_conf=args.include_max_conf)
+        include_max_conf=args.include_max_conf,
+        detection_categories=custom_category_map)
 
     # Delete the checkpoint on success
     if checkpoint_path is not None and os.path.isfile(checkpoint_path):

@@ -51,6 +51,11 @@ class BatchJobOptions:
         self.rde_occurrence_threshold = 20
         # Preview
         self.preview_sample_size = 500
+        # Optional species classification stage
+        self.classifier_model = None
+        self.classification_confidence_threshold = 0.1
+        # Optional classification smoothing after classification
+        self.smooth_classifications = True
 
 
 class BatchJob:
@@ -151,6 +156,43 @@ class BatchJob:
                                  self.filtered_file, filtering_folder)
         self.final_file = self.filtered_file
 
+    def run_classifier(self):
+        """Stage 4c (optional): species classification + smoothing."""
+
+        if self.options.classifier_model is None:
+            return None
+        import json
+        from megadetector_tpu.models.classifier import (
+            SpeciesClassifier, extract_crop)  # noqa: F401
+        from megadetector_tpu.detection.run_md_and_classifier import (
+            MDAndClassifierOptions, _classify_detections_for_images)
+
+        with open(self.final_file) as f:
+            data = json.load(f)
+
+        classifier = SpeciesClassifier(self.options.classifier_model)
+        c_options = MDAndClassifierOptions()
+        c_options.classification_confidence_threshold = \
+            self.options.classification_confidence_threshold
+        n = _classify_detections_for_images(
+            data, self.options.input_path, classifier, c_options)
+        print('Classified {} detections'.format(n))
+        data['classification_categories'] = {
+            str(i): name
+            for i, name in enumerate(classifier.class_names)}
+
+        if self.options.smooth_classifications:
+            from megadetector_tpu.postprocessing \
+                .classification_postprocessing import \
+                smooth_classification_results_image_level
+            data = smooth_classification_results_image_level(data)
+
+        classified_file = self.final_file.replace(
+            '.json', '_classified.json')
+        ct_utils.write_json(classified_file, data, force_str=True)
+        self.final_file = classified_file
+        return classified_file
+
     def build_preview(self):
         """Stage 5: HTML preview."""
 
@@ -179,6 +221,7 @@ class BatchJob:
         self.validate()
         self.run_rde()
         self.validate()
+        self.run_classifier()
         self.build_preview()
         self.build_report()
         print('Job {} complete; final results: {}'.format(
