@@ -152,7 +152,8 @@ def load_and_run_detector_batch(model_file,
                                 include_exif_data=False,
                                 detector_options=None,
                                 loader_workers=8,
-                                queue_depth=64):
+                                queue_depth=64,
+                                loader_pool_type='thread'):
     """
     Run a detector over a list of image files; returns a list of MD-format
     image dicts (reference: run_detector_batch.py:1062-1439).
@@ -208,28 +209,66 @@ def load_and_run_detector_batch(model_file,
     if len(images_to_process) == 0:
         return results
 
-    detector = model_file if hasattr(model_file, 'preprocess_image') \
-        else load_detector(model_file, detector_options=detector_options)
+    if hasattr(model_file, 'preprocess_image'):
+        detector = model_file
+    else:
+        # One compiled program serves full and tail batches
+        detector_options = dict(detector_options or {})
+        detector_options.setdefault('pad_batches_to', batch_size)
+        detector = load_detector(model_file,
+                                 detector_options=detector_options)
 
     # --- Async loader pool -> bounded queue of (index, info) ---
+    #
+    # 'thread' mode: loader threads call the detector's preprocess (PIL /
+    # cv2 release the GIL for the heavy parts). 'process' mode: a process
+    # pool runs the jax-free worker (_loader_worker.py), the analog of
+    # the reference's producer processes — use it when decode+letterbox
+    # saturates the GIL.
 
     preprocessed_q = queue.Queue(maxsize=queue_depth)
     n_images = len(images_to_process)
 
-    def loader(worker_idx):
-        for i in range(worker_idx, n_images, loader_workers):
-            im_file = images_to_process[i]
-            info = _load_and_preprocess(
-                detector, im_file, image_size=image_size,
-                include_exif_data=include_exif_data)
-            preprocessed_q.put((i, im_file, info))
-        preprocessed_q.put(None)  # per-worker sentinel
-
     threads = []
-    for w in range(loader_workers):
-        t = threading.Thread(target=loader, args=(w,), daemon=True)
+    if loader_pool_type == 'process':
+        from concurrent.futures import ProcessPoolExecutor
+        from megadetector_tpu.detection._loader_worker import \
+            load_and_letterbox
+
+        image_size_resolved = image_size or detector.default_image_size
+        worker_args = [
+            (fn, image_size_resolved, detector.letterbox_stride,
+             detector.compatibility_mode,
+             getattr(detector, 'preprocess_mode', 'host'))
+            for fn in images_to_process]
+
+        def pump():
+            with ProcessPoolExecutor(
+                    max_workers=loader_workers) as pool:
+                for i, (im_file, info) in enumerate(
+                        pool.map(load_and_letterbox, worker_args,
+                                 chunksize=4)):
+                    preprocessed_q.put((i, im_file, info))
+            for _ in range(loader_workers):
+                preprocessed_q.put(None)
+
+        t = threading.Thread(target=pump, daemon=True)
         t.start()
         threads.append(t)
+    else:
+        def loader(worker_idx):
+            for i in range(worker_idx, n_images, loader_workers):
+                im_file = images_to_process[i]
+                info = _load_and_preprocess(
+                    detector, im_file, image_size=image_size,
+                    include_exif_data=include_exif_data)
+                preprocessed_q.put((i, im_file, info))
+            preprocessed_q.put(None)  # per-worker sentinel
+
+        for w in range(loader_workers):
+            t = threading.Thread(target=loader, args=(w,), daemon=True)
+            t.start()
+            threads.append(t)
 
     # --- Consumer: pack batches, run device program, emit results ---
 

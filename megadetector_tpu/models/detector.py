@@ -107,6 +107,12 @@ class TPUDetector:
         self.pre_nms_topk = int(options.get('pre_nms_topk', 1024))
         self.max_det = int(options.get('max_det', 300))
 
+        # Pad partial batches up to this size so one compiled program
+        # serves every step (tail batches otherwise each trigger a new
+        # compile); None = compile per batch size
+        pad = options.get('pad_batches_to', None)
+        self.pad_batches_to = int(pad) if pad else None
+
         # 'host': cv2 letterbox on the loader threads (parity mode);
         # 'device': images ship as raw uint8 staging canvases and the
         # letterbox resize/pad/normalize runs fused inside the XLA program
@@ -495,6 +501,14 @@ class TPUDetector:
 
         nms_iou = 0.45 if 'classic' in self.compatibility_mode else 0.6
 
+        # Pad partial batches by repeating the last image; padded slots
+        # are dropped below (their `idx` is None)
+        n_real = len(infos)
+        if self.pad_batches_to is not None and \
+                n_real < self.pad_batches_to:
+            infos = list(infos) + \
+                [(None, infos[-1][1])] * (self.pad_batches_to - n_real)
+
         if self.preprocess_mode == 'device' and \
                 infos[0][1].get('img_processed') is None:
             from megadetector_tpu.ops.preprocess_device import stage_images
@@ -526,6 +540,8 @@ class TPUDetector:
         out = jax.device_get(out)
 
         for slot, (idx, info) in enumerate(infos):
+            if idx is None:
+                continue  # batch-padding slot
             valid = out['valid'][slot]
             boxes = np.asarray(out['boxes'][slot][valid], np.float64)
             scores = np.asarray(out['scores'][slot][valid], np.float64)

@@ -190,3 +190,47 @@ def test_checkpoint_backup_semantics(tmp_path):
                             {'file': 'b.jpg', 'detections': []}])
     assert len(load_checkpoint(path)) == 2
     assert not os.path.exists(path + '_tmp')
+
+
+def test_process_pool_loader(tiny_checkpoint, image_folder):
+    """The multiprocessing loader mode produces the same results as the
+    thread loader."""
+
+    from megadetector_tpu.detection.run_detector_batch import \
+        load_and_run_detector_batch
+    from megadetector_tpu.utils.path_utils import find_images
+
+    images = find_images(image_folder, recursive=True)
+    thread_results = load_and_run_detector_batch(
+        tiny_checkpoint, images, quiet=True, batch_size=4)
+    process_results = load_and_run_detector_batch(
+        tiny_checkpoint, images, quiet=True, batch_size=4,
+        loader_pool_type='process', loader_workers=2)
+    assert len(thread_results) == len(process_results)
+    t_by_file = {r['file']: r for r in thread_results}
+    p_by_file = {r['file']: r for r in process_results}
+    for fn in t_by_file:
+        t = t_by_file[fn]
+        p = p_by_file[fn]
+        if t['detections'] is None:
+            assert p['detections'] is None
+        else:
+            assert len(t['detections']) == len(p['detections'])
+
+
+def test_batch_padding_single_compile(tiny_checkpoint):
+    """Tail batches pad to the compiled size: only one program compiles."""
+
+    import numpy as np
+    from megadetector_tpu.models.detector import TPUDetector
+    detector = TPUDetector(tiny_checkpoint, {'pad_batches_to': 4})
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)
+            for _ in range(3)]
+    out = detector.generate_detections_one_batch(
+        imgs, ['a', 'b', 'c'], detection_threshold=0.1)
+    assert len(out) == 3
+    assert all(r['detections'] is not None for r in out)
+    # Exactly one compiled program, keyed on the padded batch size
+    assert len(detector._compiled) == 1
+    assert list(detector._compiled)[0][0] == 4
