@@ -380,7 +380,15 @@ class TPUDetector:
             # Device mode: the letterbox runs on the TPU; here we only
             # record the raw image (geometry is identical to the classic
             # full-canvas letterbox, so downstream scale_coords is
-            # unchanged)
+            # unchanged). Very large images are host-shrunk first to
+            # bound the staging canvas; normalized output coordinates are
+            # scale-invariant, so scaling_shape tracks the shrunk image.
+            max_side = int(
+                getattr(self, 'max_staging_side', None) or 4096)
+            if max(img_original.shape[:2]) > max_side:
+                img_original, _ = box_ops.resize_long_side(
+                    img_original, max_side)
+                scaling_shape = img_original.shape
             result['img_processed'] = None
             result['img_original'] = img_original
             result['img_original_pil'] = img_original_pil
