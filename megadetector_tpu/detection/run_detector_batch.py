@@ -202,6 +202,14 @@ def load_and_run_detector_batch(model_file,
     already_processed = set(r['file'] for r in results)
     images_to_process = [fn for fn in image_file_names
                          if fn not in already_processed]
+
+    # Under pytest, randomize processing order to surface batching bugs
+    # (results stay index-ordered, and the writer sorts by filename, so
+    # correctness is order-invariant by contract)
+    # (reference anti-flake hardening: run_detector_batch.py:100-106)
+    if os.environ.get('PYTEST_CURRENT_TEST') is not None:
+        import random as _random
+        _random.Random(0).shuffle(images_to_process)
     if len(images_to_process) < len(image_file_names) and not quiet:
         print('Bypassing {} already-processed images'.format(
             len(image_file_names) - len(images_to_process)))
