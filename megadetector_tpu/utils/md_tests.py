@@ -16,6 +16,22 @@ import json
 from megadetector_tpu.utils import ct_utils
 
 
+def _safe_iou(bb1, bb2):
+    """
+    IoU for MD xywh boxes that tolerates degenerate (zero-area) boxes:
+    truncation to 4 digits can produce w/h == 0, and two identical
+    degenerate boxes must still match (IoU 1.0).
+    """
+
+    a_degenerate = bb1[2] <= 0 or bb1[3] <= 0
+    b_degenerate = bb2[2] <= 0 or bb2[3] <= 0
+    if a_degenerate or b_degenerate:
+        if max(abs(x - y) for x, y in zip(bb1, bb2)) < 1e-6:
+            return 1.0
+        return 0.0
+    return ct_utils.get_iou(bb1, bb2)
+
+
 class MDTestOptions:
     """Tolerances controlling compare_results()."""
 
@@ -58,10 +74,7 @@ def compare_detection_lists(dets_a, dets_b, options=None, image_id=''):
                 continue
             if det_b['category'] != det_a['category']:
                 continue
-            try:
-                iou = ct_utils.get_iou(det_a['bbox'], det_b['bbox'])
-            except AssertionError:
-                continue
+            iou = _safe_iou(det_a['bbox'], det_b['bbox'])
             if iou >= best_iou:
                 best_iou = iou
                 best = (i_b, det_b)

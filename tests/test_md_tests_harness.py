@@ -102,3 +102,25 @@ def test_output_files_are_identical(tmp_path):
     d2['info']['format_version'] = '1.5'
     ct_utils.write_json(f2, d2)
     assert not output_files_are_identical(f1, f2)
+
+
+def test_safe_iou_degenerate_boxes():
+    from megadetector_tpu.utils.md_tests import _safe_iou
+    # Identical degenerate boxes match
+    assert _safe_iou([0.5, 0.5, 0.0, 0.1], [0.5, 0.5, 0.0, 0.1]) == 1.0
+    # Different degenerate boxes don't
+    assert _safe_iou([0.5, 0.5, 0.0, 0.1], [0.6, 0.5, 0.0, 0.1]) == 0.0
+    # Normal boxes use real IoU
+    assert _safe_iou([0.1, 0.1, 0.2, 0.2],
+                     [0.1, 0.1, 0.2, 0.2]) == pytest.approx(1.0)
+
+
+def test_identical_lists_with_degenerate_boxes():
+    from megadetector_tpu.utils.md_tests import compare_detection_lists
+    dets = [
+        {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]},
+        {'category': '1', 'conf': 0.5, 'bbox': [0.99, 0.5, 0.0, 0.01]},
+    ]
+    r = compare_detection_lists(dets, dets)
+    assert r['errors'] == []
+    assert len(r['matched']) == 2
