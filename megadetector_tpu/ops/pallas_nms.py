@@ -41,16 +41,18 @@ def _nms_kernel(boxes_ref, valid_ref, thresh_ref, keep_ref):
     y1 = boxes_ref[3:4, :]
     area = jnp.maximum(x1 - x0, 0.0) * jnp.maximum(y1 - y0, 0.0)
 
-    col_idx = jax.lax.broadcasted_iota(jnp.float32, (1, k), 1)
+    # Mosaic requires integer iota; dynamic lane indexing is unsupported,
+    # so box i's scalars are extracted with one-hot mask reductions
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     keep_ref[:, :] = valid_ref[:, :]
 
     def body(i, _):
-        # Box i's coordinates (scalar reads from VMEM)
-        xi0 = boxes_ref[0, i]
-        yi0 = boxes_ref[1, i]
-        xi1 = boxes_ref[2, i]
-        yi1 = boxes_ref[3, i]
+        onehot = (col_idx == i).astype(jnp.float32)  # [1, K]
+        xi0 = jnp.sum(x0 * onehot)
+        yi0 = jnp.sum(y0 * onehot)
+        xi1 = jnp.sum(x1 * onehot)
+        yi1 = jnp.sum(y1 * onehot)
         area_i = jnp.maximum(xi1 - xi0, 0.0) * jnp.maximum(yi1 - yi0, 0.0)
 
         ix0 = jnp.maximum(x0, xi0)
@@ -61,7 +63,7 @@ def _nms_kernel(boxes_ref, valid_ref, thresh_ref, keep_ref):
         union = area + area_i - inter
         iou = inter / jnp.maximum(union, 1e-9)
 
-        alive_i = keep_ref[0, i]
+        alive_i = jnp.sum(keep_ref[:, :] * onehot)
         # Suppress lower-ranked overlapping candidates when i is alive
         suppress = (iou > thresh).astype(jnp.float32) * \
             (col_idx > i).astype(jnp.float32) * alive_i
