@@ -274,7 +274,15 @@ def init_params(config, seed=0):
 
 
 def _conv(params, x, stride, dtype=None, pad=None):
-    """Fused conv + bias + SiLU over NHWC."""
+    """Fused conv + bias + SiLU over NHWC (int8 path when the params
+    carry quantized weights — see ops/quantization.py)."""
+
+    if 'w_q' in params:
+        from megadetector_tpu.ops.quantization import quantized_conv
+        k = params['w_q'].shape[0]
+        p = k // 2 if pad is None else pad
+        return quantized_conv(params, x, stride, p, act=True,
+                              accum_dtype=dtype or x.dtype)
 
     w = params['w']
     b = params['b']
