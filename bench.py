@@ -44,7 +44,7 @@ def _accelerator_is_healthy(timeout_s=180):
         return False
 
 
-def bench(batch_sizes=(8, 16, 32), image_size=1280, dtype_name='bfloat16',
+def bench(batch_sizes=(16, 32, 64), image_size=1280, dtype_name='bfloat16',
           warmup=2, iters=5, verbose=True):
     if not _accelerator_is_healthy():
         print('Accelerator probe failed/hung; falling back to CPU',
