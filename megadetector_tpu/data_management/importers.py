@@ -173,10 +173,59 @@ def camtrap_dp_to_md(package_folder, output_file=None):
     return data
 
 
+
+
+def mewc_to_md(mewc_csv, output_file=None,
+               category_name_column='class_id'):
+    """
+    Convert MEWC (Mega Efficient Wildlife Classifier) output CSV to MD
+    format: rows carry filename, class, and probability; detections are
+    full-frame animal boxes with the class attached as a classification.
+    """
+
+    with open(mewc_csv, newline='') as f:
+        rows = list(csv.DictReader(f))
+
+    data = _base_output('mewc')
+    classification_names = {}
+    fn_to_detections = {}
+
+    for row in rows:
+        fn = row.get('filename') or row.get('file') or row.get('image')
+        if fn is None:
+            continue
+        fn_to_detections.setdefault(fn, [])
+        label = row.get(category_name_column) or row.get('class')
+        prob = float(row.get('prob') or row.get('probability') or
+                     row.get('conf') or 1.0)
+        if label is None or str(label).lower() in ('blank', 'empty'):
+            continue
+        label = str(label)
+        if label not in classification_names:
+            classification_names[label] = str(len(classification_names))
+        fn_to_detections[fn].append({
+            'category': '1',
+            'conf': round(prob, 3),
+            'bbox': [0.0, 0.0, 1.0, 1.0],
+            'classifications': [[classification_names[label],
+                                 round(prob, 4)]],
+        })
+
+    for fn, detections in fn_to_detections.items():
+        data['images'].append({'file': fn, 'detections': detections})
+    if classification_names:
+        data['classification_categories'] = {
+            v: k for k, v in classification_names.items()}
+
+    if output_file is not None:
+        ct_utils.write_json(output_file, data, force_str=True)
+    return data
+
+
 def main():
     parser = argparse.ArgumentParser(
         description='Convert third-party outputs to MD format')
-    parser.add_argument('format', choices=['zamba', 'animl', 'camtrap_dp'])
+    parser.add_argument('format', choices=['zamba', 'animl', 'camtrap_dp', 'mewc'])
     parser.add_argument('input_path')
     parser.add_argument('output_file')
 
@@ -186,7 +235,8 @@ def main():
 
     args = parser.parse_args()
     converter = {'zamba': zamba_to_md, 'animl': animl_to_md,
-                 'camtrap_dp': camtrap_dp_to_md}[args.format]
+                 'camtrap_dp': camtrap_dp_to_md,
+                 'mewc': mewc_to_md}[args.format]
     converter(args.input_path, args.output_file)
 
 
