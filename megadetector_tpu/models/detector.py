@@ -457,6 +457,12 @@ class TPUDetector:
             image_ids = ['unknown'] * len(img_originals)
         assert len(img_originals) == len(image_ids)
 
+        if augment and self.preprocess_mode == 'device':
+            raise ValueError(
+                'augment=True requires preprocess_mode=host (TTA rescales '
+                'the letterboxed canvas, which device mode computes '
+                'in-program)')
+
         results = [None] * len(img_originals)
         infos = []
         for idx, (img, image_id) in enumerate(zip(img_originals, image_ids)):
