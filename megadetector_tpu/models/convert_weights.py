@@ -439,6 +439,70 @@ def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
     return output_path
 
 
+def quantize_checkpoint(input_path, output_path,
+                        calibration_folder=None,
+                        calibration_image_size=640,
+                        n_calibration_images=8, verbose=False):
+    """
+    Produce a static-scale int8 checkpoint from a converted float
+    checkpoint: per-channel weight quantization + calibrated per-tensor
+    activation scales (measured: ~1.16-1.3x end-to-end over bf16 on v5e;
+    validate detection deltas against goldens before production use).
+
+    Calibration images come from [calibration_folder] (recommended: a
+    representative sample of real camera-trap images); without a folder,
+    synthetic noise is used (scales will be rough).
+    """
+
+    import jax
+    import numpy as _np
+    from megadetector_tpu.models import yolov5 as _yolov5
+    from megadetector_tpu.ops.quantization import (
+        calibrate_activation_scales, quantize_params)
+
+    params, metadata = load_checkpoint(input_path)
+    metadata = metadata or {}
+    arch = metadata.get('arch', 'yolov5l6')
+    config = _yolov5.YoloV5Config(
+        arch, num_classes=int(metadata.get('num_classes', 3)),
+        anchors=metadata.get('anchors'))
+
+    q = quantize_params(params)
+
+    s = calibration_image_size
+    if calibration_folder is not None:
+        import cv2
+        from megadetector_tpu.utils.path_utils import find_images
+        from megadetector_tpu.ops.boxes import letterbox
+        files = find_images(calibration_folder,
+                            recursive=True)[:n_calibration_images]
+        assert files, 'No calibration images in {}'.format(
+            calibration_folder)
+        imgs = []
+        for fn in files:
+            img = cv2.cvtColor(cv2.imread(fn), cv2.COLOR_BGR2RGB)
+            canvas, _, _ = letterbox(img, (s, s), auto=False,
+                                     scaleup=True)
+            imgs.append(canvas.astype(_np.float32) / 255.0)
+        samples = _np.stack(imgs)
+    else:
+        if verbose:
+            print('Warning: calibrating on synthetic noise; provide '
+                  'calibration images for production use')
+        samples = _np.random.RandomState(0).uniform(
+            0, 1, (4, s, s, 3)).astype(_np.float32)
+
+    calibrate_activation_scales(_yolov5.apply, config, q, samples)
+
+    metadata = dict(metadata)
+    metadata['quantized'] = True
+    metadata['quantization'] = 'int8-static'
+    save_checkpoint(q, output_path, metadata)
+    if verbose:
+        print('Quantized {} -> {}'.format(input_path, output_path))
+    return output_path
+
+
 def main():
     """CLI: python -m megadetector_tpu.models.convert_weights ckpt.pt out.npz"""
 
@@ -453,12 +517,22 @@ def main():
     parser.add_argument('--num_classes', type=int, default=None)
     parser.add_argument('--model_version', default=None)
     parser.add_argument('--verbose', action='store_true')
+    parser.add_argument('--quantize', action='store_true',
+                        help='also write an int8 static-scale checkpoint '
+                             '(<output>.int8.npz)')
+    parser.add_argument('--calibration_folder', default=None)
     args = parser.parse_args()
     out = convert_megadetector_checkpoint(
         args.checkpoint, args.output, arch=args.arch,
         num_classes=args.num_classes, model_version=args.model_version,
         verbose=args.verbose)
     print(out)
+    if args.quantize:
+        q_out = os.path.splitext(out)[0] + '.int8.npz'
+        quantize_checkpoint(out, q_out,
+                            calibration_folder=args.calibration_folder,
+                            verbose=args.verbose)
+        print(q_out)
 
 
 if __name__ == '__main__':

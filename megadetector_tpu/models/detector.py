@@ -192,13 +192,18 @@ class TPUDetector:
         self.class_names = metadata.get(
             'class_names', ['animal', 'person', 'vehicle'][:num_classes])
 
-        # Cast weights once to the compute dtype and place on device
-        if self.compute_dtype == jnp.bfloat16:
-            params = jax.tree_util.tree_map(
-                lambda a: jnp.asarray(a, jnp.bfloat16), params)
-        else:
-            params = jax.tree_util.tree_map(
-                lambda a: jnp.asarray(a, jnp.float32), params)
+        # Cast float weights once to the compute dtype and place on
+        # device (int8 leaves from quantized checkpoints stay int8)
+        target = jnp.bfloat16 if self.compute_dtype == jnp.bfloat16 \
+            else jnp.float32
+
+        def _cast(a):
+            a = jnp.asarray(a)
+            if jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 4:
+                return a.astype(target)
+            return a
+
+        params = jax.tree_util.tree_map(_cast, params)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -278,11 +278,15 @@ def _conv(params, x, stride, dtype=None, pad=None):
     carry quantized weights — see ops/quantization.py)."""
 
     if 'w_q' in params:
-        from megadetector_tpu.ops.quantization import quantized_conv
+        from megadetector_tpu.ops import quantization
+        if quantization._CALIBRATION_COLLECTOR is not None:
+            quantization._CALIBRATION_COLLECTOR.append(
+                (id(params), jnp.max(jnp.abs(x.astype(jnp.float32)))))
         k = params['w_q'].shape[0]
         p = k // 2 if pad is None else pad
-        return quantized_conv(params, x, stride, p, act=True,
-                              accum_dtype=dtype or x.dtype)
+        return quantization.quantized_conv(params, x, stride, p,
+                                           act=True,
+                                           accum_dtype=dtype or x.dtype)
 
     w = params['w']
     b = params['b']

@@ -66,10 +66,13 @@ def quantize_params(params, min_channels=32):
 def quantized_conv(params, x, stride, pad, act=True,
                    accum_dtype=jnp.bfloat16):
     """
-    int8 conv with dynamic per-tensor activation quantization.
+    int8 conv with per-tensor activation quantization: static scale when
+    the params carry a calibrated 'x_scale' (fused into the elementwise
+    chain, no reduction), dynamic abs-max otherwise.
 
     Args:
-        params: {'w_q' int8 HWIO, 'w_scale' f32 [c_out], 'b' f32}
+        params: {'w_q' int8 HWIO, 'w_scale' f32 [c_out], 'b' f32,
+                 optional 'x_scale' f32 scalar}
         x: [B, H, W, C] float activations
         stride, pad: conv geometry
         act: apply SiLU
@@ -78,11 +81,13 @@ def quantized_conv(params, x, stride, pad, act=True,
         float activations (accum_dtype)
     """
 
-    # Dynamic abs-max per tensor (cheap reduction; stop_gradient-free —
-    # inference only)
     x_f32 = x.astype(jnp.float32)
-    x_max = jnp.maximum(jnp.max(jnp.abs(x_f32)), 1e-6)
-    x_scale = x_max / 127.0
+    if 'x_scale' in params:
+        x_scale = jnp.asarray(params['x_scale'], jnp.float32)
+    else:
+        # Dynamic abs-max per tensor (inference only)
+        x_max = jnp.maximum(jnp.max(jnp.abs(x_f32)), 1e-6)
+        x_scale = x_max / 127.0
     x_q = jnp.clip(jnp.round(x_f32 / x_scale), -127, 127) \
         .astype(jnp.int8)
 
@@ -105,3 +110,75 @@ def is_quantized(params):
     """True when the conv node carries int8 weights."""
 
     return isinstance(params, dict) and 'w_q' in params
+
+
+#%% Static-scale calibration
+
+# When set (a list), yolov5._conv records (id(param_node), absmax tracer)
+# for every conv input — see calibrate_activation_scales()
+_CALIBRATION_COLLECTOR = None
+
+
+def calibrate_activation_scales(apply_fn, config, params_q, sample_images,
+                                percentile_headroom=1.0):
+    """
+    Calibrate static per-tensor activation scales for a quantized param
+    pytree.
+
+    Runs the (quantized, dynamic-scale) forward over [sample_images] with
+    a collector hooked into the conv entry points, records each quantized
+    conv's input abs-max across batches, and bakes
+    'x_scale' = max_abs * headroom / 127 into each quantized conv node
+    (in place; also returned).
+
+    Args:
+        apply_fn: the model's apply (e.g. models.yolov5.apply)
+        config: model config
+        params_q: quantize_params() output (modified in place)
+        sample_images: [N, H, W, 3] float in [0, 1] calibration images
+        percentile_headroom: multiplier on the observed max
+    """
+
+    global _CALIBRATION_COLLECTOR
+    import jax as _jax
+
+    # Map param-node identity -> node (so collector entries resolve)
+    id_to_node = {}
+
+    def walk(node):
+        if isinstance(node, dict):
+            if 'w_q' in node:
+                id_to_node[id(node)] = node
+            else:
+                for v in node.values():
+                    walk(v)
+    walk(params_q)
+
+    collector = []
+    _CALIBRATION_COLLECTOR = collector
+    try:
+        # Closure over params_q so traced nodes are these exact dicts
+        fn = _jax.jit(lambda x: (apply_fn(config, params_q, x),
+                                 [t for _, t in collector]))
+        _, stats = fn(jnp.asarray(sample_images, jnp.float32))
+    finally:
+        ids = [i for i, _ in collector]
+        _CALIBRATION_COLLECTOR = None
+
+    stats = [float(np.asarray(s)) for s in stats]
+    assert len(ids) == len(stats)
+
+    node_max = {}
+    for node_id, val in zip(ids, stats):
+        node_max[node_id] = max(node_max.get(node_id, 0.0), val)
+
+    n_set = 0
+    for node_id, val in node_max.items():
+        node = id_to_node.get(node_id)
+        if node is None:
+            continue
+        node['x_scale'] = np.float32(
+            max(val * percentile_headroom, 1e-6) / 127.0)
+        n_set += 1
+    assert n_set > 0, 'Calibration matched no quantized convs'
+    return params_q

@@ -61,3 +61,75 @@ def test_quantized_forward_close_to_float():
     box_err = np.abs(out_f[..., :4] - out_q[..., :4])
     assert np.percentile(box_err, 99) < 8.0, \
         '99p box err {:.2f}px'.format(np.percentile(box_err, 99))
+
+
+def test_static_calibration():
+    from megadetector_tpu.ops.quantization import (
+        calibrate_activation_scales, quantize_params)
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=0)
+    q = quantize_params(params)
+
+    rng = np.random.RandomState(2)
+    samples = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    calibrate_activation_scales(yolov5.apply, cfg, q, samples)
+
+    # Every quantized conv got a static scale
+    def count(node, key):
+        if isinstance(node, dict):
+            n = 1 if key in node else 0
+            return n + sum(count(v, key) for v in node.values())
+        return 0
+    assert count(q, 'x_scale') == count(q, 'w_q')
+    assert count(q, 'x_scale') > 0
+
+    # Static-scale forward still close to float
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out_f = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(cfg, p, x))(params, x))
+    out_q = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(cfg, p, x))(q, x))
+    probs_err = np.abs(out_f[..., 4:] - out_q[..., 4:])
+    assert np.percentile(probs_err, 99) < 0.12
+
+
+def test_quantized_checkpoint_in_detector(tmp_path):
+    """Quantized checkpoints load and run through TPUDetector."""
+
+    from megadetector_tpu.models.convert_weights import (
+        quantize_checkpoint, save_checkpoint)
+    from megadetector_tpu.models.detector import TPUDetector
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=7)
+    f_path = str(tmp_path / 'float.npz')
+    save_checkpoint(params, f_path, {
+        'model_version_string': 'v5a.0.1', 'arch': 'yolov5n',
+        'model_type': 'yolov5', 'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': 64, 'anchors': cfg.anchors.tolist()})
+
+    q_path = str(tmp_path / 'q.npz')
+    quantize_checkpoint(f_path, q_path, calibration_image_size=64)
+
+    detector_f = TPUDetector(f_path)
+    detector_q = TPUDetector(q_path)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)
+    out_f = detector_f.generate_detections_one_image(
+        img, 'x.jpg', detection_threshold=0.2)
+    out_q = detector_q.generate_detections_one_image(
+        img, 'x.jpg', detection_threshold=0.2)
+    assert out_q['detections'] is not None
+    # The confident detection sets broadly agree between float and int8
+    from megadetector_tpu.utils.md_tests import (MDTestOptions,
+                                                 compare_detection_lists)
+    options = MDTestOptions()
+    options.comparison_confidence_threshold = 0.24
+    options.iou_match_threshold = 0.6
+    options.max_conf_error = 0.05
+    options.max_coord_error = 0.05
+    r = compare_detection_lists(out_f['detections'],
+                                out_q['detections'], options)
+    assert len(r['matched']) > 0
