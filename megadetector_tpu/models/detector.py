@@ -54,6 +54,22 @@ DEFAULT_DETECTOR_LABEL_MAP = {
 
 DEFAULT_COMPATIBILITY_MODE = 'classic'
 
+# Process-level compiled-program cache: detectors with identical
+# architecture/dtype/NMS settings share jitted programs (params are
+# arguments, not captures), so constructing several detector instances —
+# or many small test detectors — doesn't recompile per instance.
+# Mesh-sharded programs are not shared (meshes have identity).
+_PROGRAM_CACHE = {}
+
+
+def _config_cache_key(config):
+    import hashlib
+    anchors = getattr(config, 'anchors', None)
+    anchors_digest = hashlib.md5(
+        np.asarray(anchors, np.float32).tobytes()).hexdigest() \
+        if anchors is not None else 'none'
+    return (config.arch, config.num_classes, anchors_digest)
+
 # Test hook: when True, constructing a detector with the default
 # compatibility mode raises — used by test drivers to verify that option
 # plumbing reaches the detector (reference:
@@ -229,6 +245,17 @@ class TPUDetector:
         max_det = self.max_det
         apply_fn = self._apply_fn
 
+        # Share programs across detector instances with equal settings
+        global_key = None
+        if self.mesh is None:
+            global_key = ('std', _config_cache_key(config),
+                          str(dtype), pre_nms_topk, max_det,
+                          batch_size, height, width)
+            if global_key in _PROGRAM_CACHE:
+                fn = _PROGRAM_CACHE[global_key]
+                self._compiled[key] = fn
+                return fn
+
         def program(params, images_u8, conf_thres, iou_thres):
             x = images_u8.astype(dtype) / dtype(255.0)
             pred = apply_fn(config, params, x, dtype=dtype)
@@ -246,6 +273,7 @@ class TPUDetector:
                                             P(self.batch_axis)))
         else:
             fn = jax.jit(program)
+            _PROGRAM_CACHE[global_key] = fn
 
         self._compiled[key] = fn
         return fn
