@@ -88,6 +88,51 @@ def lila_image_url(dataset_entry, image_file_name, preferred_cloud='gcp'):
     return base + image_file_name.lstrip('/')
 
 
+def select_lila_images_by_species(cct_json_file, species_of_interest):
+    """
+    Image file names in a LILA CCT metadata file whose annotations
+    include any of [species_of_interest] (case-insensitive). This is
+    the selection step of the reference's
+    data_management/lila/download_lila_subset.py workflow.
+    """
+
+    from megadetector_tpu.data_management.cct_json_utils import \
+        IndexedJsonDb
+
+    wanted = {s.lower() for s in species_of_interest}
+    db = IndexedJsonDb(cct_json_file)
+    files = []
+    for im in db.db['images']:
+        classes = {c.lower() for c in db.get_classes_for_image(im)}
+        if classes & wanted:
+            files.append(im['file_name'])
+    return files
+
+
+def download_lila_subset(dataset_entry, image_file_names, output_folder,
+                         preferred_cloud='gcp', n_workers=20,
+                         dry_run=False):
+    """
+    Download a subset of one LILA dataset's images into
+    [output_folder], preserving relative paths (reference:
+    data_management/lila/download_lila_subset.py). Returns the
+    {url: target} mapping when dry_run (offline tests), else the
+    per-URL download status dict from parallel_download_urls.
+    """
+
+    from megadetector_tpu.utils.url_utils import parallel_download_urls
+
+    url_to_target = {}
+    for fn in image_file_names:
+        url = lila_image_url(dataset_entry, fn,
+                             preferred_cloud=preferred_cloud)
+        url_to_target[url] = os.path.join(output_folder,
+                                          fn.lstrip('/'))
+    if dry_run:
+        return url_to_target
+    return parallel_download_urls(url_to_target, n_workers=n_workers)
+
+
 def generate_lila_per_image_labels(cct_json_file, output_file=None):
     """
     Flatten a LILA CCT metadata file to one record per image with its

@@ -187,3 +187,34 @@ def test_lila_helpers(tmp_path):
         'categories': [{'id': 1, 'name': 'deer'}]}
     records = generate_lila_per_image_labels(cct)
     assert records[0]['labels'] == ['deer']
+
+
+def test_lila_subset_download_mapping(tmp_path):
+    from megadetector_tpu.data_management.lila.lila_common import (
+        download_lila_subset, select_lila_images_by_species)
+
+    cct = {'images': [
+        {'id': 'im0', 'file_name': 'loc1/a.jpg'},
+        {'id': 'im1', 'file_name': 'loc2/b.jpg'},
+        {'id': 'im2', 'file_name': 'loc1/c.jpg'}],
+        'annotations': [
+            {'id': 0, 'image_id': 'im0', 'category_id': 1},
+            {'id': 1, 'image_id': 'im1', 'category_id': 2},
+            {'id': 2, 'image_id': 'im2', 'category_id': 1}],
+        'categories': [{'id': 1, 'name': 'Deer'},
+                       {'id': 2, 'name': 'empty'}]}
+    cct_file = str(tmp_path / 'cct.json')
+    import json
+    with open(cct_file, 'w') as f:
+        json.dump(cct, f)
+
+    files = select_lila_images_by_species(cct_file, ['deer'])
+    assert sorted(files) == ['loc1/a.jpg', 'loc1/c.jpg']
+
+    entry = {'image_base_url': 'https://example/images/'}
+    mapping = download_lila_subset(entry, files, str(tmp_path / 'out'),
+                                   dry_run=True)
+    assert 'https://example/images/loc1/a.jpg' in mapping
+    import os
+    assert mapping['https://example/images/loc1/a.jpg'] == \
+        os.path.join(str(tmp_path / 'out'), 'loc1/a.jpg')
