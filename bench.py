@@ -25,23 +25,44 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 17.6  # MDv5 on RTX 4090, reference megadetector.md:350
 
 
-def _accelerator_is_healthy(timeout_s=180):
+def _accelerator_is_healthy(timeout_s=240, retries=3, retry_wait_s=60):
     """
     Probe the default JAX backend in a subprocess with a timeout: a wedged
     remote-TPU tunnel blocks forever in device ops, which would otherwise
-    hang the whole benchmark.
+    hang the whole benchmark. Retries with a backoff wait because the
+    tunnel recovers on its own after transient failures.
     """
 
-    probe = ('import jax, numpy as np;'
-             'x = jax.device_put(np.ones((128,128), np.float32));'
-             'y = jax.jit(lambda a: (a @ a).sum())(x);'
-             'print(float(y))')
-    try:
-        out = subprocess.run([sys.executable, '-c', probe],
-                             capture_output=True, timeout=timeout_s)
-        return out.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    # The child self-exits via a watchdog thread (os._exit works even while
+    # the main thread is blocked in a device op). NEVER hard-kill a process
+    # mid-TPU-op from outside: that wedges the remote tunnel claim.
+    probe = (
+        'import os, threading;'
+        'threading.Timer({}, lambda: os._exit(3)).start();'
+        'import jax, numpy as np;'
+        'x = jax.device_put(np.ones((128,128), np.float32));'
+        'y = jax.jit(lambda a: (a @ a).sum())(x);'
+        'print(float(np.asarray(jax.device_get(y))));'
+        'os._exit(0)'.format(timeout_s))
+    for attempt in range(retries):
+        if attempt:
+            print('accelerator probe retry {}/{} in {}s'.format(
+                attempt + 1, retries, retry_wait_s), file=sys.stderr)
+            time.sleep(retry_wait_s)
+        try:
+            out = subprocess.run([sys.executable, '-c', probe],
+                                 capture_output=True,
+                                 timeout=timeout_s + 60)
+            if out.returncode == 0:
+                return True
+            print('probe attempt {} failed (rc {}): {}'.format(
+                attempt + 1, out.returncode,
+                out.stderr.decode(errors='replace')[-500:]),
+                file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print('probe attempt {} timed out after {}s'.format(
+                attempt + 1, timeout_s), file=sys.stderr)
+    return False
 
 
 def bench(batch_sizes=(16, 32, 64), image_size=1280, dtype_name='bfloat16',
@@ -59,9 +80,13 @@ def bench(batch_sizes=(16, 32, 64), image_size=1280, dtype_name='bfloat16',
     from megadetector_tpu.ops.nms import batched_nms
 
     platform = jax.devices()[0].platform
-    if platform == 'cpu':
+    cpu_fallback = platform == 'cpu'
+    if cpu_fallback:
         # CPU smoke configuration: tiny canvas / batch so the bench still
-        # produces a number without TPU hardware
+        # produces a number without TPU hardware. The emitted metric is
+        # labeled with the ACTUAL canvas and vs_baseline is nulled out —
+        # a 320px CPU smoke number is not comparable to the 1280px
+        # RTX-4090 baseline.
         batch_sizes = (1,)
         image_size = 320
         iters = 2
@@ -140,9 +165,9 @@ def bench(batch_sizes=(16, 32, 64), image_size=1280, dtype_name='bfloat16',
             best_rate = rate
             best_batch = batch
 
-    return {
-        'metric': 'images/sec (MDv5 @1280px batch, {} {})'.format(
-            platform, dtype_name),
+    result = {
+        'metric': 'images/sec (MDv5 @{}px batch, {} {})'.format(
+            image_size, platform, dtype_name),
         'value': round(best_rate, 2),
         'unit': 'img/s',
         'vs_baseline': round(best_rate / BASELINE_IMG_PER_SEC, 3),
@@ -151,6 +176,14 @@ def bench(batch_sizes=(16, 32, 64), image_size=1280, dtype_name='bfloat16',
         'p50_latency_ms_batch1': round(p50_latency_ms, 1)
         if p50_latency_ms else None,
     }
+    if cpu_fallback:
+        # Not comparable to the @1280px RTX-4090 baseline
+        result['vs_baseline'] = None
+        result['cpu_fallback'] = True
+        print('WARNING: accelerator unavailable; this is a CPU smoke '
+              'number at {}px, NOT the @1280px TPU benchmark'.format(
+                  image_size), file=sys.stderr)
+    return result
 
 
 if __name__ == '__main__':

@@ -13,6 +13,7 @@ postprocessing.combine_batch_outputs.
 """
 
 import jax
+import numpy as np
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -28,7 +29,7 @@ def make_data_mesh(n_devices=None, axis_name='data'):
             'Requested {} devices but only {} available'.format(
                 n_devices, len(devices))
         devices = devices[:n_devices]
-    return Mesh(jax.numpy.array(devices).reshape(-1), (axis_name,))
+    return Mesh(np.array(devices, dtype=object).reshape(-1), (axis_name,))
 
 
 def batch_sharding(mesh, axis_name='data'):
@@ -49,8 +50,6 @@ def pad_batch_to_multiple(batch_arrays, multiple):
     numpy arrays sharing batch size) to a multiple of [multiple] by
     repeating the last element. Returns (padded_arrays, original_size).
     """
-
-    import numpy as np
 
     n = batch_arrays[0].shape[0]
     remainder = n % multiple
