@@ -16,12 +16,14 @@ FAILURE_IMAGE_OPEN = 'image access failure'
 def load_and_letterbox(args):
     """
     Worker entry: (im_file, image_size, stride, compatibility_mode,
-    preprocess_mode) -> (im_file, info dict or failure string).
-    The info dict matches TPUDetector.preprocess_image()'s contract.
+    preprocess_mode[, max_staging_side]) -> (im_file, info dict or
+    failure string). The info dict matches
+    TPUDetector.preprocess_image()'s contract.
     """
 
     (im_file, image_size, stride, compatibility_mode,
-     preprocess_mode) = args
+     preprocess_mode) = args[:5]
+    max_staging_side = args[5] if len(args) > 5 else None
 
     from megadetector_tpu.visualization.visualization_utils import \
         load_image
@@ -40,6 +42,16 @@ def load_and_letterbox(args):
 
     try:
         if preprocess_mode == 'device':
+            # Same >max_staging_side host pre-shrink that
+            # TPUDetector.preprocess_image applies: bounds the staging
+            # canvas so huge images don't trigger a new XLA compile per
+            # distinct size. Normalized coords are scale-invariant, so
+            # scaling_shape tracks the shrunk image.
+            max_side = int(max_staging_side or 4096)
+            if max(img_original.shape[:2]) > max_side:
+                img_original, _ = box_ops.resize_long_side(
+                    img_original, max_side)
+                info['scaling_shape'] = img_original.shape
             info['img_processed'] = None
             info['img_original'] = img_original
             info['target_shape'] = (image_size, image_size)

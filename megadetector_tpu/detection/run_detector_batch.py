@@ -223,8 +223,29 @@ def load_and_run_detector_batch(model_file,
         # One compiled program serves full and tail batches
         detector_options = dict(detector_options or {})
         detector_options.setdefault('pad_batches_to', batch_size)
+        use_mesh = str(detector_options.pop('use_mesh', 'true')).lower() \
+            not in ('false', '0', 'no')
         detector = load_detector(model_file,
                                  detector_options=detector_options)
+
+        # Data-parallel batch sharding over all local devices (the
+        # TPU-native analog of the reference's one-process-per-GPU
+        # sharding, run_detector_batch.py:20-34). Done after
+        # load_detector so a force_cpu option has already taken effect.
+        if use_mesh and hasattr(detector, 'mesh') and \
+                detector.mesh is None:
+            import jax
+            n_dev = jax.local_device_count()
+            if n_dev > 1:
+                from megadetector_tpu.parallel.mesh import make_data_mesh
+                if batch_size % n_dev != 0:
+                    batch_size = ((batch_size + n_dev - 1)
+                                  // n_dev) * n_dev
+                    if not quiet:
+                        print('Rounded batch size up to {} for {} '
+                              'devices'.format(batch_size, n_dev))
+                detector.pad_batches_to = batch_size
+                detector.mesh = make_data_mesh()
 
     # --- Async loader pool -> bounded queue of (index, info) ---
     #
@@ -239,6 +260,7 @@ def load_and_run_detector_batch(model_file,
 
     threads = []
     if loader_pool_type == 'process':
+        import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
         from megadetector_tpu.detection._loader_worker import \
             load_and_letterbox
@@ -247,12 +269,17 @@ def load_and_run_detector_batch(model_file,
         worker_args = [
             (fn, image_size_resolved, detector.letterbox_stride,
              detector.compatibility_mode,
-             getattr(detector, 'preprocess_mode', 'host'))
+             getattr(detector, 'preprocess_mode', 'host'),
+             getattr(detector, 'max_staging_side', None))
             for fn in images_to_process]
 
         def pump():
+            # spawn, not fork: JAX is initialized (and multithreaded) in
+            # this process by the time the pool starts; forking it can
+            # deadlock. The worker module is jax-free, so spawn is safe.
             with ProcessPoolExecutor(
-                    max_workers=loader_workers) as pool:
+                    max_workers=loader_workers,
+                    mp_context=multiprocessing.get_context('spawn')) as pool:
                 for i, (im_file, info) in enumerate(
                         pool.map(load_and_letterbox, worker_args,
                                  chunksize=4)):

@@ -122,6 +122,7 @@ class TPUDetector:
         self.batch_axis = options.get('batch_axis', 'data')
         self.pre_nms_topk = int(options.get('pre_nms_topk', 1024))
         self.max_det = int(options.get('max_det', 300))
+        self._warned_low_threshold_topk = False
 
         # Pad partial batches up to this size so one compiled program
         # serves every step (tail batches otherwise each trigger a new
@@ -531,6 +532,11 @@ class TPUDetector:
                 self._run_batch(infos, results, detection_threshold,
                                 augment)
             except Exception as e:
+                # Failure containment is contractual (reference
+                # pytorch_detector.py:1240-1249), but never silently:
+                # one diagnostic line always, full trace when verbose
+                print('Inference failure on batch of {}: {}'.format(
+                    len(infos), e))
                 if verbose:
                     import traceback
                     traceback.print_exc()
@@ -548,13 +554,38 @@ class TPUDetector:
 
         nms_iou = 0.45 if 'classic' in self.compatibility_mode else 0.6
 
+        # The fixed-shape NMS truncates the candidate set to pre_nms_topk
+        # before suppression (the reference nms() has no such cap,
+        # pytorch_detector.py:502-610). At very low thresholds more
+        # candidates than that can pass the objectness filter, silently
+        # dropping the lowest-confidence detections. Warn once; callers
+        # who need the deep tail can raise pre_nms_topk via
+        # detector_options.
+        if detection_threshold < 0.005 and self.pre_nms_topk < 2048 and \
+                not self._warned_low_threshold_topk:
+            print('Warning: detection_threshold {} is very low but '
+                  'pre_nms_topk is {}; detections beyond the top {} '
+                  'candidates per image will be dropped (set the '
+                  'pre_nms_topk detector option to keep more)'.format(
+                      detection_threshold, self.pre_nms_topk,
+                      self.pre_nms_topk))
+            self._warned_low_threshold_topk = True
+
         # Pad partial batches by repeating the last image; padded slots
         # are dropped below (their `idx` is None)
         n_real = len(infos)
+        target = n_real
         if self.pad_batches_to is not None and \
                 n_real < self.pad_batches_to:
+            target = self.pad_batches_to
+        if self.mesh is not None:
+            # The batch axis shards over the mesh, so it must be a
+            # multiple of the device count
+            n_dev = int(self.mesh.devices.size)
+            target = ((target + n_dev - 1) // n_dev) * n_dev
+        if target > n_real:
             infos = list(infos) + \
-                [(None, infos[-1][1])] * (self.pad_batches_to - n_real)
+                [(None, infos[-1][1])] * (target - n_real)
 
         if self.preprocess_mode == 'device' and \
                 infos[0][1].get('img_processed') is None:

@@ -12,6 +12,7 @@ urllib. All calls require a WI API token.
 """
 
 import json
+import os
 import urllib.request
 
 WI_API_BASE = 'https://api.wildlifeinsights.org/api/v1'
@@ -100,7 +101,6 @@ class WIPlatformClient:
 
         from megadetector_tpu.utils.url_utils import \
             parallel_download_urls
-        import os
 
         images = self.list_images(project_id)
         url_to_target = {}
@@ -131,11 +131,18 @@ class WIPlatformClient:
             predictions = md_to_wi(
                 md_results, detection_threshold=confidence_threshold)
         else:
-            tmp = tempfile.mktemp(suffix='.json')
-            from megadetector_tpu.utils.ct_utils import write_json
-            write_json(tmp, md_results, force_str=True)
-            predictions = md_to_wi(
-                tmp, detection_threshold=confidence_threshold)
+            fd, tmp = tempfile.mkstemp(suffix='.json')
+            os.close(fd)
+            try:
+                from megadetector_tpu.utils.ct_utils import write_json
+                write_json(tmp, md_results, force_str=True)
+                predictions = md_to_wi(
+                    tmp, detection_threshold=confidence_threshold)
+            finally:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
 
         responses = []
         records = predictions['predictions']
