@@ -1,0 +1,178 @@
+"""
+Golden-contract tests at the reference's golden tolerances (conf 0.005 /
+coord 0.001 / IoU-match 0.85; reference megadetector/utils/md_tests.py:
+90-97,128), comparing the REAL TPU pipeline (letterbox -> program ->
+NMS -> scale_coords -> truncation -> MD format) against an independent
+implementation of the reference's classic-mode pipeline
+(tests/reference_pipeline.py).
+
+Real MDv5 weights are unobtainable in this air-gapped environment, and
+random deep-net weights degenerate into exactly-tied NMS candidates, so
+the forward pass is a deterministic stub implemented identically in
+numpy/torch and JAX (tests/stub_model.py): image-dependent,
+well-separated predictions that exercise every post-forward stage with
+zero tie ambiguity. The YOLO forward itself is separately verified
+against torch at 2e-4 (tests/test_yolov5_model.py).
+
+Also answers SURVEY §7(b) at the geometry level: detections computed on
+the full square canvas vs the reference's minimal stride rectangle map
+back to identical original-image coordinates.
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip('torch')
+
+from megadetector_tpu.models import yolov5
+from megadetector_tpu.models.convert_weights import save_checkpoint
+from megadetector_tpu.utils import md_tests as comparator
+
+from reference_pipeline import reference_detect_one_image
+from stub_model import NumpyStubModel, make_stub_detector
+
+IMAGE_SIZE = 256
+STRIDE = 32
+
+
+def _structured_images(sizes):
+    """Images with gradients, blocks, a disc, and broadband noise (noise
+    separates per-cell statistics so no two scores tie)."""
+
+    images = []
+    rng = np.random.RandomState(42)
+    for (h, w) in sizes:
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img[..., 0] = (255 * xx / w).astype(np.uint8)
+        img[..., 1] = (255 * yy / h).astype(np.uint8)
+        img[..., 2] = 96
+        for _ in range(4):
+            y0 = rng.randint(0, h - h // 4)
+            x0 = rng.randint(0, w - w // 4)
+            color = rng.randint(0, 255, 3)
+            img[y0:y0 + h // 5, x0:x0 + w // 5] = color
+        cy, cx, r = h // 3, w // 2, min(h, w) // 6
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2
+        img[mask] = (220, 40, 40)
+        noise = rng.randint(-18, 18, (h, w, 3))
+        img = np.clip(img.astype(np.int32) + noise, 0, 255) \
+            .astype(np.uint8)
+        images.append(img)
+    return images
+
+
+@pytest.fixture(scope='module')
+def stub_pair(tmp_path_factory):
+    """(numpy/torch oracle model, JAX stub TPUDetector)."""
+
+    config = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    folder = tmp_path_factory.mktemp('stub_model')
+    path = str(folder / 'stub.npz')
+    save_checkpoint(yolov5.init_params(config, seed=0), path, {
+        'metadata_format_version': 1.0,
+        'model_version_string': 'v5a.0.1',
+        'arch': 'yolov5n',
+        'model_type': 'yolov5',
+        'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': IMAGE_SIZE,
+        'strides': [8, 16, 32],
+        'anchors': config.anchors.tolist(),
+    })
+    return NumpyStubModel(), make_stub_detector(path)
+
+
+def _strict_options(comparison_threshold=0.1):
+    options = comparator.MDTestOptions()
+    options.comparison_confidence_threshold = comparison_threshold
+    options.iou_match_threshold = 0.85
+    options.max_conf_error = 0.005
+    options.max_coord_error = 0.001
+    return options
+
+
+def test_full_pipeline_matches_reference_same_canvas(stub_pair):
+    """
+    With BOTH pipelines letterboxing to the full square canvas, every
+    detection above the comparison threshold must match within the
+    golden tolerances: NMS semantics, scale_coords+round, truncation,
+    category mapping, and the MD dict contract, end to end.
+    """
+
+    oracle_model, detector = stub_pair
+    options = _strict_options()
+
+    n_compared = 0
+    # Production-scale sizes: 1px rounding churn at a .5 boundary
+    # must stay within the 0.001 coord tolerance (min side >= 1024)
+    sizes = [(1600, 1200), (1200, 1600), (1024, 1024),
+             (1536, 2048), (1056, 1440)]
+    for i, img in enumerate(_structured_images(sizes)):
+        expected = reference_detect_one_image(
+            oracle_model, img, IMAGE_SIZE, stride=STRIDE,
+            detection_threshold=0.005, letterbox_auto=False)
+        got = detector.generate_detections_one_image(
+            img, 'img_{}.jpg'.format(i), detection_threshold=0.005)
+        r = comparator.compare_detection_lists(
+            expected, got['detections'], options,
+            image_id='img_{}.jpg'.format(i))
+        assert not r['errors'], \
+            'golden mismatch on image {}: {}'.format(i, r['errors'][:5])
+        n_compared += len(r['matched'])
+    assert n_compared >= 10, \
+        'too few detections above the comparison threshold ' \
+        '({})'.format(n_compared)
+
+
+def test_low_confidence_tail_matches(stub_pair):
+    """The 0.005-floor tail (below-typical-threshold detections) is part
+    of the output contract (reference run_detector.py:251)."""
+
+    oracle_model, detector = stub_pair
+    options = _strict_options(comparison_threshold=0.005)
+
+    img = _structured_images([(1280, 1080)])[0]
+    expected = reference_detect_one_image(
+        oracle_model, img, IMAGE_SIZE, stride=STRIDE,
+        detection_threshold=0.005, letterbox_auto=False)
+    got = detector.generate_detections_one_image(
+        img, 'tail.jpg', detection_threshold=0.005)
+    r = comparator.compare_detection_lists(
+        expected, got['detections'], options, image_id='tail.jpg')
+    assert not r['errors'], 'tail mismatch: {}'.format(r['errors'][:5])
+    assert len(expected) == len(got['detections'])
+
+
+def test_square_canvas_vs_reference_rectangle(stub_pair):
+    """
+    SURVEY §7(b): the reference letterboxes to a minimal stride-multiple
+    rectangle (letterbox auto=True); this build uses the full square
+    canvas so one compiled program serves every aspect ratio. For
+    stride-aligned geometries the mapped-back detections must agree
+    within the golden tolerances.
+    """
+
+    oracle_model, detector = stub_pair
+    options = _strict_options(comparison_threshold=0.1)
+
+    # Aspect ratios whose letterbox padding is a multiple of the 32px
+    # stub cell, so cell statistics align across the two canvases
+    sizes = [(1600, 1200), (1200, 1600), (2048, 1536), (1536, 2048)]
+    total_matched = 0
+    total_errors = []
+    for i, img in enumerate(_structured_images(sizes)):
+        expected = reference_detect_one_image(
+            oracle_model, img, IMAGE_SIZE, stride=STRIDE,
+            detection_threshold=0.005, letterbox_auto=True)
+        got = detector.generate_detections_one_image(
+            img, 'img_{}.jpg'.format(i), detection_threshold=0.005)
+        r = comparator.compare_detection_lists(
+            expected, got['detections'], options,
+            image_id='img_{}.jpg'.format(i))
+        total_matched += len(r['matched'])
+        total_errors.extend(r['errors'])
+    assert total_matched >= 8, 'too few cross-canvas matches'
+    assert not total_errors, \
+        'square-canvas vs stride-rectangle divergence: {}'.format(
+            total_errors[:5])
