@@ -88,6 +88,11 @@ def load_checkpoint(path):
         flat = {k: data[k] for k in data.files}
     params = unflatten_params(flat)
 
+    # Chained-int8 nodes need their static scales rehydrated as Python
+    # floats (pytree aux data) rather than 0-d array leaves
+    from megadetector_tpu.ops.quantization import requalify_quantized
+    params = requalify_quantized(params)
+
     metadata = None
     if os.path.isfile(meta_path):
         with open(meta_path, 'r') as f:
@@ -344,6 +349,175 @@ def convert_yolov5_state_dict(state_dict, config):
     return params, anchors
 
 
+def convert_rfdetr_state_dict(state_dict, config):
+    """
+    Map an RF-DETR torch state dict (HF Dinov2WithRegisters backbone
+    naming + LW-DETR transformer naming; see
+    megadetector/detection/rfdetr_detector.py:34-141 for the reference
+    loader this replaces) onto the models/rfdetr.py param structure.
+    Returns the params pytree.
+    """
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def lin(prefix):
+        return {'w': sd[prefix + '.weight'].T.astype(np.float32),
+                'b': sd[prefix + '.bias'].astype(np.float32)}
+
+    def ln(prefix):
+        return {'g': sd[prefix + '.weight'].astype(np.float32),
+                'b': sd[prefix + '.bias'].astype(np.float32)}
+
+    def conv(prefix):
+        # torch OIHW -> HWIO
+        return {'w': sd[prefix + '.weight'].transpose(2, 3, 1, 0)
+                .astype(np.float32),
+                'b': sd[prefix + '.bias'].astype(np.float32)}
+
+    def mlp3(prefix):
+        return {'l{}'.format(i): lin('{}.layers.{}'.format(prefix, i))
+                for i in range(3)}
+
+    enc = 'backbone.0.encoder'
+    emb = enc + '.embeddings'
+    c = config
+
+    blocks = []
+    for i in range(c.vit_depth):
+        base = '{}.encoder.layer.{}'.format(enc, i)
+        att = base + '.attention.attention'
+        q = lin(att + '.query')
+        k = lin(att + '.key')
+        v = lin(att + '.value')
+        blocks.append({
+            'norm1': ln(base + '.norm1'),
+            'qkv': {'w': np.concatenate([q['w'], k['w'], v['w']],
+                                        axis=1),
+                    'b': np.concatenate([q['b'], k['b'], v['b']])},
+            'proj': lin(base + '.attention.output.dense'),
+            'ls1': {'g': sd[base + '.layer_scale1.lambda1']
+                    .astype(np.float32)},
+            'norm2': ln(base + '.norm2'),
+            'fc1': lin(base + '.mlp.fc1'),
+            'fc2': lin(base + '.mlp.fc2'),
+            'ls2': {'g': sd[base + '.layer_scale2.lambda1']
+                    .astype(np.float32)},
+        })
+
+    dec_layers = []
+    i = 0
+    while 'transformer.decoder.layers.{}.norm1.weight'.format(i) in sd:
+        base = 'transformer.decoder.layers.{}'.format(i)
+        in_w = sd[base + '.self_attn.in_proj_weight']
+        in_b = sd[base + '.self_attn.in_proj_bias']
+        dec_layers.append({
+            'self_qkv': {'w': in_w.T.astype(np.float32),
+                         'b': in_b.astype(np.float32)},
+            'self_proj': lin(base + '.self_attn.out_proj'),
+            'norm1': ln(base + '.norm1'),
+            'sampling_offsets': lin(base + '.cross_attn'
+                                    '.sampling_offsets'),
+            'attention_weights': lin(base + '.cross_attn'
+                                     '.attention_weights'),
+            'value_proj': lin(base + '.cross_attn.value_proj'),
+            'output_proj': lin(base + '.cross_attn.output_proj'),
+            'norm2': ln(base + '.norm2'),
+            'linear1': lin(base + '.linear1'),
+            'linear2': lin(base + '.linear2'),
+            'norm3': ln(base + '.norm3'),
+        })
+        i += 1
+
+    params = {
+        'patch_embed': conv(emb + '.patch_embeddings.projection'),
+        'cls_token': sd[emb + '.cls_token'].astype(np.float32),
+        'register_tokens': sd[emb + '.register_tokens']
+        .astype(np.float32),
+        'pos_embed': sd[emb + '.position_embeddings']
+        .astype(np.float32),
+        'blocks': {'b{}'.format(k): blk
+                   for k, blk in enumerate(blocks)},
+        'out_norms': {
+            'n{}'.format(k): ln('backbone.0.out_norms.{}'.format(k))
+            for k in range(len(c.out_block_indexes))},
+        'projector': {
+            'conv1': conv('backbone.0.projector.conv1'),
+            'norm1': ln('backbone.0.projector.norm1'),
+            'downs': {
+                'd{}'.format(k):
+                conv('backbone.0.projector.downs.{}'.format(k))
+                for k in range(c.num_levels - 1)},
+            'down_norms': {
+                'n{}'.format(k):
+                ln('backbone.0.projector.down_norms.{}'.format(k))
+                for k in range(c.num_levels - 1)},
+        },
+        'level_embed': sd['transformer.level_embed']
+        .astype(np.float32),
+        'enc_output': lin('transformer.enc_output'),
+        'enc_output_norm': ln('transformer.enc_output_norm'),
+        'enc_out_class_embed': lin('transformer.enc_out_class_embed'),
+        'enc_out_bbox_embed': mlp3('transformer.enc_out_bbox_embed'),
+        'ref_point_head': {
+            'l0': lin('transformer.ref_point_head.layers.0'),
+            'l1': lin('transformer.ref_point_head.layers.1'),
+        },
+        'decoder': {'d{}'.format(k): layer
+                    for k, layer in enumerate(dec_layers)},
+        'decoder_norm': ln('transformer.decoder.norm'),
+        'class_embed': lin('class_embed'),
+        'bbox_embed': mlp3('bbox_embed'),
+    }
+    return params
+
+
+def convert_rfdetr_checkpoint(checkpoint_path, output_path=None,
+                              arch='rfdetr_base', num_classes=None,
+                              image_size=None, class_names=None,
+                              verbose=False):
+    """
+    Offline conversion of an RF-DETR .pth checkpoint to the TPU-native
+    .npz format. Reads the state dict via the stub unpickler (torch
+    never runs in the serving path), maps it with
+    convert_rfdetr_state_dict, and writes checkpoint + metadata.
+    """
+
+    state, extras = extract_torch_state_dict(checkpoint_path)
+    # rfdetr checkpoints store under 'model' (handled by the extractor)
+    # and carry a model_config block with resolution / class names
+    model_config = extras.get('model_config', {}) or {}
+    if num_classes is None:
+        num_classes = int(model_config.get('num_classes', 0)) or None
+    if num_classes is None:
+        num_classes = state['class_embed.bias'].shape[0]
+    if image_size is None:
+        image_size = int(model_config.get('resolution', 560))
+    if class_names is None:
+        class_names = extras.get('class_names',
+                                 model_config.get('class_names'))
+
+    from megadetector_tpu.models.rfdetr import RFDetrConfig
+    config = RFDetrConfig(arch, num_classes=num_classes,
+                          image_size=image_size)
+    params = convert_rfdetr_state_dict(state, config)
+
+    if output_path is None:
+        output_path = os.path.splitext(checkpoint_path)[0] + '.npz'
+    metadata = {
+        'metadata_format_version': 1.0,
+        'arch': arch,
+        'model_type': 'rfdetr',
+        'num_classes': int(num_classes),
+        'image_size': int(image_size),
+        'class_names': list(class_names) if class_names else None,
+    }
+    save_checkpoint(params, output_path, metadata)
+    if verbose:
+        print('Converted {} -> {}'.format(checkpoint_path,
+                                          output_path))
+    return output_path
+
+
 def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
                                     arch=None, num_classes=None,
                                     model_version=None, image_size=1280,
@@ -442,23 +616,28 @@ def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
 def quantize_checkpoint(input_path, output_path,
                         calibration_folder=None,
                         calibration_image_size=640,
-                        n_calibration_images=8, verbose=False):
+                        n_calibration_images=8, verbose=False,
+                        mode='chain'):
     """
-    Produce a static-scale int8 checkpoint from a converted float
-    checkpoint: per-channel weight quantization + calibrated per-tensor
-    activation scales (measured: ~1.16-1.3x end-to-end over bf16 on v5e;
-    validate detection deltas against goldens before production use).
+    Produce an int8 checkpoint from a converted float checkpoint.
+
+    mode='chain' (default): int8-in/int8-out conv chains with calibrated
+    static x/y scales — activations stay int8 in HBM between layers,
+    convs run the 2x int8 MXU path. mode='static': the older per-conv
+    static input scales with float activations between layers.
 
     Calibration images come from [calibration_folder] (recommended: a
     representative sample of real camera-trap images); without a folder,
-    synthetic noise is used (scales will be rough).
+    synthetic noise is used (scales will be rough). Validate detection
+    deltas against goldens before production use.
     """
 
     import jax
     import numpy as _np
     from megadetector_tpu.models import yolov5 as _yolov5
     from megadetector_tpu.ops.quantization import (
-        calibrate_activation_scales, quantize_params)
+        calibrate_activation_scales, calibrate_chain_scales,
+        quantize_params, quantize_params_chain)
 
     params, metadata = load_checkpoint(input_path)
     metadata = metadata or {}
@@ -467,7 +646,11 @@ def quantize_checkpoint(input_path, output_path,
         arch, num_classes=int(metadata.get('num_classes', 3)),
         anchors=metadata.get('anchors'))
 
-    q = quantize_params(params)
+    if mode == 'chain':
+        detect_name = 'l{}'.format(len(config.layers) - 1)
+        q = quantize_params_chain(params, skip_names=(detect_name,))
+    else:
+        q = quantize_params(params)
 
     s = calibration_image_size
     if calibration_folder is not None:
@@ -492,11 +675,14 @@ def quantize_checkpoint(input_path, output_path,
         samples = _np.random.RandomState(0).uniform(
             0, 1, (4, s, s, 3)).astype(_np.float32)
 
-    calibrate_activation_scales(_yolov5.apply, config, q, samples)
+    if mode == 'chain':
+        calibrate_chain_scales(_yolov5.apply, config, q, samples)
+    else:
+        calibrate_activation_scales(_yolov5.apply, config, q, samples)
 
     metadata = dict(metadata)
     metadata['quantized'] = True
-    metadata['quantization'] = 'int8-static'
+    metadata['quantization'] = 'int8-' + mode
     save_checkpoint(q, output_path, metadata)
     if verbose:
         print('Quantized {} -> {}'.format(input_path, output_path))

@@ -185,8 +185,14 @@ class TPUDetector:
         num_classes = int(metadata.get('num_classes', 3))
         anchors = metadata.get('anchors', None)
         self.model_type = metadata.get('model_type', 'yolov5')
-        if arch.startswith('detr') or self.model_type in ('rfdetr',
-                                                          'detr'):
+        if arch.startswith('rfdetr') or self.model_type == 'rfdetr':
+            from megadetector_tpu.models import rfdetr
+            self.config = rfdetr.RFDetrConfig(
+                arch if arch.startswith('rfdetr') else 'rfdetr_base',
+                num_classes=num_classes,
+                image_size=int(metadata.get('image_size', 560)))
+            self._apply_fn = rfdetr.apply
+        elif arch.startswith('detr') or self.model_type == 'detr':
             from megadetector_tpu.models import detr
             self.config = detr.DetrConfig(
                 arch if arch.startswith('detr') else 'detr_base',

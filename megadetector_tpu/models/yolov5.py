@@ -274,20 +274,35 @@ def init_params(config, seed=0):
 
 
 def _conv(params, x, stride, dtype=None, pad=None):
-    """Fused conv + bias + SiLU over NHWC (int8 path when the params
-    carry quantized weights — see ops/quantization.py)."""
+    """
+    Fused conv + bias + SiLU over NHWC. Three parameter flavors:
+    float 'w' (bf16/f32 path), int8 'w_q' without scales (dynamic /
+    calibration path), and int8 'w_q' with calibrated x_scale/y_scale
+    (CHAIN mode: int8 in, int8 out — see ops/quantization.py).
+    """
+
+    from megadetector_tpu.ops import quantization as q
 
     if 'w_q' in params:
-        from megadetector_tpu.ops import quantization
-        if quantization._CALIBRATION_COLLECTOR is not None:
-            quantization._CALIBRATION_COLLECTOR.append(
-                (id(params), jnp.max(jnp.abs(x.astype(jnp.float32)))))
         k = params['w_q'].shape[0]
         p = k // 2 if pad is None else pad
-        return quantization.quantized_conv(params, x, stride, p,
-                                           act=True,
-                                           accum_dtype=dtype or x.dtype)
+        if 'y_scale' in params:
+            return q.chained_conv(params, x, stride, p, act=True)
+        x = q.qt_dequant(x, dtype) if isinstance(x, q.QTensor) else x
+        if q._CALIBRATION_COLLECTOR is not None:
+            q._CALIBRATION_COLLECTOR.append(
+                (id(params), 'in',
+                 jnp.max(jnp.abs(x.astype(jnp.float32)))))
+        y = q.quantized_conv(params, x, stride, p, act=True,
+                             accum_dtype=dtype or x.dtype)
+        if q._CALIBRATION_COLLECTOR is not None:
+            q._CALIBRATION_COLLECTOR.append(
+                (id(params), 'out',
+                 jnp.max(jnp.abs(y.astype(jnp.float32)))))
+        return y
 
+    if isinstance(x, q.QTensor):
+        x = q.qt_dequant(x, dtype or jnp.float32)
     w = params['w']
     b = params['b']
     if dtype is not None:
@@ -302,12 +317,27 @@ def _conv(params, x, stride, dtype=None, pad=None):
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
     )
     y = y + b
-    return y * jax.nn.sigmoid(y)
+    y = y * jax.nn.sigmoid(y)
+    # Float-compute / int8-storage nodes: MXU runs bf16 (int8 convs
+    # regress at <=128 channels) but the output tensor is stored int8,
+    # halving the dominant HBM traffic of the early high-res layers
+    if isinstance(params, q.QConvParams):
+        if q._CALIBRATION_COLLECTOR is not None:
+            q._CALIBRATION_COLLECTOR.append(
+                (id(params), 'out',
+                 jnp.max(jnp.abs(y.astype(jnp.float32)))))
+        if 'y_scale' in params:
+            return q.qt_quantize(y, float(params['y_scale']))
+    return y
 
 
 def _conv_linear(params, x, dtype=None):
     """1x1 conv + bias with no activation (detect heads)."""
 
+    from megadetector_tpu.ops import quantization as q
+
+    if isinstance(x, q.QTensor):
+        x = q.qt_dequant(x, dtype or jnp.float32)
     w = params['w']
     b = params['b']
     if dtype is not None:
@@ -320,39 +350,38 @@ def _conv_linear(params, x, dtype=None):
 
 
 def _c3(params, x, n, shortcut, dtype=None):
+    from megadetector_tpu.ops import quantization as q
+
     y1 = _conv(params['cv1'], x, 1, dtype)
     y2 = _conv(params['cv2'], x, 1, dtype)
     for j in range(n):
         m = params['m{}'.format(j)]
         h = _conv(m['cv1'], y1, 1, dtype)
         h = _conv(m['cv2'], h, 1, dtype)
-        y1 = y1 + h if shortcut else h
-    y = jnp.concatenate([y1, y2], axis=-1)
+        y1 = q.qt_add(y1, h) if shortcut else h
+    y = q.qt_concat([y1, y2], axis=-1)
     return _conv(params['cv3'], y, 1, dtype)
 
 
 def _sppf(params, x, pool_k, dtype=None):
+    from megadetector_tpu.ops import quantization as q
+
     y = _conv(params['cv1'], x, 1, dtype)
-    p = pool_k // 2
     pools = [y]
     cur = y
     for _ in range(3):
-        cur = jax.lax.reduce_window(
-            cur, -jnp.inf, jax.lax.max,
-            window_dimensions=(1, pool_k, pool_k, 1),
-            window_strides=(1, 1, 1, 1),
-            padding=[(0, 0), (p, p), (p, p), (0, 0)])
+        cur = q.qt_maxpool(cur, pool_k)
         pools.append(cur)
-    y = jnp.concatenate(pools, axis=-1)
+    y = q.qt_concat(pools, axis=-1)
     return _conv(params['cv2'], y, 1, dtype)
 
 
 def _upsample2x(x):
-    """Nearest-neighbor 2x upsample over NHWC."""
+    """Nearest-neighbor 2x upsample over NHWC (int8-aware)."""
 
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, h * 2, w * 2, c)
+    from megadetector_tpu.ops import quantization as q
+
+    return q.qt_upsample2x(x)
 
 
 def _decode_level(raw, anchors_level, stride, num_outputs, out_dtype):
@@ -423,8 +452,9 @@ def apply(config, params, x, dtype=None, decode=True):
             src = prev if frm == -1 else saved[frm]
             out = _upsample2x(src)
         elif kind == 'cat':
+            from megadetector_tpu.ops import quantization as q
             srcs = [prev if f == -1 else saved[f] for f in frm]
-            out = jnp.concatenate(srcs, axis=-1)
+            out = q.qt_concat(srcs, axis=-1)
         elif kind == 'detect':
             head_outputs = []
             for lvl, f in enumerate(frm):

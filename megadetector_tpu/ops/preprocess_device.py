@@ -31,9 +31,41 @@ def _round_half_away(x):
     return jnp.floor(x + 0.5)
 
 
-def letterbox_one(image_u8, height, width, out_size, pad_value=114.0):
+def _interp_matrix(src_pos, src_size, src_extent):
+    """
+    One-hot bilinear interpolation matrix [out, src_size]: row i holds
+    weight (1-f) at floor(src_pos[i]) and f at floor+1 (clamped to the
+    valid extent). When floor and floor+1 clamp to the same column the
+    weights sum back to 1.
+    """
+
+    y0 = jnp.floor(src_pos)
+    frac = src_pos - y0
+    y0 = y0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, src_extent - 1)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (src_pos.shape[0],
+                                                src_size), 1)
+    return (cols == y0[:, None]).astype(jnp.float32) * \
+        (1 - frac)[:, None] + \
+        (cols == y1[:, None]).astype(jnp.float32) * frac[:, None]
+
+
+def letterbox_one(image_u8, height, width, out_size, pad_value=114.0,
+                  use_matmul=True):
     """
     Letterbox one image from a staging canvas onto [out_size, out_size].
+
+    Two implementations with identical geometry (cv2 half-pixel
+    bilinear, centered rounded padding):
+
+    - use_matmul=True (default): separable resize as two structured
+      matmuls on the MXU — a vertical interpolation matrix [s, S0] and a
+      horizontal one [S0, s] built in-program from the per-image scale.
+      This is the TPU-native formulation: image gathers are
+      lane-hostile, but one-hot matmuls run at MXU rate.
+    - use_matmul=False: the original elementwise 4-corner gather
+      (kept as the numerics oracle).
 
     Args:
         image_u8: [S0, S0, 3] uint8 staging canvas; the valid image
@@ -46,6 +78,54 @@ def letterbox_one(image_u8, height, width, out_size, pad_value=114.0):
         [out_size, out_size, 3] float32 in [0, 1]
     """
 
+    if use_matmul:
+        return _letterbox_one_matmul(image_u8, height, width, out_size,
+                                     pad_value)
+    return _letterbox_one_gather(image_u8, height, width, out_size,
+                                 pad_value)
+
+
+def _letterbox_one_matmul(image_u8, height, width, out_size,
+                          pad_value=114.0):
+    s = out_size
+    s0 = image_u8.shape[0]
+    h = height.astype(jnp.float32)
+    w = width.astype(jnp.float32)
+
+    r = jnp.minimum(s / h, s / w)
+    new_w = _round_half_away(w * r)
+    new_h = _round_half_away(h * r)
+    left = _round_half_away((s - new_w) / 2.0 - 0.1)
+    top = _round_half_away((s - new_h) / 2.0 - 0.1)
+
+    oy = jnp.arange(s, dtype=jnp.float32)
+    ox = jnp.arange(s, dtype=jnp.float32)
+    sy = jnp.clip((oy - top + 0.5) * (h / new_h) - 0.5, 0.0, h - 1.0)
+    sx = jnp.clip((ox - left + 0.5) * (w / new_w) - 0.5, 0.0, w - 1.0)
+
+    # Interpolation matrices, with rows zeroed where the OUTPUT pixel
+    # falls in the letterbox padding (those positions then read 0 and
+    # get the pad fill added below)
+    m_v = _interp_matrix(sy, s0, height)                    # [s, S0]
+    m_h = _interp_matrix(sx, s0, width)                     # [s, S0]
+    row_ok = (oy >= top) & (oy < top + new_h)
+    col_ok = (ox >= left) & (ox < left + new_w)
+    m_v = m_v * row_ok[:, None].astype(jnp.float32)
+    m_h = m_h * col_ok[:, None].astype(jnp.float32)
+
+    img = image_u8.astype(jnp.float32).reshape(s0, s0 * 3)
+    y = m_v @ img                                           # [s, S0*3]
+    y = y.reshape(s, s0, 3).transpose(0, 2, 1)              # [s, 3, S0]
+    out = y @ m_h.T                                         # [s, 3, s]
+    out = out.transpose(0, 2, 1)                            # [s, s, 3]
+
+    mask = (row_ok[:, None] & col_ok[None, :])[..., None]
+    out = out + (1.0 - mask.astype(jnp.float32)) * pad_value
+    return out / 255.0
+
+
+def _letterbox_one_gather(image_u8, height, width, out_size,
+                          pad_value=114.0):
     s = out_size
     h = height.astype(jnp.float32)
     w = width.astype(jnp.float32)

@@ -112,6 +112,304 @@ def is_quantized(params):
     return isinstance(params, dict) and 'w_q' in params
 
 
+#%% int8-chained activations
+#
+# The static-scale path above still round-trips activations through float
+# between layers, so conv gains are eaten by HBM traffic. In CHAIN mode
+# every conv output is quantized to int8 with a calibrated static scale
+# and STAYS int8 in HBM; the dequant -> bias -> SiLU -> requant epilogue
+# is elementwise and fuses into the conv, and maxpool / upsample /
+# concat operate on int8 directly. Activations then cost 1/2 the HBM
+# bytes of bf16 and convs run on the 2x int8 MXU path.
+
+
+@jax.tree_util.register_pytree_node_class
+class QConvParams(dict):
+    """
+    Param node for a chained int8 conv. A dict whose 'x_scale'/'y_scale'
+    entries are STATIC pytree aux data (Python floats) rather than
+    leaves: under jit they stay concrete, so dequant multipliers
+    constant-fold and QTensor scale bookkeeping works at trace time.
+    """
+
+    _STATIC = ('x_scale', 'y_scale')
+
+    def tree_flatten(self):
+        dynamic_keys = tuple(sorted(
+            k for k in self if k not in self._STATIC))
+        static_items = tuple(sorted(
+            (k, float(self[k])) for k in self if k in self._STATIC))
+        children = tuple(self[k] for k in dynamic_keys)
+        return children, (dynamic_keys, static_items)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dynamic_keys, static_items = aux
+        node = cls(zip(dynamic_keys, children))
+        node.update(dict(static_items))
+        return node
+
+
+def requalify_quantized(params):
+    """
+    Recursively convert plain-dict chained-conv nodes (as produced by
+    checkpoint load, where scales round-trip as 0-d arrays) back into
+    QConvParams with Python-float static scales.
+    """
+
+    if isinstance(params, dict):
+        if 'y_scale' in params and ('w_q' in params or 'w' in params):
+            node = QConvParams(params)
+            if 'x_scale' in params:
+                node['x_scale'] = float(np.asarray(params['x_scale']))
+            node['y_scale'] = float(np.asarray(params['y_scale']))
+            return node
+        return type(params)(
+            (k, requalify_quantized(v)) for k, v in params.items())
+    return params
+
+
+class QTensor:
+    """
+    A quantized activation: int8 data + STATIC (Python float) scale.
+    Static scales constant-fold under jit, so the dequant multipliers
+    are compile-time constants.
+    """
+
+    __slots__ = ('q', 'scale')
+
+    def __init__(self, q, scale):
+        self.q = q
+        self.scale = float(scale)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+
+def qt_dequant(x, dtype=jnp.float32):
+    """QTensor (or float array, passed through) -> float array."""
+
+    if isinstance(x, QTensor):
+        return x.q.astype(dtype) * dtype(x.scale)
+    return x.astype(dtype) if dtype is not None else x
+
+
+def qt_quantize(x, scale):
+    """float array -> QTensor with static [scale]."""
+
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / np.float32(scale)),
+                 -127, 127).astype(jnp.int8)
+    return QTensor(q, scale)
+
+
+def qt_requant(x, scale):
+    """QTensor -> QTensor at a new static scale (f32 elementwise)."""
+
+    if x.scale == scale:
+        return x
+    ratio = np.float32(x.scale / scale)
+    q = jnp.clip(jnp.round(x.q.astype(jnp.float32) * ratio),
+                 -127, 127).astype(jnp.int8)
+    return QTensor(q, scale)
+
+
+def qt_concat(xs, axis=-1):
+    """Concat QTensors (requanted to the max scale) or float arrays."""
+
+    if all(isinstance(x, QTensor) for x in xs):
+        scale = max(x.scale for x in xs)
+        return QTensor(
+            jnp.concatenate([qt_requant(x, scale).q for x in xs],
+                            axis=axis), scale)
+    return jnp.concatenate([qt_dequant(x) if isinstance(x, QTensor)
+                            else x for x in xs], axis=axis)
+
+
+def qt_add(a, b):
+    """
+    Residual add of two QTensors: computed in f32, requantized at the
+    bound scale (s_a + s_b) so the sum can't clip. Float fallbacks pass
+    through.
+    """
+
+    if isinstance(a, QTensor) and isinstance(b, QTensor):
+        s = a.scale + b.scale
+        y = qt_dequant(a) + qt_dequant(b)
+        return qt_quantize(y, s)
+    return qt_dequant(a) + qt_dequant(b) if (
+        isinstance(a, QTensor) or isinstance(b, QTensor)) else a + b
+
+
+def qt_maxpool(x, pool_k):
+    """Stride-1 same-pad maxpool; int8 is scale-invariant so QTensors
+    pool directly."""
+
+    p = pool_k // 2
+    if isinstance(x, QTensor):
+        pooled = jax.lax.reduce_window(
+            x.q, jnp.int8(-128), jax.lax.max,
+            window_dimensions=(1, pool_k, pool_k, 1),
+            window_strides=(1, 1, 1, 1),
+            padding=[(0, 0), (p, p), (p, p), (0, 0)])
+        return QTensor(pooled, x.scale)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, pool_k, pool_k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=[(0, 0), (p, p), (p, p), (0, 0)])
+
+
+def qt_upsample2x(x):
+    """Nearest 2x upsample; operates on raw int8 for QTensors."""
+
+    arr = x.q if isinstance(x, QTensor) else x
+    b, h, w, c = arr.shape
+    up = jnp.broadcast_to(arr[:, :, None, :, None, :],
+                          (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
+    return QTensor(up, x.scale) if isinstance(x, QTensor) else up
+
+
+def chained_conv(params, x, stride, pad, act=True):
+    """
+    int8-in / int8-out conv: requant (or quantize) the input to the
+    node's calibrated x_scale, int8 x int8 -> int32 on the MXU, f32
+    dequant + bias + SiLU epilogue (fused into the conv by XLA), output
+    requantized to the node's calibrated y_scale.
+
+    params: {'w_q' int8 HWIO, 'w_scale' f32 [c_out], 'b' f32,
+             'x_scale' float, 'y_scale' float}
+    x: QTensor or float array.
+
+    Returns QTensor (scale y_scale).
+    """
+
+    x_scale = float(params['x_scale'])
+    if isinstance(x, QTensor):
+        xq = qt_requant(x, x_scale).q
+    else:
+        xq = qt_quantize(x, x_scale).q
+
+    y_i32 = jax.lax.conv_general_dilated(
+        xq, params['w_q'],
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+
+    scale = jnp.asarray(params['w_scale'], jnp.float32) * \
+        np.float32(x_scale)
+    y = y_i32.astype(jnp.float32) * scale + \
+        jnp.asarray(params['b'], jnp.float32)
+    if act:
+        y = y * jax.nn.sigmoid(y)
+    return qt_quantize(y, float(params['y_scale']))
+
+
+DEFAULT_FLOAT_STORE_LAYERS = ('l0', 'l1', 'l2')
+
+
+def quantize_params_chain(params, skip_names=('detect',),
+                          keep_float_first=True,
+                          float_store_names=DEFAULT_FLOAT_STORE_LAYERS):
+    """
+    Quantize a yolov5-style param pytree for CHAIN mode: conv nodes get
+    w_q/w_scale/b (x_scale/y_scale added by calibrate_chain_scales).
+
+    Layer policy (hardware-measured on v5e @1280px):
+    - [float_store_names] (default: the high-resolution low-channel
+      early layers l0-l2) stay ENTIRELY float: int8 convs regress at
+      <=128 channels, and int8 storage of their outputs also measured
+      slower (the quantize/dequantize epilogues on the huge early
+      feature maps cost more than the saved HBM traffic).
+    - [skip_names] (the detect heads): fully float.
+    - everything else: int8 weights, int8 MXU path, int8 storage.
+    """
+
+    float_store = tuple(float_store_names or ())
+
+    def convert(node, path):
+        if isinstance(node, dict):
+            if 'w' in node and 'b' in node and \
+                    getattr(node['w'], 'ndim', 0) == 4:
+                if path and path[0] in float_store:
+                    return {'w': np.asarray(node['w'], np.float32),
+                            'b': np.asarray(node['b'], np.float32)}
+                w_q, scale = quantize_conv_weight(np.asarray(node['w']))
+                return QConvParams(
+                    w_q=w_q, w_scale=scale,
+                    b=np.asarray(node['b'], np.float32))
+            return {key: convert(value, path + (key,))
+                    for key, value in node.items()}
+        return node
+
+    out = {}
+    for key, value in params.items():
+        if key in skip_names:
+            out[key] = value
+        else:
+            out[key] = convert(value, (key,))
+    return out
+
+
+def calibrate_chain_scales(apply_fn, config, params_q, sample_images,
+                           headroom=1.0):
+    """
+    Calibrate static x_scale/y_scale for every chained conv node by
+    running the (float-fallback) forward with a collector hooked into
+    the conv entry points. Modifies params_q in place and returns it.
+    """
+
+    global _CALIBRATION_COLLECTOR
+
+    id_to_node = {}
+
+    def walk(node):
+        if isinstance(node, dict):
+            if 'w_q' in node or isinstance(node, QConvParams):
+                id_to_node[id(node)] = node
+            else:
+                for v in node.values():
+                    walk(v)
+    walk(params_q)
+
+    collector = []
+    _CALIBRATION_COLLECTOR = collector
+    try:
+        fn = jax.jit(lambda x: (apply_fn(config, params_q, x),
+                                [t for _, _, t in collector]))
+        _, stats = fn(jnp.asarray(sample_images, jnp.float32))
+    finally:
+        keys = [(i, which) for i, which, _ in collector]
+        _CALIBRATION_COLLECTOR = None
+
+    stats = [float(np.asarray(s)) for s in stats]
+    assert len(keys) == len(stats)
+
+    node_max = {}
+    for (node_id, which), val in zip(keys, stats):
+        cur = node_max.setdefault(node_id, {'in': 0.0, 'out': 0.0})
+        cur[which] = max(cur[which], val)
+
+    n_set = 0
+    for node_id, vals in node_max.items():
+        node = id_to_node.get(node_id)
+        if node is None:
+            continue
+        if 'w_q' in node:
+            node['x_scale'] = float(
+                max(vals['in'] * headroom, 1e-6) / 127.0)
+        node['y_scale'] = float(
+            max(vals['out'] * headroom, 1e-6) / 127.0)
+        n_set += 1
+    assert n_set > 0, 'Calibration matched no quantized convs'
+    return params_q
+
+
 #%% Static-scale calibration
 
 # When set (a list), yolov5._conv records (id(param_node), absmax tracer)
@@ -159,17 +457,19 @@ def calibrate_activation_scales(apply_fn, config, params_q, sample_images,
     try:
         # Closure over params_q so traced nodes are these exact dicts
         fn = _jax.jit(lambda x: (apply_fn(config, params_q, x),
-                                 [t for _, t in collector]))
+                                 [t for _, _, t in collector]))
         _, stats = fn(jnp.asarray(sample_images, jnp.float32))
     finally:
-        ids = [i for i, _ in collector]
+        keys = [(i, which) for i, which, _ in collector]
         _CALIBRATION_COLLECTOR = None
 
     stats = [float(np.asarray(s)) for s in stats]
-    assert len(ids) == len(stats)
+    assert len(keys) == len(stats)
 
     node_max = {}
-    for node_id, val in zip(ids, stats):
+    for (node_id, which), val in zip(keys, stats):
+        if which != 'in':
+            continue
         node_max[node_id] = max(node_max.get(node_id, 0.0), val)
 
     n_set = 0

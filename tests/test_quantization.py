@@ -133,3 +133,84 @@ def test_quantized_checkpoint_in_detector(tmp_path):
     r = compare_detection_lists(out_f['detections'],
                                 out_q['detections'], options)
     assert len(r['matched']) > 0
+
+
+def test_chain_forward_close_to_float():
+    """int8-in/int8-out chains stay close to the float forward: obj/cls
+    within 0.005 at p99, xy within a pixel."""
+
+    from megadetector_tpu.ops import quantization as q
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=0)
+    detect_name = 'l{}'.format(len(cfg.layers) - 1)
+    qp = q.quantize_params_chain(params, skip_names=(detect_name,))
+    rng = np.random.RandomState(0)
+    samples = rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    q.calibrate_chain_scales(yolov5.apply, cfg, qp, samples)
+
+    x = rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
+    ref = np.asarray(yolov5.apply(cfg, params, x))
+    # jit with params as an argument: the production path (static scales
+    # must survive the pytree flatten/unflatten round trip)
+    got = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(cfg, p, x))(qp, x))
+
+    d_prob = np.abs(ref[..., 4:] - got[..., 4:])
+    d_xy = np.abs(ref[..., :2] - got[..., :2])
+    assert np.quantile(d_prob, 0.99) < 0.005
+    assert d_prob.max() < 0.02
+    assert np.quantile(d_xy, 0.99) < 1.0
+
+
+def test_chain_checkpoint_round_trip(tmp_path):
+    """Chain checkpoints round-trip through npz bit-exactly (static
+    scales rehydrated as pytree aux data)."""
+
+    from megadetector_tpu.models.convert_weights import (
+        save_checkpoint, load_checkpoint)
+    from megadetector_tpu.ops import quantization as q
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=3)
+    detect_name = 'l{}'.format(len(cfg.layers) - 1)
+    qp = q.quantize_params_chain(params, skip_names=(detect_name,))
+    rng = np.random.RandomState(1)
+    q.calibrate_chain_scales(
+        yolov5.apply, cfg, qp,
+        rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+
+    path = str(tmp_path / 'chain.npz')
+    save_checkpoint(qp, path, {'quantization': 'int8-chain'})
+    qp2, meta = load_checkpoint(path)
+    assert meta['quantization'] == 'int8-chain'
+
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    fn = jax.jit(lambda p, x: yolov5.apply(cfg, p, x))
+    np.testing.assert_array_equal(np.asarray(fn(qp, x)),
+                                  np.asarray(fn(qp2, x)))
+
+
+def test_static_mode_still_available(tmp_path):
+    """mode='static' (float activations between layers) still works."""
+
+    from megadetector_tpu.models.convert_weights import (
+        quantize_checkpoint, save_checkpoint, load_checkpoint)
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=7)
+    f_path = str(tmp_path / 'float.npz')
+    save_checkpoint(params, f_path, {
+        'model_version_string': 'v5a.0.1', 'arch': 'yolov5n',
+        'model_type': 'yolov5', 'num_classes': 3,
+        'image_size': 64, 'anchors': cfg.anchors.tolist()})
+    q_path = str(tmp_path / 'static.npz')
+    quantize_checkpoint(f_path, q_path, calibration_image_size=64,
+                        mode='static')
+    qp, meta = load_checkpoint(q_path)
+    assert meta['quantization'] == 'int8-static'
+    rng = np.random.RandomState(2)
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    out = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(cfg, p, x))(qp, x))
+    assert np.isfinite(out).all()
