@@ -185,7 +185,9 @@ class TPUDetector:
         num_classes = int(metadata.get('num_classes', 3))
         anchors = metadata.get('anchors', None)
         self.model_type = metadata.get('model_type', 'yolov5')
-        if arch.startswith('rfdetr') or self.model_type == 'rfdetr':
+        if arch.startswith('rfdetr') or (
+                self.model_type == 'rfdetr' and
+                not arch.startswith('detr')):
             from megadetector_tpu.models import rfdetr
             self.config = rfdetr.RFDetrConfig(
                 arch if arch.startswith('rfdetr') else 'rfdetr_base',

@@ -41,6 +41,16 @@ EFFICIENTNET_V2_CONFIGS = {
         ],
         'head_channels': 1280,
     },
+    # Tiny test-only variant: exercises both block types + SE cheaply
+    'efficientnetv2_test': {
+        'stem_channels': 8,
+        'stages': [
+            ('fused', 1, 3, 1, 8, 1),
+            ('fused', 2, 3, 2, 16, 1),
+            ('mb', 2, 3, 2, 24, 1),
+        ],
+        'head_channels': 64,
+    },
     'efficientnetv2_m': {
         'stem_channels': 24,
         'stages': [

@@ -39,6 +39,7 @@ def test_pad_targets():
     assert not mask[1].any()
 
 
+@pytest.mark.slow
 def test_loss_finite_and_positive(cfg):
     params = yolov5.init_params(cfg, seed=0)
     params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -61,6 +62,7 @@ def test_loss_finite_and_positive(cfg):
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
 
+@pytest.mark.slow
 def test_overfit_single_batch(cfg):
     import optax
     params = jax.tree_util.tree_map(

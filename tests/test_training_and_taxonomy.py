@@ -18,8 +18,11 @@ def test_train_step_reduces_loss():
     from megadetector_tpu.models import efficientnet
     from megadetector_tpu.training.train_classifier import make_train_step
 
-    config = efficientnet.EfficientNetConfig('efficientnetv2_s',
-                                             num_classes=3, image_size=32)
+    # Tiny variant: this test validates the training machinery, not
+    # the architecture (covered by tests/test_efficientnet.py)
+    config = efficientnet.EfficientNetConfig('efficientnetv2_test',
+                                             num_classes=3,
+                                             image_size=32)
     params = jax.tree_util.tree_map(
         jnp.asarray, efficientnet.init_params(config, seed=0,
                                               train_init=True))
@@ -55,8 +58,11 @@ def test_sharded_train_step():
 
     devices = jax.devices()[:8]
     mesh = Mesh(np.array(devices), ('data',))
-    config = efficientnet.EfficientNetConfig('efficientnetv2_s',
-                                             num_classes=3, image_size=32)
+    # Tiny variant: this test validates the training machinery, not
+    # the architecture (covered by tests/test_efficientnet.py)
+    config = efficientnet.EfficientNetConfig('efficientnetv2_test',
+                                             num_classes=3,
+                                             image_size=32)
     replicated = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P('data'))
     params = jax.device_put(jax.tree_util.tree_map(
@@ -100,7 +106,7 @@ def test_folder_dataset_and_train(tmp_path):
     assert batches[0][0].shape == (4, 32, 32, 3)
 
     options = TrainingOptions()
-    options.arch = 'efficientnetv2_s'
+    options.arch = 'efficientnetv2_test'
     options.image_size = 32
     options.batch_size = 4
     options.num_epochs = 1
