@@ -70,51 +70,42 @@ class MDAndClassifierOptions:
         self.detector_options = None
         self.classifier_options = None
         self.loader_workers = 4
+        # Crop-producer threads feeding the bounded crop queue
+        # (the reference's crop producer pool,
+        # run_md_and_speciesnet.py:531-640)
+        self.crop_workers = 4
+        self.crop_queue_depth = 64
         self.verbose = False
 
+        # Ensemble stage (taxonomy rollup + geofencing, the reference's
+        # speciesnet ensemble, run_md_and_speciesnet.py:51-55,1067)
+        self.apply_ensemble = False
+        self.rollup_confidence_threshold = 0.65
+        self.geofence_file = None
+        self.taxonomy_file = None
+        self.country = None
+        self.admin1_region = None
 
-def _classify_detections_for_images(data, image_base, classifier, options):
-    """
-    Attach classifications to detections in [data] (in place): producer
-    thread decodes images and extracts qualifying crops; the main thread
-    runs classifier batches.
-    """
 
-    # Enumerate (image dict, detection idx) pairs to classify
-    crop_q = queue.Queue(maxsize=64)
-    sentinel = object()
+def _qualifying_detections(im, options):
+    detections = im.get('detections') or []
+    return [
+        (i, d) for i, d in enumerate(detections)
+        if d['category'] in options.classifiable_categories and
+        d['conf'] >= options.classification_confidence_threshold]
 
-    def producer():
-        for im in data['images']:
-            detections = im.get('detections')
-            if not detections:
-                continue
-            qualifying = [
-                (i, d) for i, d in enumerate(detections)
-                if d['category'] in options.classifiable_categories and
-                d['conf'] >= options.classification_confidence_threshold]
-            if not qualifying:
-                continue
-            try:
-                image_np = np.asarray(vis_utils.load_image(
-                    os.path.join(image_base, im['file'])))
-            except Exception:
-                continue
-            for i_det, det in qualifying:
-                crop = extract_crop(image_np, det['bbox'],
-                                    expansion=options.crop_expansion,
-                                    square=options.square_crops)
-                if crop.size == 0:
-                    continue
-                crop = classifier.preprocess_crop(crop)
-                crop_q.put((det, crop))
-        crop_q.put(sentinel)
 
-    thread = threading.Thread(target=producer, daemon=True)
-    thread.start()
+def _is_video_result(im):
+    return 'frames_processed' in im or 'frame_rate' in im
+
+
+def _consume_crop_queue(crop_q, n_producers, classifier, options):
+    """Drain (det, crop) pairs from [crop_q], classifying in batches.
+    Returns the number of classified detections."""
 
     pending = []
     n_classified = 0
+    n_sentinels = 0
 
     def flush():
         nonlocal n_classified
@@ -129,16 +120,136 @@ def _classify_detections_for_images(data, image_base, classifier, options):
         n_classified += len(pending)
         pending.clear()
 
-    while True:
+    while n_sentinels < n_producers:
         item = crop_q.get()
-        if item is sentinel:
-            break
+        if item is None:
+            n_sentinels += 1
+            continue
         pending.append(item)
         if len(pending) >= options.classifier_batch_size:
             flush()
     flush()
-    thread.join()
+    return n_classified
 
+
+def _classify_detections_for_images(data, image_base, classifier, options):
+    """
+    Attach classifications to image detections in [data] (in place): a
+    pool of producer threads decodes images and extracts qualifying
+    crops into a bounded queue (backpressure against the classifier);
+    the main thread runs classifier batches.
+    """
+
+    work = [im for im in data['images']
+            if not _is_video_result(im) and
+            _qualifying_detections(im, options)]
+    if not work:
+        return 0
+
+    n_workers = max(1, min(options.crop_workers, len(work)))
+    crop_q = queue.Queue(maxsize=options.crop_queue_depth)
+
+    def producer(worker_idx):
+        for im in work[worker_idx::n_workers]:
+            qualifying = _qualifying_detections(im, options)
+            try:
+                image_np = np.asarray(vis_utils.load_image(
+                    os.path.join(image_base, im['file'])))
+            except Exception:
+                continue
+            for i_det, det in qualifying:
+                crop = extract_crop(image_np, det['bbox'],
+                                    expansion=options.crop_expansion,
+                                    square=options.square_crops)
+                if crop.size == 0:
+                    continue
+                crop = classifier.preprocess_crop(crop)
+                crop_q.put((det, crop))
+        crop_q.put(None)
+
+    threads = []
+    for w in range(n_workers):
+        t = threading.Thread(target=producer, args=(w,), daemon=True)
+        t.start()
+        threads.append(t)
+
+    n_classified = _consume_crop_queue(crop_q, n_workers, classifier,
+                                       options)
+    for t in threads:
+        t.join()
+    return n_classified
+
+
+def _classify_detections_for_videos(data, video_base, classifier,
+                                    options):
+    """
+    Attach classifications to VIDEO detections in [data] (in place):
+    per video, find the frames carrying qualifying detections, re-decode
+    exactly those frames, and push crops into the classifier queue
+    (the reference's video-crop path,
+    run_md_and_speciesnet.py:370-460).
+    """
+
+    from megadetector_tpu.detection import video_utils
+
+    work = []
+    for im in data['images']:
+        if not _is_video_result(im):
+            continue
+        if im.get('detections') is None:
+            continue
+        qualifying = _qualifying_detections(im, options)
+        if qualifying:
+            work.append((im, qualifying))
+    if not work:
+        return 0
+
+    n_workers = max(1, min(options.crop_workers, len(work)))
+    crop_q = queue.Queue(maxsize=options.crop_queue_depth)
+
+    def process_video(im, qualifying):
+        frame_to_dets = {}
+        for _, det in qualifying:
+            frame_to_dets.setdefault(
+                int(det.get('frame_number', 0)), []).append(det)
+
+        def frame_callback(frame_np, frame_id):
+            frame_number = int(frame_id.replace('frame', '')
+                               .replace('.jpg', ''))
+            for det in frame_to_dets.get(frame_number, []):
+                crop = extract_crop(frame_np, det['bbox'],
+                                    expansion=options.crop_expansion,
+                                    square=options.square_crops)
+                if crop.size == 0:
+                    continue
+                crop_q.put((det, classifier.preprocess_crop(crop)))
+
+        video_path = os.path.join(video_base, im['file'])
+        try:
+            video_utils.run_callback_on_frames(
+                video_path, frame_callback,
+                frames_to_process=sorted(frame_to_dets),
+                allow_empty_videos=True)
+        except Exception as e:
+            if options.verbose:
+                print('Video crop failure for {}: {}'.format(
+                    im['file'], e))
+
+    def producer(worker_idx):
+        for im, qualifying in work[worker_idx::n_workers]:
+            process_video(im, qualifying)
+        crop_q.put(None)
+
+    threads = []
+    for w in range(n_workers):
+        t = threading.Thread(target=producer, args=(w,), daemon=True)
+        t.start()
+        threads.append(t)
+
+    n_classified = _consume_crop_queue(crop_q, n_workers, classifier,
+                                       options)
+    for t in threads:
+        t.join()
     return n_classified
 
 
@@ -205,10 +316,63 @@ def run_md_and_classifier(options):
 
     n_classified = _classify_detections_for_images(
         data, options.input_folder, classifier, options)
+    n_classified += _classify_detections_for_videos(
+        data, options.input_folder, classifier, options)
     print('Classified {} detections'.format(n_classified))
 
-    data['classification_categories'] = {
-        str(i): name for i, name in enumerate(classifier.class_names)}
+    from megadetector_tpu.postprocessing.classification_ensemble import \
+        is_taxonomy_string, parse_taxonomy_string
+
+    # WI/SpeciesNet-style taxonomy-string class names: categories get
+    # the common name, the full 7-part strings go into
+    # classification_category_descriptions (the reference's speciesnet
+    # output contract)
+    names = classifier.class_names
+    if any(is_taxonomy_string(n) for n in names):
+        categories = {}
+        descriptions = {}
+        for i, name in enumerate(names):
+            if is_taxonomy_string(name):
+                parsed = parse_taxonomy_string(name)
+                label = parsed['common_name'] or \
+                    next((parsed[l] for l in
+                          ('species', 'genus', 'family', 'order',
+                           'class') if parsed[l]), name)
+                categories[str(i)] = label
+                descriptions[str(i)] = name
+            else:
+                categories[str(i)] = name
+                descriptions[str(i)] = name
+        data['classification_categories'] = categories
+        data['classification_category_descriptions'] = descriptions
+    else:
+        data['classification_categories'] = {
+            str(i): name for i, name in enumerate(names)}
+
+    # Optional ensemble: taxonomy rollup + geofencing
+    if options.apply_ensemble:
+        from megadetector_tpu.postprocessing.classification_ensemble \
+            import (EnsembleOptions, apply_classification_ensemble,
+                    load_geofence_table)
+        e_options = EnsembleOptions()
+        e_options.rollup_confidence_threshold = \
+            options.rollup_confidence_threshold
+        e_options.top_k = options.top_k_classifications
+        if options.geofence_file is not None:
+            e_options.geofence_table = load_geofence_table(
+                options.geofence_file)
+        if options.country is not None:
+            location = options.country + (
+                '/' + options.admin1_region
+                if options.admin1_region else '')
+            e_options.location_for_image = lambda im: location
+        taxonomy = None
+        if options.taxonomy_file is not None:
+            from megadetector_tpu.taxonomy_mapping.taxonomy_graph \
+                import TaxonomyGraph
+            taxonomy = TaxonomyGraph.from_file(options.taxonomy_file)
+        data = apply_classification_ensemble(data, taxonomy=taxonomy,
+                                             options=e_options)
 
     ct_utils.write_json(options.output_file, data, force_str=True)
     print('Wrote two-stage results to {}'.format(options.output_file))
@@ -232,6 +396,23 @@ def main():
     parser.add_argument('--frame_sample', type=int, default=None)
     parser.add_argument('--time_sample', type=float, default=None)
     parser.add_argument('--detector_options', nargs='*', default=None)
+    parser.add_argument('--crop_workers', type=int, default=4)
+    parser.add_argument('--apply_ensemble', action='store_true',
+                        help='apply taxonomy rollup (+ geofencing when '
+                             'a geofence file is given)')
+    parser.add_argument('--rollup_confidence_threshold', type=float,
+                        default=0.65)
+    parser.add_argument('--geofence_file', default=None,
+                        help='geofence table (SpeciesNet base format '
+                             'or {name: [location prefixes]})')
+    parser.add_argument('--taxonomy_file', default=None,
+                        help='taxonomy rows (.json or .csv: id, level, '
+                             'name, parent_id)')
+    parser.add_argument('--country', default=None,
+                        help='ISO country code for geofencing')
+    parser.add_argument('--admin1_region', default=None,
+                        help='admin1 region (e.g. US state) for '
+                             'geofencing')
 
     if len(sys.argv[1:]) == 0:
         parser.print_help()

@@ -45,11 +45,162 @@ def _default_location(im):
     return os.path.dirname(im['file'])
 
 
+#%% WI / SpeciesNet taxonomy strings
+#
+# SpeciesNet class names are 7-part semicolon strings:
+# "uuid;class;order;family;genus;species;common name"
+# (reference ensemble: run_md_and_speciesnet.py:51-55). These helpers
+# parse them, roll scores up taxonomic levels, and drive geofencing.
+
+TAXONOMY_LEVELS = ('class', 'order', 'family', 'genus', 'species')
+
+
+def is_taxonomy_string(name):
+    return isinstance(name, str) and name.count(';') == 6
+
+
+def parse_taxonomy_string(s):
+    """'uuid;class;order;family;genus;species;common' -> dict."""
+
+    parts = [p.strip() for p in str(s).split(';')]
+    assert len(parts) == 7, 'Not a 7-part taxonomy string: {}'.format(s)
+    out = {'uuid': parts[0], 'common_name': parts[6]}
+    for level, value in zip(TAXONOMY_LEVELS, parts[1:6]):
+        out[level] = value
+    return out
+
+
+def taxonomy_string_level(s):
+    """Most specific non-empty taxonomic level of a taxonomy string
+    (None for non-taxonomic entries like 'blank')."""
+
+    parsed = parse_taxonomy_string(s)
+    for level in reversed(TAXONOMY_LEVELS):
+        if parsed[level]:
+            return level
+    return None
+
+
+def truncate_taxonomy_string(s, level):
+    """Taxonomy string truncated to [level] (uuid dropped, common name
+    replaced by the taxon at that level)."""
+
+    parsed = parse_taxonomy_string(s)
+    values = []
+    keep = True
+    taxon = ''
+    for lvl in TAXONOMY_LEVELS:
+        if keep and parsed[lvl]:
+            values.append(parsed[lvl])
+            taxon = parsed[lvl]
+        else:
+            values.append('')
+        if lvl == level:
+            keep = False
+    return ';'.join([''] + values + [taxon])
+
+
+def rollup_taxonomy_strings(scores_by_string, threshold,
+                            max_level='class'):
+    """
+    SpeciesNet-style rollup over 7-part taxonomy strings: accumulate
+    scores at each ancestor level of the top prediction until the
+    accumulated confidence clears [threshold]. Returns (label, conf)
+    where label is the original string or a truncated ancestor string.
+    Non-taxonomic entries (blank etc.) are returned as-is.
+    """
+
+    if not scores_by_string:
+        return None
+    top = max(scores_by_string, key=scores_by_string.get)
+    top_score = scores_by_string[top]
+    if top_score >= threshold or not is_taxonomy_string(top):
+        return top, top_score
+
+    parsed_top = parse_taxonomy_string(top)
+    max_idx = TAXONOMY_LEVELS.index(max_level)
+    # From most to least specific ancestor level of the top prediction
+    for idx in range(len(TAXONOMY_LEVELS) - 1, max_idx - 1, -1):
+        level = TAXONOMY_LEVELS[idx]
+        if not parsed_top[level]:
+            continue
+        prefix = [parsed_top[l] for l in TAXONOMY_LEVELS[:idx + 1]]
+        total = 0.0
+        for name, score in scores_by_string.items():
+            if not is_taxonomy_string(name):
+                continue
+            p = parse_taxonomy_string(name)
+            if [p[l] for l in TAXONOMY_LEVELS[:idx + 1]] == prefix:
+                total += score
+        if total >= threshold:
+            if level == taxonomy_string_level(top):
+                return top, min(total, 1.0)
+            return truncate_taxonomy_string(top, level), min(total, 1.0)
+    return top, top_score
+
+
+#%% Geofencing
+
+
+def load_geofence_table(path):
+    """Load a geofence table (either the simple {name: [location
+    prefixes]} format or the SpeciesNet base format {species:
+    {'allow'/'block': {COUNTRY: [admin1, ...]}}})."""
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def _parse_location(location):
+    """'COUNTRY' or 'COUNTRY/ADMIN1' -> (country, admin1-or-None)."""
+
+    if location is None:
+        return None, None
+    parts = str(location).split('/')
+    country = parts[0].strip().upper() or None
+    admin1 = parts[1].strip().upper() if len(parts) > 1 and \
+        parts[1].strip() else None
+    return country, admin1
+
+
+def geofence_allows(entry, location):
+    """
+    SpeciesNet allow/block semantics for one species entry:
+    {'allow': {COUNTRY: [admin1...]}, 'block': {...}}; an empty admin1
+    list means the whole country. Species with no 'allow' block are
+    allowed everywhere except 'block' matches.
+    """
+
+    country, admin1 = _parse_location(location)
+    if country is None:
+        return True
+
+    def matches(rules):
+        if rules is None:
+            return False
+        regions = rules.get(country)
+        if regions is None:
+            return False
+        if not regions:
+            return True
+        return admin1 is not None and admin1 in [
+            str(r).upper() for r in regions]
+
+    block = entry.get('block')
+    if matches(block):
+        return False
+    allow = entry.get('allow')
+    if allow is None:
+        return True
+    return matches(allow)
+
+
 def geofence_classifications(scores_by_name, location, geofence_table):
     """
     Zero out species not allowed at [location] and renormalize.
     [geofence_table] maps species name -> list of allowed location
-    prefixes. Returns a new {name: score}.
+    prefixes (simple format) OR -> {'allow'/'block': {...}} (SpeciesNet
+    format). Returns a new {name: score}.
     """
 
     if not geofence_table:
@@ -57,10 +208,13 @@ def geofence_classifications(scores_by_name, location, geofence_table):
 
     out = {}
     for name, score in scores_by_name.items():
-        allowed = geofence_table.get(name)
-        if allowed is not None and location is not None:
-            if not any(str(location).startswith(str(p))
-                       for p in allowed):
+        entry = geofence_table.get(name)
+        if entry is not None and location is not None:
+            if isinstance(entry, dict):
+                if not geofence_allows(entry, location):
+                    score = 0.0
+            elif not any(str(location).startswith(str(p))
+                         for p in entry):
                 score = 0.0
         out[name] = score
 
@@ -131,13 +285,23 @@ def apply_classification_ensemble(input_file, taxonomy=None,
         data = input_file
 
     categories = data.get('classification_categories', {})
-    name_to_id = {str(v).lower(): k for k, v in categories.items()}
+    # When WI-style category descriptions are present (7-part taxonomy
+    # strings), the ensemble operates on descriptions, not display names
+    descriptions = data.get('classification_category_descriptions')
+    lookup = descriptions if descriptions else categories
+    name_to_id = {str(v).lower(): k for k, v in lookup.items()}
 
     def id_for_name(name):
         name = str(name).lower()
         if name not in name_to_id:
             new_id = str(max([int(k) for k in categories] + [-1]) + 1)
-            categories[new_id] = name
+            if is_taxonomy_string(name):
+                parsed = parse_taxonomy_string(name)
+                categories[new_id] = parsed['common_name'] or name
+            else:
+                categories[new_id] = name
+            if descriptions is not None:
+                descriptions[new_id] = name
             name_to_id[name] = new_id
         return name_to_id[name]
 
@@ -150,7 +314,7 @@ def apply_classification_ensemble(input_file, taxonomy=None,
             classifications = det.get('classifications')
             if not classifications:
                 continue
-            scores = {str(categories.get(c[0], c[0])).lower(): c[1]
+            scores = {str(lookup.get(c[0], c[0])).lower(): c[1]
                       for c in classifications}
 
             if options.geofence_table:
@@ -160,9 +324,18 @@ def apply_classification_ensemble(input_file, taxonomy=None,
                     n_geofenced += 1
                 scores = new_scores
 
-            result = rollup_classifications(
-                scores, taxonomy, options.rollup_confidence_threshold,
-                options.max_rollup_level)
+            if taxonomy is None and scores and \
+                    any(is_taxonomy_string(n) for n in scores):
+                # WI/SpeciesNet 7-part strings are self-describing:
+                # roll up within the strings themselves
+                result = rollup_taxonomy_strings(
+                    scores, options.rollup_confidence_threshold,
+                    options.max_rollup_level)
+            else:
+                result = rollup_classifications(
+                    scores, taxonomy,
+                    options.rollup_confidence_threshold,
+                    options.max_rollup_level)
             if result is None:
                 det['classifications'] = []
                 continue
@@ -182,6 +355,8 @@ def apply_classification_ensemble(input_file, taxonomy=None,
             det['classifications'] = out
 
     data['classification_categories'] = categories
+    if descriptions is not None:
+        data['classification_category_descriptions'] = descriptions
     print('Ensemble: geofenced {} detections, rolled up {}'.format(
         n_geofenced, n_rolled_up))
 

@@ -41,6 +41,15 @@ class ClassificationSmoothingOptions:
         self.classification_confidence_threshold = 0.5
         # Only detections above this confidence participate
         self.detection_confidence_threshold = 0.15
+        # When classification_category_descriptions carry taxonomy
+        # strings, propagate higher-level taxa down to more-specific
+        # descendants that are more common in the group (reference:
+        # classification_postprocessing.py:105-122 'carnivore/fox/fox'
+        # -> 'fox/fox/fox'). Level vs count preference weights as in the
+        # reference (count weight breaks ties by default).
+        self.propagate_classifications_through_taxonomy = True
+        self.taxonomy_propagation_level_weight = 1.0
+        self.taxonomy_propagation_count_weight = 0.01
 
 
 def _category_descriptions(data):
@@ -78,7 +87,8 @@ def _collect_class_counts(images, options):
 
 
 def _flip_classifications(images, target_category, options,
-                          category_names, only_other=False):
+                          category_names, only_other=False,
+                          only_categories=None):
     """Flip qualifying detections' classifications to [target_category]."""
 
     n_changed = 0
@@ -94,17 +104,82 @@ def _flip_classifications(images, target_category, options,
                 name = category_names.get(top[0], '')
                 if name not in options.other_category_names:
                     continue
+            if only_categories is not None and \
+                    top[0] not in only_categories:
+                continue
             det['classifications'] = [[target_category, top[1]]]
             n_changed += 1
     return n_changed
 
 
-def _smooth_image_group(images, options, category_names):
+def _taxonomy_prefix(desc):
+    """7-part taxonomy string -> tuple of contiguous non-empty levels
+    (class..species), or None for non-taxonomic names."""
+
+    from megadetector_tpu.postprocessing.classification_ensemble import (
+        TAXONOMY_LEVELS, is_taxonomy_string, parse_taxonomy_string)
+
+    if not is_taxonomy_string(desc):
+        return None
+    parsed = parse_taxonomy_string(desc)
+    out = []
+    for level in TAXONOMY_LEVELS:
+        if parsed[level]:
+            out.append(parsed[level].lower())
+        else:
+            break
+    return tuple(out)
+
+
+def _propagate_taxonomy(images, options, descriptions):
+    """
+    Propagate higher-level taxa down to more-specific descendants
+    present in the same group ('carnivore/fox/fox' -> 'fox/fox/fox'):
+    for each ancestor category with above-threshold counts, flip it to
+    the descendant maximizing level_weight * specificity +
+    count_weight * count (reference semantics:
+    classification_postprocessing.py:105-122,383-794).
+    """
+
+    counts = _collect_class_counts(images, options)
+    if len(counts) < 2:
+        return 0
+    prefixes = {c: _taxonomy_prefix(descriptions.get(c, ''))
+                for c in counts}
+
+    n_changed = 0
+    for cat_a, prefix_a in prefixes.items():
+        if not prefix_a:
+            continue
+        candidates = []
+        for cat_d, prefix_d in prefixes.items():
+            if cat_d == cat_a or not prefix_d:
+                continue
+            if len(prefix_d) > len(prefix_a) and \
+                    prefix_d[:len(prefix_a)] == prefix_a:
+                score = (options.taxonomy_propagation_level_weight *
+                         len(prefix_d) +
+                         options.taxonomy_propagation_count_weight *
+                         counts[cat_d])
+                candidates.append((score, cat_d))
+        if candidates:
+            best = max(candidates)[1]
+            n_changed += _flip_classifications(
+                images, best, options, {}, only_categories={cat_a})
+    return n_changed
+
+
+def _smooth_image_group(images, options, category_names,
+                        descriptions=None):
     """Core smoothing rule applied to a group of images (1 or a sequence)."""
+
+    n_propagated = 0
+    if descriptions and options.propagate_classifications_through_taxonomy:
+        n_propagated = _propagate_taxonomy(images, options, descriptions)
 
     counts = _collect_class_counts(images, options)
     if not counts:
-        return 0
+        return n_propagated
 
     # Dominant class excluding 'other'-ish categories
     sorted_counts = sorted(counts.items(), key=lambda kv: -kv[1])
@@ -112,10 +187,10 @@ def _smooth_image_group(images, options, category_names):
                  if category_names.get(c, '') not in
                  options.other_category_names]
     if not non_other:
-        return 0
+        return n_propagated
     dominant_category, dominant_count = non_other[0]
 
-    n_changed = 0
+    n_changed = n_propagated
 
     # Aggressive 'other' overwrite
     if dominant_count >= options.min_detections_to_overwrite_other:
@@ -154,9 +229,11 @@ def smooth_classification_results_image_level(input_file, output_file=None,
         data = input_file
 
     category_names = _category_descriptions(data)
+    descriptions = data.get('classification_category_descriptions')
     n_changed = 0
     for im in data['images']:
-        n_changed += _smooth_image_group([im], options, category_names)
+        n_changed += _smooth_image_group([im], options, category_names,
+                                         descriptions=descriptions)
 
     print('Image-level smoothing: changed {} classifications'.format(
         n_changed))
@@ -204,9 +281,11 @@ def smooth_classification_results_sequence_level(
         seq_to_images[seq_id].append(im)
 
     category_names = _category_descriptions(data)
+    descriptions = data.get('classification_category_descriptions')
     n_changed = 0
     for seq_id, images in seq_to_images.items():
-        n_changed += _smooth_image_group(images, options, category_names)
+        n_changed += _smooth_image_group(images, options, category_names,
+                                         descriptions=descriptions)
 
     print('Sequence-level smoothing: changed {} classifications'.format(
         n_changed))
@@ -306,6 +385,114 @@ def strip_classifications_from_nonanimal_detections(
 
     print('Stripped classifications from {} non-animal detections'.format(
         n_stripped))
+    if output_file is not None:
+        ct_utils.write_json(output_file, data, force_str=True)
+    return data
+
+
+def _load_md(d):
+    import copy
+    if isinstance(d, dict):
+        return copy.deepcopy(d)
+    with open(d) as f:
+        return json.load(f)
+
+
+def merge_classification_categories(target_file, source_file,
+                                    output_file=None):
+    """
+    Remap [source_file]'s classification category IDs to be compatible
+    with [target_file]'s, by category NAME (reference:
+    classification_postprocessing.py:1840). Source categories absent
+    from the target get new IDs appended to the target scheme. Returns
+    the remapped source dict.
+    """
+
+    target = _load_md(target_file)
+    source = _load_md(source_file)
+
+    t_cats = target.get('classification_categories')
+    s_cats = source.get('classification_categories')
+    if t_cats is None and s_cats is None:
+        if output_file is not None:
+            ct_utils.write_json(output_file, source, force_str=True)
+        return source
+    assert t_cats is not None and s_cats is not None, \
+        'Exactly one input has classification categories'
+
+    name_to_target_id = {str(v).lower(): k for k, v in t_cats.items()}
+    merged = dict(t_cats)
+    old_to_new = {}
+    next_id = max([int(k) for k in merged] + [-1]) + 1
+    for s_id, s_name in s_cats.items():
+        key = str(s_name).lower()
+        if key in name_to_target_id:
+            old_to_new[s_id] = name_to_target_id[key]
+        else:
+            old_to_new[s_id] = str(next_id)
+            merged[str(next_id)] = s_name
+            name_to_target_id[key] = str(next_id)
+            next_id += 1
+
+    for im in source['images']:
+        for det in im.get('detections') or []:
+            for c in det.get('classifications') or []:
+                c[0] = old_to_new.get(c[0], c[0])
+    source['classification_categories'] = merged
+    s_desc = source.get('classification_category_descriptions')
+    if s_desc is not None:
+        source['classification_category_descriptions'] = {
+            old_to_new.get(k, k): v for k, v in s_desc.items()}
+
+    if output_file is not None:
+        ct_utils.write_json(output_file, source, force_str=True)
+    return source
+
+
+def combine_redundant_classification_categories(input_file,
+                                                output_file=None):
+    """
+    Merge classification categories sharing the same name into one
+    category (reference: classification_postprocessing.py:2042).
+    Returns the remapped dict.
+    """
+
+    data = _load_md(input_file)
+    cats = data.get('classification_categories', {})
+
+    name_to_ids = defaultdict(list)
+    for cat_id in sorted(cats, key=lambda k: int(k)):
+        name_to_ids[str(cats[cat_id]).lower()].append(cat_id)
+
+    old_to_new = {}
+    new_cats = {}
+    for name, ids in name_to_ids.items():
+        keep = ids[0]
+        new_cats[keep] = cats[keep]
+        for cat_id in ids:
+            old_to_new[cat_id] = keep
+
+    n_merged = len(cats) - len(new_cats)
+    for im in data['images']:
+        for det in im.get('detections') or []:
+            classifications = det.get('classifications')
+            if not classifications:
+                continue
+            by_cat = {}
+            for c in classifications:
+                new_id = old_to_new.get(c[0], c[0])
+                by_cat[new_id] = max(by_cat.get(new_id, 0.0), c[1])
+            det['classifications'] = sorted(
+                ([k, v] for k, v in by_cat.items()),
+                key=lambda kv: -kv[1])
+
+    data['classification_categories'] = new_cats
+    desc = data.get('classification_category_descriptions')
+    if desc is not None:
+        data['classification_category_descriptions'] = {
+            k: v for k, v in desc.items() if k in new_cats}
+    print('Combined {} redundant classification categories'.format(
+        n_merged))
     if output_file is not None:
         ct_utils.write_json(output_file, data, force_str=True)
     return data

@@ -43,6 +43,34 @@ class TaxonomyGraph:
                 self.add_node(*row)
             self.link()
 
+    @classmethod
+    def from_file(cls, path):
+        """
+        Load a taxonomy from disk: .json ([[id, level, name, parent_id],
+        ...] or {'rows': [...]}) or .csv with columns
+        id,level,name,parent_id (header optional).
+        """
+
+        import json as _json
+
+        rows = []
+        if str(path).endswith('.json'):
+            with open(path) as f:
+                data = _json.load(f)
+            rows = data['rows'] if isinstance(data, dict) else data
+        else:
+            import csv
+            with open(path, newline='') as f:
+                for rec in csv.reader(f):
+                    if not rec or rec[0].strip().lower() in ('id',
+                                                             'taxon_id'):
+                        continue
+                    parent = rec[3].strip() if len(rec) > 3 and \
+                        rec[3].strip() else None
+                    rows.append((rec[0].strip(), rec[1].strip(),
+                                 rec[2].strip(), parent))
+        return cls(rows=rows)
+
     def add_node(self, taxon_id, level, name, parent_id=None):
         node = TaxonNode(taxon_id, level, str(name).lower(), parent_id)
         assert taxon_id not in self.id_to_node, \

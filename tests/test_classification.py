@@ -280,3 +280,177 @@ def test_crop_folder_round_trip(tmp_path):
     assert final['images'][0]['detections'][0]['classifications'] == \
         [['0', 0.95]]
     assert final['classification_categories'] == {'0': 'deer'}
+
+
+@pytest.fixture(scope='module')
+def taxonomy_classifier(tmp_path_factory):
+    """Classifier whose class names are WI 7-part taxonomy strings."""
+
+    folder = tmp_path_factory.mktemp('tax_classifier')
+    cfg = efficientnet.EfficientNetConfig('efficientnetv2_test',
+                                          num_classes=3)
+    params = efficientnet.init_params(cfg, seed=5)
+    path = str(folder / 'tax_classifier.npz')
+    save_checkpoint(params, path, {
+        'arch': 'efficientnetv2_test',
+        'num_classes': 3,
+        'class_names': [
+            'uuid1;mammalia;cetartiodactyla;cervidae;odocoileus;'
+            'virginianus;white-tailed deer',
+            'uuid2;mammalia;carnivora;canidae;vulpes;vulpes;red fox',
+            ';;;;;;blank',
+        ],
+        'image_size': 64,
+    })
+    return path
+
+
+def test_two_stage_video_pipeline(tiny_detector, tiny_classifier,
+                                  tmp_path):
+    """Video detections get crops classified from re-decoded frames
+    (reference: run_md_and_speciesnet.py:370-460)."""
+
+    import cv2
+    from megadetector_tpu.detection.run_md_and_classifier import (
+        MDAndClassifierOptions, run_md_and_classifier)
+
+    input_folder = str(tmp_path / 'media')
+    os.makedirs(input_folder)
+    rng = np.random.RandomState(2)
+    path = os.path.join(input_folder, 'vid.mp4')
+    out = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'),
+                          8, (64, 48))
+    assert out.isOpened()
+    for _ in range(12):
+        out.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+    out.release()
+
+    options = MDAndClassifierOptions()
+    options.input_folder = input_folder
+    options.output_file = str(tmp_path / 'video_two_stage.json')
+    options.detector_model = tiny_detector
+    options.classifier_model = tiny_classifier
+    options.classification_confidence_threshold = 0.01
+    options.frame_sample = 4
+    options.verbose = False
+
+    data = run_md_and_classifier(options)
+
+    video_images = [im for im in data['images']
+                    if im['file'].endswith('.mp4')]
+    assert len(video_images) == 1
+    n_classified = sum(
+        1 for det in video_images[0].get('detections') or []
+        if 'classifications' in det)
+    assert n_classified > 0
+    for det in video_images[0]['detections']:
+        assert 'frame_number' in det
+
+
+def test_two_stage_taxonomy_output(tiny_detector, taxonomy_classifier,
+                                   tmp_path):
+    """Taxonomy-string class names produce WI-style categories +
+    classification_category_descriptions, and the ensemble rolls up."""
+
+    from megadetector_tpu.detection.run_md_and_classifier import (
+        MDAndClassifierOptions, run_md_and_classifier)
+
+    input_folder = str(tmp_path / 'images')
+    os.makedirs(input_folder)
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (60, 80, 3),
+                                    dtype=np.uint8)).save(
+            os.path.join(input_folder, 'im{}.jpg'.format(i)))
+
+    options = MDAndClassifierOptions()
+    options.input_folder = input_folder
+    options.output_file = str(tmp_path / 'tax_two_stage.json')
+    options.detector_model = tiny_detector
+    options.classifier_model = taxonomy_classifier
+    options.classification_confidence_threshold = 0.01
+    options.include_videos = False
+    options.apply_ensemble = True
+    options.rollup_confidence_threshold = 0.99  # force rollups
+
+    data = run_md_and_classifier(options)
+
+    assert 'classification_category_descriptions' in data
+    descriptions = data['classification_category_descriptions']
+    categories = data['classification_categories']
+    assert categories['0'] == 'white-tailed deer'
+    assert descriptions['0'].startswith('uuid1;mammalia')
+    # Every classification references a known category
+    for im in data['images']:
+        for det in im.get('detections') or []:
+            for c in det.get('classifications', []):
+                assert c[0] in categories
+
+
+def test_taxonomy_propagation_smoothing():
+    """'carnivore-level' classifications propagate down to the specific
+    fox when foxes are present (reference semantics)."""
+
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import (ClassificationSmoothingOptions,
+                smooth_classification_results_image_level)
+
+    data = {
+        'images': [{
+            'file': 'x.jpg',
+            'detections': [
+                {'category': '1', 'conf': 0.9,
+                 'classifications': [['0', 0.8]]},
+                {'category': '1', 'conf': 0.9,
+                 'classifications': [['1', 0.9]]},
+                {'category': '1', 'conf': 0.9,
+                 'classifications': [['1', 0.85]]},
+            ],
+        }],
+        'classification_categories': {
+            '0': 'carnivore', '1': 'red fox'},
+        'classification_category_descriptions': {
+            '0': 'u0;mammalia;carnivora;;;;carnivore',
+            '1': 'u1;mammalia;carnivora;canidae;vulpes;vulpes;red fox'},
+    }
+    options = ClassificationSmoothingOptions()
+    options.min_detections_to_overwrite_secondary = 100  # isolate propagation
+    options.min_detections_to_overwrite_other = 100
+    out = smooth_classification_results_image_level(data, options=options)
+    tops = [det['classifications'][0][0]
+            for det in out['images'][0]['detections']]
+    assert tops == ['1', '1', '1']
+
+
+def test_merge_and_combine_categories():
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import (merge_classification_categories,
+                combine_redundant_classification_categories)
+
+    target = {'images': [],
+              'classification_categories': {'0': 'deer', '1': 'fox'}}
+    source = {
+        'images': [{'file': 'a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9,
+             'classifications': [['0', 0.8], ['1', 0.1]]}]}],
+        'classification_categories': {'0': 'fox', '1': 'cow'},
+    }
+    merged = merge_classification_categories(target, source)
+    # fox remapped to target id 1; cow appended as a new id
+    assert merged['classification_categories']['1'] == 'fox'
+    det = merged['images'][0]['detections'][0]
+    assert det['classifications'][0][0] == '1'
+    assert 'cow' in merged['classification_categories'].values()
+
+    dup = {
+        'images': [{'file': 'b.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9,
+             'classifications': [['0', 0.5], ['2', 0.3]]}]}],
+        'classification_categories': {'0': 'deer', '1': 'fox',
+                                      '2': 'Deer'},
+    }
+    combined = combine_redundant_classification_categories(dup)
+    assert len(combined['classification_categories']) == 2
+    det = combined['images'][0]['detections'][0]
+    # both deer entries merged, max confidence kept
+    assert det['classifications'][0] == ['0', 0.5]

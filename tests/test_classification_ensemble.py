@@ -75,3 +75,59 @@ def test_apply_ensemble(taxonomy):
     # up to canidae
     assert top_name == 'canidae'
     assert top_conf > 0.9
+
+
+def test_taxonomy_string_helpers():
+    from megadetector_tpu.postprocessing.classification_ensemble import (
+        is_taxonomy_string, parse_taxonomy_string,
+        taxonomy_string_level, truncate_taxonomy_string)
+
+    s = 'u1;mammalia;carnivora;canidae;vulpes;vulpes;red fox'
+    assert is_taxonomy_string(s)
+    assert not is_taxonomy_string('red fox')
+    p = parse_taxonomy_string(s)
+    assert p['family'] == 'canidae' and p['common_name'] == 'red fox'
+    assert taxonomy_string_level(s) == 'species'
+    assert taxonomy_string_level(';;;;;;blank') is None
+    t = truncate_taxonomy_string(s, 'family')
+    assert t == ';mammalia;carnivora;canidae;;;canidae'
+
+
+def test_rollup_taxonomy_strings():
+    from megadetector_tpu.postprocessing.classification_ensemble import \
+        rollup_taxonomy_strings
+
+    scores = {
+        'u1;mammalia;carnivora;canidae;vulpes;vulpes;red fox': 0.4,
+        'u2;mammalia;carnivora;canidae;urocyon;cinereoargenteus;'
+        'gray fox': 0.35,
+        'u3;mammalia;cetartiodactyla;cervidae;;;deer family': 0.25,
+    }
+    # Neither fox clears 0.65 alone, but canidae accumulates 0.75
+    label, conf = rollup_taxonomy_strings(scores, 0.65)
+    assert label == ';mammalia;carnivora;canidae;;;canidae'
+    assert abs(conf - 0.75) < 1e-6
+    # A confident top prediction is returned unchanged
+    label, conf = rollup_taxonomy_strings(scores, 0.3)
+    assert label.endswith('red fox')
+
+
+def test_speciesnet_geofence_format():
+    from megadetector_tpu.postprocessing.classification_ensemble import (
+        geofence_allows, geofence_classifications)
+
+    entry = {'allow': {'USA': [], 'CAN': ['BC']}}
+    assert geofence_allows(entry, 'USA')
+    assert geofence_allows(entry, 'USA/CA')
+    assert geofence_allows(entry, 'CAN/BC')
+    assert not geofence_allows(entry, 'CAN/ON')
+    assert not geofence_allows(entry, 'MEX')
+
+    blocked = {'block': {'USA': []}}
+    assert not geofence_allows(blocked, 'USA')
+    assert geofence_allows(blocked, 'CAN')
+
+    table = {'moose': {'allow': {'CAN': []}}, 'cow': {}}
+    scores = {'moose': 0.6, 'cow': 0.4}
+    out = geofence_classifications(scores, 'MEX', table)
+    assert out['moose'] == 0.0 and abs(out['cow'] - 1.0) < 1e-6
