@@ -60,6 +60,10 @@ def read_lila_metadata(dataset_entry, metadata_dir):
     the local path to the json file.
     """
 
+    # Offline/local entries point straight at a metadata file
+    if dataset_entry.get('metadata_path'):
+        return dataset_entry['metadata_path']
+
     url = dataset_entry.get('json_url') or dataset_entry.get('metadata_url')
     assert url, 'Dataset entry has no metadata URL'
     os.makedirs(metadata_dir, exist_ok=True)

@@ -136,9 +136,64 @@ def exif_gps_to_decimal_degrees(tags):
     return lat_dd, lon_dd
 
 
+def exiftool_available(exiftool_command='exiftool'):
+    """True when the exiftool binary is on PATH."""
+
+    import shutil as _shutil
+    return _shutil.which(exiftool_command) is not None
+
+
+def read_exif_with_exiftool(filenames, exiftool_command='exiftool',
+                            options=None):
+    """
+    Batch-read EXIF via the exiftool binary (reference backend:
+    read_exif.py:8-9,84 — exiftool surfaces GPS and maker-note tags PIL
+    can't). One subprocess call handles the whole batch
+    (`exiftool -json -n file...`). Returns a list of tag dicts aligned
+    with [filenames] ({} for failures).
+    """
+
+    import subprocess
+
+    assert exiftool_available(exiftool_command), \
+        'exiftool is not installed or not on PATH'
+    if isinstance(filenames, str):
+        filenames = [filenames]
+
+    proc = subprocess.run(
+        [exiftool_command, '-json', '-n'] + list(filenames),
+        capture_output=True, text=True)
+    try:
+        records = json.loads(proc.stdout) if proc.stdout.strip() else []
+    except json.JSONDecodeError:
+        records = []
+    by_source = {rec.get('SourceFile'): rec for rec in records}
+
+    out = []
+    for fn in filenames:
+        rec = dict(by_source.get(fn, {}))
+        rec.pop('SourceFile', None)
+        if options is not None:
+            if options.tags_to_include is not None:
+                rec = {k: v for k, v in rec.items()
+                       if k in options.tags_to_include}
+            if options.tags_to_exclude is not None:
+                rec = {k: v for k, v in rec.items()
+                       if k not in options.tags_to_exclude}
+        out.append(rec)
+    return out
+
+
 def read_exif_from_image(filename, options=None):
     """EXIF tags for one image file; {} on failure."""
 
+    if options is not None and \
+            getattr(options, 'processing_library', 'pil') == 'exiftool':
+        try:
+            return read_exif_with_exiftool([filename],
+                                           options=options)[0]
+        except Exception:
+            return {}
     try:
         return read_pil_exif(filename, options)
     except Exception:
@@ -159,6 +214,18 @@ def read_exif_from_folder(input_folder, output_file=None, options=None,
     if filenames is None:
         filenames = path_utils.find_images(
             input_folder, recursive=recursive, return_relative_paths=True)
+
+    # exiftool backend: one batched subprocess call for the whole
+    # folder (the reference's parallel exiftool harvest collapses to a
+    # single batch invocation)
+    if getattr(options, 'processing_library', 'pil') == 'exiftool':
+        abs_paths = [os.path.join(input_folder, fn) for fn in filenames]
+        tag_dicts = read_exif_with_exiftool(abs_paths, options=options)
+        results = [{'file_name': fn, 'exif_tags': tags}
+                   for fn, tags in zip(filenames, tag_dicts)]
+        if output_file is not None:
+            ct_utils.write_json(output_file, results, force_str=True)
+        return results
 
     def _one(fn):
         tags = read_exif_from_image(

@@ -250,6 +250,56 @@ def process_batch_results(options):
                         eval_metrics['recall'], threshold))
             f.write('<p>TP {tp}, FP {fp}, TN {tn}, FN {fn}</p>\n'.format(
                 **eval_metrics))
+            curve = eval_metrics.get('precision_recall_curve')
+            if curve:
+                f.write('<p>Max F1 {:.3f} at threshold {:.2f}</p>\n'
+                        .format(curve['max_f1'],
+                                curve['max_f1_threshold']))
+                # Compact P/R curve table at decile thresholds
+                f.write('<table border=1 cellpadding=3 '
+                        'style="border-collapse:collapse">'
+                        '<tr><th>threshold</th><th>precision</th>'
+                        '<th>recall</th><th>F1</th></tr>\n')
+                for i in range(0, len(curve['thresholds']),
+                               max(1, len(curve['thresholds']) // 10)):
+                    f.write('<tr><td>{:.2f}</td><td>{:.3f}</td>'
+                            '<td>{:.3f}</td><td>{:.3f}</td></tr>\n'
+                            .format(curve['thresholds'][i],
+                                    curve['precision'][i],
+                                    curve['recall'][i],
+                                    curve['f1'][i]))
+                f.write('</table>\n')
+            per_class = eval_metrics.get('per_class')
+            if per_class and per_class['classes']:
+                f.write('<h3>Per-class thresholds</h3>\n<ul>\n')
+                for name, m in sorted(per_class['classes'].items()):
+                    t = m['threshold_at_target_recall']
+                    f.write('<li>{}: threshold for recall >= {:.0%}: '
+                            '{}</li>\n'.format(
+                                name, m['target_recall'],
+                                '{:.2f}'.format(t) if t is not None
+                                else 'unreachable'))
+                f.write('</ul>\n')
+                f.write('<h3>Confusion matrix (rows = ground truth)'
+                        '</h3>\n')
+                names = sorted(set(
+                    list(per_class['confusion_matrix'].keys()) +
+                    [p for row in
+                     per_class['confusion_matrix'].values()
+                     for p in row]))
+                f.write('<table border=1 cellpadding=3 '
+                        'style="border-collapse:collapse"><tr><th></th>')
+                for n in names:
+                    f.write('<th>{}</th>'.format(n))
+                f.write('</tr>\n')
+                for t_name in names:
+                    row = per_class['confusion_matrix'].get(t_name, {})
+                    f.write('<tr><th>{}</th>'.format(t_name))
+                    for p_name in names:
+                        f.write('<td>{}</td>'.format(
+                            row.get(p_name, 0)))
+                    f.write('</tr>\n')
+                f.write('</table>\n')
         if options.footer_text:
             f.write('<p>{}</p>\n'.format(options.footer_text))
         f.write('</body></html>\n')
@@ -309,8 +359,146 @@ def _evaluate_against_ground_truth(md_data, ground_truth_file, threshold):
 
     precision = tp / max(tp + fp, 1)
     recall = tp / max(tp + fn_count, 1)
+
+    # Full P/R curve + per-class curves/thresholds + confusion matrix
+    # (reference: postprocess_batch_results.py:45,589,952-1042)
+    curves = compute_precision_recall_curves(
+        md_data, image_id_to_positive)
+    per_class = compute_per_class_metrics(md_data, gt,
+                                          target_recall=0.9)
+
     return {'tp': tp, 'fp': fp, 'tn': tn, 'fn': fn_count,
-            'precision': precision, 'recall': recall}
+            'precision': precision, 'recall': recall,
+            'precision_recall_curve': curves,
+            'per_class': per_class}
+
+
+def compute_precision_recall_curves(md_data, image_id_to_positive,
+                                    n_thresholds=101):
+    """
+    Image-level precision/recall/F1 over a threshold sweep. Returns
+    {'thresholds', 'precision', 'recall', 'f1',
+    'max_f1', 'max_f1_threshold'}.
+    """
+
+    scored = []
+    for im in md_data['images']:
+        key = im['file']
+        if key not in image_id_to_positive:
+            continue
+        max_conf = max((d['conf'] for d in im.get('detections') or []),
+                       default=0.0)
+        scored.append((max_conf, image_id_to_positive[key]))
+    if not scored:
+        return None
+
+    n_positive = sum(1 for _, p in scored if p)
+    thresholds = [i / (n_thresholds - 1) for i in range(n_thresholds)]
+    precisions = []
+    recalls = []
+    f1s = []
+    for t in thresholds:
+        tp = sum(1 for conf, p in scored if p and conf >= t)
+        fp = sum(1 for conf, p in scored if not p and conf >= t)
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(n_positive, 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+        precisions.append(round(precision, 4))
+        recalls.append(round(recall, 4))
+        f1s.append(round(f1, 4))
+
+    i_best = max(range(len(f1s)), key=lambda i: f1s[i])
+    return {'thresholds': thresholds, 'precision': precisions,
+            'recall': recalls, 'f1': f1s, 'max_f1': f1s[i_best],
+            'max_f1_threshold': thresholds[i_best]}
+
+
+def compute_per_class_metrics(md_data, gt, target_recall=0.9,
+                              n_thresholds=101):
+    """
+    Per-detection-class P/R curves, the minimum threshold achieving
+    [target_recall], and an image-level confusion matrix (rows = GT
+    class, cols = predicted class; GT class = the image's non-empty
+    annotation category, predicted = the highest-confidence detection's
+    category). Returns {'classes': {name: {...}},
+    'confusion_matrix': {gt_name: {pred_name: count}}}.
+    """
+
+    from collections import defaultdict
+
+    gt_cat_names = {c['id']: c['name'].lower()
+                    for c in gt.get('categories', [])}
+    empty_names = ('empty', 'blank', 'none', 'misfire')
+
+    fn_by_id = {im['id']: im.get('file_name', im['id'])
+                for im in gt.get('images', [])}
+    image_to_gt_classes = defaultdict(set)
+    for ann in gt.get('annotations', []):
+        name = gt_cat_names.get(ann.get('category_id'), 'unknown')
+        key = fn_by_id.get(ann['image_id'], ann['image_id'])
+        if name not in empty_names:
+            image_to_gt_classes[key].add(name)
+
+    md_categories = {k: v.lower() for k, v in
+                     md_data.get('detection_categories', {}).items()}
+
+    # Per-class score lists: for each MD class, images whose GT
+    # includes that class are positives
+    class_scores = defaultdict(list)
+    confusion = defaultdict(lambda: defaultdict(int))
+    gt_files = set()
+    for im in gt.get('images', []):
+        gt_files.add(im.get('file_name', im['id']))
+
+    for im in md_data['images']:
+        key = im['file']
+        if key not in gt_files:
+            continue
+        gt_classes = image_to_gt_classes.get(key, set())
+        per_class_conf = defaultdict(float)
+        best = None
+        for d in im.get('detections') or []:
+            name = md_categories.get(d['category'], d['category'])
+            per_class_conf[name] = max(per_class_conf[name], d['conf'])
+            if best is None or d['conf'] > best[1]:
+                best = (name, d['conf'])
+        for name in set(list(per_class_conf) + list(gt_classes)):
+            class_scores[name].append(
+                (per_class_conf.get(name, 0.0), name in gt_classes))
+        gt_label = sorted(gt_classes)[0] if gt_classes else 'empty'
+        pred_label = best[0] if best is not None else 'empty'
+        confusion[gt_label][pred_label] += 1
+
+    thresholds = [i / (n_thresholds - 1) for i in range(n_thresholds)]
+    classes = {}
+    for name, scored in class_scores.items():
+        n_positive = sum(1 for _, p in scored if p)
+        if n_positive == 0:
+            continue
+        precisions = []
+        recalls = []
+        threshold_at_recall = None
+        for t in thresholds:
+            tp = sum(1 for conf, p in scored if p and conf >= t)
+            fp = sum(1 for conf, p in scored if not p and conf >= t)
+            precision = tp / max(tp + fp, 1)
+            recall = tp / max(n_positive, 1)
+            precisions.append(round(precision, 4))
+            recalls.append(round(recall, 4))
+            if recall >= target_recall:
+                threshold_at_recall = t
+        classes[name] = {
+            'n_positive_images': n_positive,
+            'thresholds': thresholds,
+            'precision': precisions,
+            'recall': recalls,
+            'threshold_at_target_recall': threshold_at_recall,
+            'target_recall': target_recall,
+        }
+
+    return {'classes': classes,
+            'confusion_matrix':
+                {k: dict(v) for k, v in confusion.items()}}
 
 
 def main():
