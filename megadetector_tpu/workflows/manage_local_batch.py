@@ -193,6 +193,204 @@ class BatchJob:
         self.final_file = classified_file
         return classified_file
 
+    #%% Operator affordances (reference notebook cells :494-785,
+    #%% :863-980, :1617-1971, :2037)
+
+    def plan_chunks(self, n_chunks, per_chunk_detector_options=None):
+        """
+        Divide the image list into [n_chunks] jobs, writing a file list
+        and a runnable shell command per chunk plus a combine command
+        (the reference's per-GPU chunking, manage_local_batch.py:
+        494-785; on TPU this is the multi-HOST sharding story — one
+        process already spans all chips of a slice). Also prints a
+        total-time estimate. Returns the script path.
+        """
+
+        if not hasattr(self, 'image_files'):
+            self.enumerate_images()
+        chunks = ct_utils.split_list_into_n_chunks(
+            list(self.image_files), n_chunks)
+
+        chunk_dir = os.path.join(self.job_dir, 'chunks')
+        os.makedirs(chunk_dir, exist_ok=True)
+        commands = []
+        chunk_outputs = []
+        for i, chunk in enumerate(chunks):
+            list_file = os.path.join(
+                chunk_dir, 'chunk_{:03d}_files.json'.format(i))
+            ct_utils.write_json(list_file, chunk, force_str=True)
+            out_file = os.path.join(
+                chunk_dir, 'chunk_{:03d}_results.json'.format(i))
+            chunk_outputs.append(out_file)
+            cmd = ('python -m megadetector_tpu.detection.'
+                   'run_detector_batch {} {} {} --batch_size {} '
+                   '--checkpoint_frequency {}'.format(
+                       self.options.model_file, list_file, out_file,
+                       self.options.batch_size,
+                       self.options.checkpoint_frequency))
+            if per_chunk_detector_options:
+                cmd += ' --detector_options ' + ' '.join(
+                    per_chunk_detector_options)
+            commands.append(cmd)
+
+        combine_cmd = ('python -m megadetector_tpu.postprocessing.'
+                       'combine_batch_outputs {} {}'.format(
+                           ' '.join(chunk_outputs),
+                           self.detections_file))
+        script = os.path.join(chunk_dir, 'run_all_chunks.sh')
+        with open(script, 'w') as f:
+            f.write('#!/bin/bash\nset -e\n')
+            for i, cmd in enumerate(commands):
+                f.write('# chunk {} ({} images)\n{}\n'.format(
+                    i, len(chunks[i]), cmd))
+            f.write('# merge shards\n{}\n'.format(combine_cmd))
+        os.chmod(script, 0o755)
+
+        self.estimate_time()
+        print('Wrote {} chunk lists + {}'.format(len(chunks), script))
+        return script
+
+    def estimate_time(self, images_per_second=230.0):
+        """Print a wall-clock estimate for the detection stage
+        (default rate: measured v5e single-chip bf16 @1280)."""
+
+        if not hasattr(self, 'image_files'):
+            self.enumerate_images()
+        n = len(self.image_files)
+        seconds = n / max(images_per_second, 1e-9)
+        print('Estimated detection time for {} images: {:.1f} minutes '
+              'at {:.0f} img/s'.format(n, seconds / 60.0,
+                                       images_per_second))
+        return seconds
+
+    def audit_results(self):
+        """
+        Look for failed and missing images in the results (the
+        reference's post-run audit, manage_local_batch.py:863-980).
+        Returns {'n_images', 'failures': [...], 'missing': [...]}.
+        """
+
+        with open(self.final_file) as f:
+            data = json.load(f)
+        result_files = {im['file'] for im in data['images']}
+        failures = [im['file'] for im in data['images']
+                    if im.get('failure')]
+        if not hasattr(self, 'image_files'):
+            self.enumerate_images()
+        expected = {os.path.relpath(fn, self.options.input_path)
+                    .replace('\\', '/') for fn in self.image_files}
+        missing = sorted(expected - result_files)
+        print('Audit: {} results, {} failures, {} missing'.format(
+            len(result_files), len(failures), len(missing)))
+        return {'n_images': len(result_files), 'failures': failures,
+                'missing': missing}
+
+    def strip_nonanimal_classifications(self):
+        """Remove classifications from person/vehicle detections
+        (reference cell :1640)."""
+
+        from megadetector_tpu.postprocessing \
+            .classification_postprocessing import \
+            strip_classifications_from_nonanimal_detections
+        strip_classifications_from_nonanimal_detections(
+            self.final_file, self.final_file)
+
+    def smooth_sequences(self, sequence_information):
+        """Sequence-level classification smoothing (reference cells
+        :1702-1880); [sequence_information] per
+        classification_postprocessing's contract."""
+
+        from megadetector_tpu.postprocessing \
+            .classification_postprocessing import \
+            smooth_classification_results_sequence_level
+        smooth_classification_results_sequence_level(
+            self.final_file, sequence_information, self.final_file)
+
+    def remove_unused_categories(self):
+        """Drop classification categories with no remaining
+        classifications (reference cell :1932)."""
+
+        with open(self.final_file) as f:
+            data = json.load(f)
+        used = set()
+        for im in data['images']:
+            for det in im.get('detections') or []:
+                for c in det.get('classifications') or []:
+                    used.add(c[0])
+        for key in ('classification_categories',
+                    'classification_category_descriptions'):
+            if key in data:
+                data[key] = {k: v for k, v in data[key].items()
+                             if k in used}
+        ct_utils.write_json(self.final_file, data, force_str=True)
+        return data
+
+    def zip_results(self):
+        """Zip the final results .json (reference cell :1953)."""
+
+        import zipfile
+        zip_path = self.final_file + '.zip'
+        with zipfile.ZipFile(zip_path, 'w',
+                             zipfile.ZIP_DEFLATED) as zf:
+            zf.write(self.final_file,
+                     os.path.basename(self.final_file))
+        print('Wrote {}'.format(zip_path))
+        return zip_path
+
+    def build_interesting_preview(self, category_names,
+                                  threshold=0.2):
+        """Preview page restricted to images whose detections include
+        any of [category_names] (reference cell :1971)."""
+
+        with open(self.final_file) as f:
+            data = json.load(f)
+        name_to_id = {v: k for k, v in
+                      data['detection_categories'].items()}
+        wanted = {name_to_id[n] for n in category_names
+                  if n in name_to_id}
+        subset = {
+            'info': data.get('info', {}),
+            'detection_categories': data['detection_categories'],
+            'images': [
+                im for im in data['images']
+                if any(d['category'] in wanted and
+                       d['conf'] >= threshold
+                       for d in im.get('detections') or [])],
+        }
+        for key in ('classification_categories',
+                    'classification_category_descriptions'):
+            if key in data:
+                subset[key] = data[key]
+        subset_file = os.path.join(self.job_dir,
+                                   'interesting_subset.json')
+        ct_utils.write_json(subset_file, subset, force_str=True)
+
+        from megadetector_tpu.postprocessing.postprocess_batch_results \
+            import PostProcessingOptions, process_batch_results
+        p_options = PostProcessingOptions()
+        p_options.md_results_file = subset_file
+        p_options.output_dir = os.path.join(self.job_dir,
+                                            'preview_interesting')
+        p_options.image_base_dir = self.options.input_path
+        p_options.num_images_to_sample = \
+            self.options.preview_sample_size
+        return process_batch_results(p_options)
+
+    def split_results_by_top_folder(self):
+        """Split the final results into one file per top-level folder
+        (reference cell :2037). Returns {folder: file}."""
+
+        from megadetector_tpu.postprocessing \
+            .subset_json_detector_output import (
+                SubsetJsonDetectorOutputOptions,
+                subset_json_detector_output)
+        options = SubsetJsonDetectorOutputOptions()
+        options.split_folders = True
+        options.split_folder_mode = 'top'
+        out_dir = os.path.join(self.job_dir, 'splits')
+        return subset_json_detector_output(self.final_file, out_dir,
+                                           options)
+
     def build_preview(self):
         """Stage 5: HTML preview."""
 

@@ -207,3 +207,76 @@ def test_confusion_matrix(tmp_path):
     assert stats['animal']['fn'] == 1
     assert stats['person']['fp'] == 1
     assert os.path.isfile(out_html)
+
+
+def test_batch_job_operator_affordances(tiny_checkpoint, tmp_path):
+    """Chunk planning, audit, unused-category removal, zip,
+    interesting-category preview, and top-folder splitting
+    (reference notebook cells manage_local_batch.py:494-785,863-980,
+    1932-2070)."""
+
+    from megadetector_tpu.workflows.manage_local_batch import (
+        BatchJob, BatchJobOptions)
+
+    input_path = str(tmp_path / 'images')
+    rng = np.random.RandomState(1)
+    for cam in ('camA', 'camB'):
+        os.makedirs(os.path.join(input_path, cam))
+        for i in range(3):
+            Image.fromarray(rng.randint(0, 255, (50, 60, 3),
+                                        dtype=np.uint8)).save(
+                os.path.join(input_path, cam, 'im{}.jpg'.format(i)))
+
+    options = BatchJobOptions()
+    options.input_path = input_path
+    options.output_base = str(tmp_path / 'jobs')
+    options.job_name = 'op_job'
+    options.model_file = tiny_checkpoint
+    options.batch_size = 4
+    options.run_rde = False
+    options.checkpoint_frequency = -1
+
+    job = BatchJob(options)
+    job.enumerate_images()
+
+    script = job.plan_chunks(2)
+    assert os.path.isfile(script)
+    content = open(script).read()
+    assert 'run_detector_batch' in content
+    assert 'combine_batch_outputs' in content
+    assert os.path.isfile(os.path.join(
+        job.job_dir, 'chunks', 'chunk_000_files.json'))
+
+    job.run_detector()
+    job.validate()
+
+    audit = job.audit_results()
+    assert audit['n_images'] == 6
+    assert audit['missing'] == []
+
+    # Attach a fake classification so category cleanup has work to do
+    with open(job.final_file) as f:
+        data = json.load(f)
+    data['classification_categories'] = {'0': 'deer', '1': 'unused'}
+    for det in data['images'][0].get('detections') or []:
+        det['classifications'] = [['0', 0.9]]
+        break
+    ct_utils.write_json(job.final_file, data, force_str=True)
+    cleaned = job.remove_unused_categories()
+    assert 'unused' not in cleaned['classification_categories'].values()
+
+    zip_path = job.zip_results()
+    assert os.path.isfile(zip_path)
+
+    job.build_interesting_preview(['animal'], threshold=0.2)
+    assert os.path.isfile(os.path.join(
+        job.job_dir, 'preview_interesting', 'index.html'))
+
+    splits = job.split_results_by_top_folder()
+    assert splits is not None
+    split_dir = os.path.join(job.job_dir, 'splits')
+    assert os.path.isdir(split_dir)
+    split_files = []
+    for root, _, files in os.walk(split_dir):
+        split_files.extend(f for f in files if f.endswith('.json'))
+    assert len(split_files) >= 2
