@@ -42,6 +42,16 @@ class YoloInferenceOptions:
         self.yolo_category_id_to_name = {0: 'animal', 1: 'person',
                                          2: 'vehicle'}
         self.remove_symlink_folder = True
+        # Unique-ID strategy (reference :140-152): 'links' always
+        # builds the symlink farm, 'verify' errors on duplicate
+        # basenames, 'auto' links only when basenames collide
+        self.unique_id_strategy = 'links'
+        # Chunked checkpointing (reference :203-210 + chunk loop):
+        # process images in chunks of this size, one val.py run per
+        # chunk, resumable — chunks whose result file already exists in
+        # [checkpoint_folder] are skipped
+        self.checkpoint_frequency = None
+        self.checkpoint_folder = None
 
 
 def run_inference_with_yolo_val(options):
@@ -60,54 +70,129 @@ def run_inference_with_yolo_val(options):
                                        'val.py')), \
         'No val.py in {}'.format(options.yolo_working_folder)
 
-    # Build a flat symlink farm so every image has a unique basename
-    # (val.py writes per-image IDs from basenames)
-    symlink_folder = options.symlink_folder or tempfile.mkdtemp(
-        prefix='yolo_val_symlinks_')
-    os.makedirs(symlink_folder, exist_ok=True)
-
     images = path_utils.find_images(options.input_folder, recursive=True)
-    image_id_to_relative_path = {}
-    for i_image, image_path in enumerate(images):
-        ext = os.path.splitext(image_path)[1]
-        link_name = 'im_{:0>8d}{}'.format(i_image, ext)
-        image_id_to_relative_path['im_{:0>8d}'.format(i_image)] = \
-            os.path.relpath(image_path, options.input_folder)
-        path_utils.safe_create_link(
-            os.path.abspath(image_path),
-            os.path.join(symlink_folder, link_name))
 
-    project_dir = tempfile.mkdtemp(prefix='yolo_val_results_')
-    cmd = ('cd "{}" && python val.py --task test --data "{}" '
-           '--weights "{}" --batch-size {} --imgsz {} --conf-thres {} '
-           '--device {} --save-json --project "{}" --name results '
-           '--exist-ok{}').format(
-               options.yolo_working_folder,
-               _write_dataset_yaml(symlink_folder),
-               options.model_filename, options.batch_size,
-               options.image_size, options.conf_thres,
-               options.device_string, project_dir,
-               ' --augment' if options.augment else '')
-    result = execute_and_print(cmd, print_output=False)
-    if result['status'] != 0:
-        raise RuntimeError(
-            'val.py failed (status {}):\n{}'.format(
-                result['status'], ''.join(result['output'][-20:])))
+    # Unique-ID strategy (basenames become YOLO image IDs)
+    basenames = [os.path.splitext(os.path.basename(p))[0]
+                 for p in images]
+    ids_unique = len(set(basenames)) == len(basenames)
+    strategy = options.unique_id_strategy
+    if strategy == 'verify':
+        assert ids_unique, \
+            'Duplicate image basenames; use unique_id_strategy=links'
+        use_links = False
+    elif strategy == 'auto':
+        use_links = not ids_unique
+    else:
+        assert strategy == 'links', \
+            'Unknown unique_id_strategy {}'.format(strategy)
+        use_links = True
 
-    # Find the predictions json
-    predictions_files = []
-    for root, _, files in os.walk(project_dir):
-        predictions_files.extend(
-            os.path.join(root, f) for f in files
-            if f.endswith('_predictions.json') or f == 'best_predictions.json')
-    assert len(predictions_files) > 0, 'No predictions file produced'
+    symlink_folder = None
+    if use_links:
+        # Flat symlink farm so every image has a unique basename
+        symlink_folder = options.symlink_folder or tempfile.mkdtemp(
+            prefix='yolo_val_symlinks_')
+        os.makedirs(symlink_folder, exist_ok=True)
+        image_id_to_relative_path = {}
+        run_paths = []
+        for i_image, image_path in enumerate(images):
+            ext = os.path.splitext(image_path)[1]
+            link_name = 'im_{:0>8d}{}'.format(i_image, ext)
+            image_id_to_relative_path['im_{:0>8d}'.format(i_image)] = \
+                os.path.relpath(image_path, options.input_folder)
+            link_path = os.path.join(symlink_folder, link_name)
+            path_utils.safe_create_link(os.path.abspath(image_path),
+                                        link_path)
+            run_paths.append(link_path)
+    else:
+        image_id_to_relative_path = {
+            base: os.path.relpath(p, options.input_folder)
+            for base, p in zip(basenames, images)}
+        run_paths = list(images)
+
+    def run_chunk(chunk_paths, chunk_folder):
+        """One val.py invocation over [chunk_paths]; returns the
+        predictions-json path."""
+
+        os.makedirs(chunk_folder, exist_ok=True)
+        for p in chunk_paths:
+            link = os.path.join(chunk_folder, os.path.basename(p))
+            if not os.path.lexists(link):
+                path_utils.safe_create_link(os.path.abspath(p), link)
+        project_dir = tempfile.mkdtemp(prefix='yolo_val_results_')
+        cmd = ('cd "{}" && python val.py --task test --data "{}" '
+               '--weights "{}" --batch-size {} --imgsz {} '
+               '--conf-thres {} --device {} --save-json '
+               '--project "{}" --name results --exist-ok{}').format(
+                   options.yolo_working_folder,
+                   _write_dataset_yaml(chunk_folder),
+                   options.model_filename, options.batch_size,
+                   options.image_size, options.conf_thres,
+                   options.device_string, project_dir,
+                   ' --augment' if options.augment else '')
+        result = execute_and_print(cmd, print_output=False)
+        if result['status'] != 0:
+            raise RuntimeError(
+                'val.py failed (status {}):\n{}'.format(
+                    result['status'],
+                    ''.join(result['output'][-20:])))
+        predictions_files = []
+        for root, _, files in os.walk(project_dir):
+            predictions_files.extend(
+                os.path.join(root, f) for f in files
+                if f.endswith('_predictions.json') or
+                f == 'best_predictions.json')
+        assert predictions_files, 'No predictions file produced'
+        return predictions_files[0]
+
+    # Chunked, resumable execution: one val.py run per chunk; chunks
+    # whose merged-predictions shard already exists are skipped
+    if options.checkpoint_frequency and \
+            options.checkpoint_frequency > 0:
+        import json as _json
+        import shutil
+        checkpoint_folder = options.checkpoint_folder or \
+            tempfile.mkdtemp(prefix='yolo_val_checkpoints_')
+        os.makedirs(checkpoint_folder, exist_ok=True)
+        n = options.checkpoint_frequency
+        merged = []
+        for i_chunk, start in enumerate(range(0, len(run_paths), n)):
+            shard_file = os.path.join(
+                checkpoint_folder,
+                'chunk_{:04d}_predictions.json'.format(i_chunk))
+            if os.path.isfile(shard_file):
+                print('Skipping completed chunk {}'.format(i_chunk))
+            else:
+                chunk_dir = os.path.join(
+                    checkpoint_folder,
+                    'chunk_{:04d}_images'.format(i_chunk))
+                predictions = run_chunk(run_paths[start:start + n],
+                                        chunk_dir)
+                shutil.copyfile(predictions, shard_file)
+            with open(shard_file) as f:
+                merged.extend(_json.load(f))
+        combined_file = os.path.join(checkpoint_folder,
+                                     'combined_predictions.json')
+        with open(combined_file, 'w') as f:
+            _json.dump(merged, f)
+        predictions_file = combined_file
+    else:
+        run_folder = symlink_folder if use_links else \
+            tempfile.mkdtemp(prefix='yolo_val_run_')
+        if not use_links:
+            for p in run_paths:
+                path_utils.safe_create_link(
+                    os.path.abspath(p),
+                    os.path.join(run_folder, os.path.basename(p)))
+        predictions_file = run_chunk(run_paths, run_folder)
 
     md = yolo_json_output_to_md_output(
-        predictions_files[0], options.input_folder, options.output_file,
+        predictions_file, options.input_folder, options.output_file,
         yolo_category_id_to_name=options.yolo_category_id_to_name,
         image_id_to_relative_path=image_id_to_relative_path)
 
-    if options.remove_symlink_folder:
+    if options.remove_symlink_folder and symlink_folder is not None:
         import shutil
         shutil.rmtree(symlink_folder, ignore_errors=True)
 

@@ -655,10 +655,12 @@ class TPUDetector:
                                scaling_shape[1], scaling_shape[0]],
                               dtype=np.float64)
 
-                # Reference emits detections in reversed prediction order;
-                # the final file is conf-sorted anyway, so emit in score
-                # order here
-                for i in range(boxes.shape[0]):
+                # The reference emits detections in reversed prediction
+                # order, i.e. ascending confidence
+                # (pytorch_detector.py:1383 `for ... in reversed(det)`);
+                # match it so raw-API consumers see identical ordering
+                # (the file writer conf-sorts either way)
+                for i in reversed(range(boxes.shape[0])):
                     conf = float(scores[i])
                     if conf < detection_threshold:
                         continue

@@ -194,3 +194,158 @@ def test_augmented_inference(tmp_path):
         x, y, w, h = det['bbox']
         assert -0.001 <= x and x + w <= 1.001
         assert -0.001 <= y and y + h <= 1.001
+
+
+def test_motion_history_and_previews(tmp_path):
+    """Motion-history mode accumulates decaying motion; previews render
+    (reference: change_detection.py:107-180,610-704)."""
+
+    import cv2
+    from megadetector_tpu.detection.change_detection import (
+        ChangeDetectionMethod, ChangeDetectionOptions,
+        create_change_previews, detect_motion)
+
+    folder = tmp_path / 'cam'
+    folder.mkdir()
+    rng = np.random.RandomState(0)
+    base = rng.randint(80, 120, (60, 80), dtype=np.uint8)
+    paths = []
+    for i in range(6):
+        img = base.copy()
+        if i >= 3:
+            img[20:40, 30 + 5 * i:50 + 5 * i] = 250  # moving block
+        p = str(folder / 'im{}.jpg'.format(i))
+        cv2.imwrite(p, img)
+        paths.append(p)
+
+    options = ChangeDetectionOptions()
+    options.method = ChangeDetectionMethod.MOTION_HISTORY
+    options.blur_kernel = 1
+    results = detect_motion(paths, options)
+    assert results[0]['motion_fraction'] == 0.0
+    assert any(r['motion'] for r in results[3:])
+    # MHI decays: motion persists (nonzero) after the event
+    assert results[-1]['motion_fraction'] > 0
+
+    previews = create_change_previews(results, str(tmp_path / 'prev'),
+                                      num_samples=3)
+    assert len(previews) >= 1
+    assert all(os.path.isfile(p) for p in previews)
+
+
+def test_adaptive_threshold_mode(tmp_path):
+    import cv2
+    from megadetector_tpu.detection.change_detection import (
+        ChangeDetectionOptions, ThresholdMethod, detect_motion)
+
+    folder = tmp_path / 'cam2'
+    folder.mkdir()
+    rng = np.random.RandomState(1)
+    base = rng.randint(80, 120, (60, 80), dtype=np.uint8)
+    paths = []
+    for i in range(3):
+        img = base.copy()
+        if i == 2:
+            img[10:50, 10:70] = 240
+        p = str(folder / 'im{}.jpg'.format(i))
+        cv2.imwrite(p, img)
+        paths.append(p)
+
+    options = ChangeDetectionOptions()
+    options.threshold_method = ThresholdMethod.ADAPTIVE
+    options.blur_kernel = 1
+    results = detect_motion(paths, options)
+    assert all(np.isfinite(r['motion_fraction']) for r in results)
+    assert results[2]['motion_fraction'] > results[1]['motion_fraction']
+
+
+def test_yolo_val_runner_with_fake_valpy(tmp_path):
+    """Symlink farm, chunked resumable checkpointing, and YOLO-json ->
+    MD conversion, driven through a fake val.py (no torch repo needed;
+    reference machinery: run_inference_with_yolov5_val.py:140-152 +
+    the chunked-checkpoint loop)."""
+
+    import json
+    from PIL import Image as PILImage
+    from megadetector_tpu.detection.run_inference_with_yolo_val import (
+        YoloInferenceOptions, run_inference_with_yolo_val)
+
+    # Images (duplicate basenames across folders to force the farm)
+    input_folder = tmp_path / 'imgs'
+    for cam in ('camA', 'camB'):
+        (input_folder / cam).mkdir(parents=True)
+        for i in range(2):
+            PILImage.fromarray(
+                np.full((40, 60, 3), 100, np.uint8)).save(
+                str(input_folder / cam / 'pic{}.jpg'.format(i)))
+
+    # Fake YOLO repo: val.py lists the dataset folder's images and
+    # emits one centered detection per image
+    repo = tmp_path / 'yolo_repo'
+    repo.mkdir()
+    (repo / 'val.py').write_text('''
+import argparse, json, os, sys
+p = argparse.ArgumentParser()
+for a in ('--task','--data','--weights','--device','--name'):
+    p.add_argument(a)
+for a in ('--batch-size','--imgsz'):
+    p.add_argument(a, type=int)
+p.add_argument('--conf-thres', type=float)
+p.add_argument('--save-json', action='store_true')
+p.add_argument('--project')
+p.add_argument('--exist-ok', action='store_true')
+p.add_argument('--augment', action='store_true')
+args = p.parse_args()
+folder = None
+for line in open(args.data):
+    if line.startswith('path:'):
+        folder = line.split(':', 1)[1].strip()
+preds = []
+for fn in sorted(os.listdir(folder)):
+    base, ext = os.path.splitext(fn)
+    if ext.lower() not in ('.jpg', '.jpeg', '.png'):
+        continue
+    preds.append({'image_id': base, 'category_id': 0,
+                  'bbox': [15.0, 10.0, 30.0, 20.0], 'score': 0.9})
+out_dir = os.path.join(args.project, 'results')
+os.makedirs(out_dir, exist_ok=True)
+with open(os.path.join(out_dir, 'best_predictions.json'), 'w') as f:
+    json.dump(preds, f)
+''')
+
+    options = YoloInferenceOptions()
+    options.input_folder = str(input_folder)
+    options.model_filename = 'fake.pt'
+    options.output_file = str(tmp_path / 'yolo_md.json')
+    options.yolo_working_folder = str(repo)
+    options.checkpoint_frequency = 3  # 4 images -> 2 chunks
+    options.checkpoint_folder = str(tmp_path / 'ckpts')
+
+    md = run_inference_with_yolo_val(options)
+    assert len(md['images']) == 4
+    files = {im['file'] for im in md['images']}
+    assert 'camA/pic0.jpg' in files and 'camB/pic0.jpg' in files
+    for im in md['images']:
+        assert len(im['detections']) == 1
+        det = im['detections'][0]
+        assert det['category'] == '1'
+        # bbox [15,10,30,20] px on a 60x40 image -> [0.25,0.25,0.5,0.5]
+        assert abs(det['bbox'][0] - 0.25) < 1e-3
+        assert abs(det['bbox'][2] - 0.5) < 1e-3
+
+    # Resume: delete the output, rerun — completed chunks are skipped
+    shard0 = os.path.join(options.checkpoint_folder,
+                          'chunk_0000_predictions.json')
+    assert os.path.isfile(shard0)
+    md2 = run_inference_with_yolo_val(options)
+    assert len(md2['images']) == 4
+
+    # unique_id_strategy=verify errors on duplicate basenames
+    options2 = YoloInferenceOptions()
+    options2.input_folder = str(input_folder)
+    options2.model_filename = 'fake.pt'
+    options2.output_file = str(tmp_path / 'yolo_md2.json')
+    options2.yolo_working_folder = str(repo)
+    options2.unique_id_strategy = 'verify'
+    with pytest.raises(AssertionError):
+        run_inference_with_yolo_val(options2)
