@@ -38,6 +38,11 @@ class MDTestOptions:
         self.cli_working_dir = None
         self.skip_video_tests = False
         self.skip_tiled_tests = False
+        # CLI tier: drive the module CLIs as subprocesses and require
+        # byte-identical detections vs the Python-API run (the
+        # reference's run_cli_tests, md_tests.py:1116). Slow on a
+        # 1-core box (each subprocess pays the jax import).
+        self.skip_cli_tests = True
         self.force_cpu = True
         self.verbose = True
 
@@ -252,11 +257,74 @@ def run_tests(options=None):
     log('tier 6 (postprocessing + RDE) OK')
     status['postprocessing'] = 'ok'
 
+    # --- Tier 7: CLI tier — subprocess CLIs must produce detections
+    # byte-identical to the API run (reference: md_tests.py:1116 +
+    # output_files_are_identical :363-415)
+    if not options.skip_cli_tests:
+        status['cli'] = run_cli_tests(
+            model_file, image_dir, scratch,
+            api_results_file=out_b2, verbose=options.verbose)
+        log('tier 7 (CLI) OK')
+
     if options.scratch_dir is None:
         shutil.rmtree(scratch, ignore_errors=True)
 
     log('all tiers passed')
     return status
+
+
+def run_cli_tests(model_file, image_dir, scratch,
+                  api_results_file=None, verbose=True):
+    """
+    Drive the batch CLI, validator CLI, and subset CLI as subprocesses;
+    when [api_results_file] is given, the CLI detections must be
+    byte-identical (modulo the info block's timestamp) to the API run.
+    Returns 'ok' or raises.
+    """
+
+    import subprocess
+    import sys
+
+    cli_out = os.path.join(scratch, 'results_cli.json')
+    cmd = [sys.executable, '-m',
+           'megadetector_tpu.detection.run_detector_batch',
+           model_file, image_dir, cli_out,
+           '--recursive', '--output_relative_filenames',
+           '--batch_size', '2', '--detector_options', 'force_cpu=true']
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    assert r.returncode == 0, \
+        'batch CLI failed:\n{}'.format(r.stderr[-2000:])
+
+    r = subprocess.run(
+        [sys.executable, '-m',
+         'megadetector_tpu.postprocessing.validate_batch_results',
+         cli_out], capture_output=True, text=True)
+    assert r.returncode == 0, \
+        'validator CLI failed:\n{}'.format(r.stderr[-2000:])
+
+    if api_results_file is not None:
+        with open(api_results_file) as f:
+            api = json.load(f)
+        with open(cli_out) as f:
+            cli = json.load(f)
+        # Identity modulo the info block (completion timestamps differ)
+        assert api['images'] == cli['images'], \
+            'CLI detections differ from the API run'
+        assert api['detection_categories'] == \
+            cli['detection_categories']
+
+    # Subset CLI round trip
+    subset_out = os.path.join(scratch, 'subset_cli.json')
+    r = subprocess.run(
+        [sys.executable, '-m',
+         'megadetector_tpu.postprocessing.subset_json_detector_output',
+         cli_out, subset_out, '--confidence_threshold', '0.5'],
+        capture_output=True, text=True)
+    assert r.returncode == 0, \
+        'subset CLI failed:\n{}'.format(r.stderr[-2000:])
+    if verbose:
+        print('[md-tests] CLI tier: batch + validate + subset OK')
+    return 'ok'
 
 
 def main():
@@ -270,6 +338,9 @@ def main():
     parser.add_argument('--expected_results_file', default=None)
     parser.add_argument('--scratch_dir', default=None)
     parser.add_argument('--skip_video_tests', action='store_true')
+    parser.add_argument('--run_cli_tests', action='store_true',
+                        help='also drive the module CLIs as '
+                             'subprocesses (slow on 1 core)')
     parser.add_argument('--no_force_cpu', action='store_true')
     args = parser.parse_args()
 
@@ -278,6 +349,7 @@ def main():
     options.expected_results_file = args.expected_results_file
     options.scratch_dir = args.scratch_dir
     options.skip_video_tests = args.skip_video_tests
+    options.skip_cli_tests = not args.run_cli_tests
     options.force_cpu = not args.no_force_cpu
     status = run_tests(options)
     print(json.dumps(status))

@@ -124,3 +124,19 @@ def test_identical_lists_with_degenerate_boxes():
     r = compare_detection_lists(dets, dets)
     assert r['errors'] == []
     assert len(r['matched']) == 2
+
+
+@pytest.mark.slow
+def test_integration_harness_full_with_cli():
+    """The full integration harness including the subprocess CLI tier
+    (reference md_tests run_python_tests + run_cli_tests)."""
+
+    from megadetector_tpu.utils.integration_tests import (
+        MDTestOptions, run_tests)
+
+    options = MDTestOptions()
+    options.skip_cli_tests = False
+    options.verbose = False
+    status = run_tests(options)
+    assert status['cli'] == 'ok'
+    assert status['single_image'] == 'ok'
