@@ -59,24 +59,32 @@ class SpeciesLookup:
         synonym match, then token-overlap fuzzy match.
         """
 
-        q = _normalize(query)
+        # Exact match first with hyphens preserved (taxonomies keep
+        # them: 'black-backed jackal'), then hyphen-normalized
+        raw = re.sub(r'\s+', ' ', str(query).strip().lower())
+        nodes = self.taxonomy.find(raw)
+        if nodes:
+            return nodes[0]
 
+        q = _normalize(query)
         nodes = self.taxonomy.find(q)
         if nodes:
             return nodes[0]
 
-        if q in self.synonyms:
-            nodes = self.taxonomy.find(self.synonyms[q])
-            if nodes:
-                return nodes[0]
+        for key in (raw, q):
+            if key in self.synonyms:
+                nodes = self.taxonomy.find(self.synonyms[key])
+                if nodes:
+                    return nodes[0]
 
         # Fuzzy: the query's tokens are a subset of a taxon's tokens or
-        # vice versa ('white-tailed deer' ~ 'white tailed deer')
-        q_tokens = set(q.split())
+        # vice versa ('white-tailed deer' ~ 'white tailed deer');
+        # hyphens split for tokenization
+        q_tokens = set(_normalize(query).split())
         best = None
         best_overlap = 0
         for name, nodes in self.taxonomy.name_to_nodes.items():
-            n_tokens = set(name.split())
+            n_tokens = set(_normalize(name).split())
             if not n_tokens:
                 continue
             overlap = len(q_tokens & n_tokens)
@@ -98,3 +106,124 @@ class SpeciesLookup:
         """{input label: canonical name or None} for a list of labels."""
 
         return {label: self.lookup_name(label) for label in labels}
+
+
+#%% Reference-style heuristic matching
+#
+# The reference's get_preferred_taxonomic_match
+# (taxonomy_mapping/species_lookup.py:715-800) applies camera-trap-
+# specific query cleanup before/after the raw lookup; these are the
+# same heuristics, running against the offline SpeciesLookup.
+
+# Terms that datasets write space-separated but taxonomies hyphenate
+HYPHENATED_TERMS = ['tailed', 'backed', 'breasted', 'crowned', 'eared',
+                    'necked', 'throated', 'winged', 'footed']
+
+
+class TaxonomicMatch:
+    """One resolved match: the node plus its full ancestor level map
+    (the reference's TaxonomicMatch, species_lookup.py:662)."""
+
+    def __init__(self, query, node, taxonomy):
+        self.query = query
+        self.node = node
+        self.scientific_name = node.name if node is not None else ''
+        self.level = node.level if node is not None else ''
+        self.taxonomy_levels = {}
+        if node is not None and taxonomy is not None:
+            self.taxonomy_levels[node.level] = node.name
+            for ancestor in taxonomy.ancestors(node):
+                self.taxonomy_levels[ancestor.level] = ancestor.name
+
+    def __repr__(self):
+        return 'TaxonomicMatch({} -> {} [{}])'.format(
+            self.query, self.scientific_name, self.level)
+
+
+def clean_species_query(query):
+    """The reference's pre-lookup normalization
+    (species_lookup.py:793-800): lowercase, underscores to spaces,
+    strip 'unidentified'/'unknown' and trailing ' sp'/' group'."""
+
+    q = _normalize(query)
+    q = q.replace('unidentified', '').replace('unknown', '')
+    q = q.strip()
+    if q.endswith(' sp'):
+        q = q[:-3]
+    if q.endswith(' group'):
+        q = q[:-6]
+    return q.strip()
+
+
+def get_preferred_taxonomic_match(query, lookup, retry=True):
+    """
+    Resolve [query] against a SpeciesLookup with the reference's retry
+    heuristics (species_lookup.py:715-760): raw lookup; then hyphenate
+    compound color/body terms ('black backed jackal' ->
+    'black-backed jackal'); then strip 'sp.'/'sp' suffixes; then strip
+    rank words ('species', 'order', 'genus', 'family', 'subfamily').
+
+    Returns a TaxonomicMatch (scientific_name == '' when unresolved).
+    """
+
+    q = clean_species_query(query)
+    node = lookup.lookup(q)
+    if node is not None or not retry:
+        return TaxonomicMatch(q, node, lookup.taxonomy)
+
+    for term in HYPHENATED_TERMS:
+        q = q.replace(' ' + term, '-' + term)
+    if q.endswith('.'):
+        q = q[:-1].strip()
+    if q.endswith(' sp'):
+        q = q[:-3].strip()
+    node = lookup.lookup(q)
+    if node is not None:
+        return TaxonomicMatch(q, node, lookup.taxonomy)
+
+    for rank in ('species', 'order', 'genus', 'family', 'subfamily'):
+        q = q.replace(rank, '').strip()
+    node = lookup.lookup(q)
+    return TaxonomicMatch(q, node, lookup.taxonomy)
+
+
+def load_gbif_backbone(taxon_tsv, max_rows=None,
+                       kingdoms=('animalia',)):
+    """
+    Build a SpeciesLookup from a local GBIF backbone Taxon.tsv dump
+    (the file the reference's initialize_taxonomy_lookup downloads,
+    species_lookup.py:77; this loader works on any local copy — this
+    framework never assumes egress). Columns used: taxonID,
+    parentNameUsageID, canonicalName, taxonRank, kingdom,
+    vernacularName (when present).
+
+    Returns a SpeciesLookup whose taxonomy carries the parent chains.
+    """
+
+    import csv
+
+    rows = []
+    synonyms = {}
+    wanted_kingdoms = {k.lower() for k in kingdoms} if kingdoms else None
+    with open(taxon_tsv, newline='', encoding='utf-8',
+              errors='replace') as f:
+        reader = csv.DictReader(f, delimiter='\t')
+        for i, rec in enumerate(reader):
+            if max_rows is not None and i >= max_rows:
+                break
+            kingdom = (rec.get('kingdom') or '').lower()
+            if wanted_kingdoms and kingdom and \
+                    kingdom not in wanted_kingdoms:
+                continue
+            name = rec.get('canonicalName') or \
+                rec.get('scientificName') or ''
+            if not name:
+                continue
+            rows.append((rec['taxonID'],
+                         (rec.get('taxonRank') or 'unknown').lower(),
+                         name,
+                         rec.get('parentNameUsageID') or None))
+            vern = rec.get('vernacularName')
+            if vern:
+                synonyms[vern] = name
+    return SpeciesLookup(TaxonomyGraph(rows), synonyms)

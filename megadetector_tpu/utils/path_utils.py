@@ -369,3 +369,235 @@ def fileparts(path):
     folder = os.path.dirname(path)
     base, ext = os.path.splitext(os.path.basename(path))
     return folder, base, ext
+
+
+#%% Folder utilities (reference: path_utils.py:130-433)
+
+
+def folder_list(base_dir, convert_slashes=True,
+                return_relative_paths=False, recursive=False):
+    """Sorted folders under [base_dir] (reference: path_utils.py:130)."""
+
+    folders = []
+    if recursive:
+        for root, dirs, _ in os.walk(base_dir):
+            folders.extend(os.path.join(root, d) for d in dirs)
+    else:
+        folders = [os.path.join(base_dir, d)
+                   for d in os.listdir(base_dir)
+                   if os.path.isdir(os.path.join(base_dir, d))]
+    if return_relative_paths:
+        folders = [os.path.relpath(f, base_dir) for f in folders]
+    if convert_slashes:
+        folders = [f.replace('\\', '/') for f in folders]
+    return sorted(folders)
+
+
+def folder_summary(folder, print_summary=True):
+    """
+    {'n_files', 'n_folders', 'extension_to_count'} for a folder tree
+    (reference: path_utils.py:177).
+    """
+
+    from collections import defaultdict
+
+    n_files = 0
+    n_folders = 0
+    extension_to_count = defaultdict(int)
+    for root, dirs, files in os.walk(folder):
+        n_folders += len(dirs)
+        n_files += len(files)
+        for fn in files:
+            extension_to_count[os.path.splitext(fn)[1].lower()] += 1
+    summary = {'n_files': n_files, 'n_folders': n_folders,
+               'extension_to_count': dict(sorted(
+                   extension_to_count.items(),
+                   key=lambda kv: -kv[1]))}
+    if print_summary:
+        print('{}: {} files in {} folders'.format(folder, n_files,
+                                                  n_folders))
+        for ext, n in summary['extension_to_count'].items():
+            print('  {}: {}'.format(ext or '(none)', n))
+    return summary
+
+
+def remove_empty_folders(path, remove_root=False):
+    """Recursively delete empty folders (reference: path_utils.py:384).
+    Returns True when [path] itself was removed."""
+
+    if not os.path.isdir(path):
+        return False
+    entries = os.listdir(path)
+    for entry in entries:
+        full = os.path.join(path, entry)
+        if os.path.isdir(full):
+            remove_empty_folders(full, remove_root=True)
+    if remove_root and not os.listdir(path):
+        os.rmdir(path)
+        return True
+    return False
+
+
+def path_join(*paths, convert_slashes=True):
+    """os.path.join with forward-slash output (reference:
+    path_utils.py:434)."""
+
+    joined = os.path.join(*paths)
+    return joined.replace('\\', '/') if convert_slashes else joined
+
+
+def test_file_write(fn, overwrite=True):
+    """True when [fn] is writable (reference: path_utils.py:454)."""
+
+    if os.path.exists(fn) and not overwrite:
+        return False
+    try:
+        with open(fn, 'a'):
+            pass
+        return True
+    except OSError:
+        return False
+
+
+def is_executable(filename):
+    """True when [filename] exists and is executable."""
+
+    return os.path.isfile(filename) and os.access(filename, os.X_OK)
+
+
+def make_executable(filename, catch_exceptions=False):
+    """chmod +x (reference: path_utils.py:696)."""
+
+    try:
+        os.chmod(filename, os.stat(filename).st_mode | 0o111)
+        return True
+    except OSError:
+        if not catch_exceptions:
+            raise
+        return False
+
+
+#%% Zip/tar utilities (reference: path_utils.py:1322-1694)
+
+
+def zip_folder(input_folder, output_fn=None, overwrite=False,
+               compress_level=9):
+    """Zip a folder tree (reference: path_utils.py:1449)."""
+
+    import zipfile
+
+    if output_fn is None:
+        output_fn = input_folder.rstrip('/\\') + '.zip'
+    if os.path.isfile(output_fn) and not overwrite:
+        return output_fn
+    with zipfile.ZipFile(output_fn, 'w', zipfile.ZIP_DEFLATED,
+                         compresslevel=compress_level) as zf:
+        for root, _, files in os.walk(input_folder):
+            for fn in files:
+                full = os.path.join(root, fn)
+                zf.write(full, os.path.relpath(full, input_folder))
+    return output_fn
+
+
+def zip_files_into_single_zipfile(input_files, output_fn,
+                                  arc_name_base=None, overwrite=False,
+                                  compress_level=9):
+    """Zip a list of files into one archive (reference:
+    path_utils.py:1403)."""
+
+    import zipfile
+
+    if os.path.isfile(output_fn) and not overwrite:
+        return output_fn
+    with zipfile.ZipFile(output_fn, 'w', zipfile.ZIP_DEFLATED,
+                         compresslevel=compress_level) as zf:
+        for fn in input_files:
+            arcname = os.path.relpath(fn, arc_name_base) \
+                if arc_name_base else os.path.basename(fn)
+            zf.write(fn, arcname)
+    return output_fn
+
+
+def add_files_to_single_tar_file(input_files, output_fn, arc_name_base,
+                                 overwrite=False, mode='x'):
+    """Tar a list of files (reference: path_utils.py:1361)."""
+
+    import tarfile
+
+    if os.path.isfile(output_fn):
+        if not overwrite:
+            return output_fn
+        os.remove(output_fn)
+    with tarfile.open(output_fn, mode) as tf:
+        for fn in input_files:
+            tf.add(fn, arcname=os.path.relpath(fn, arc_name_base))
+    return output_fn
+
+
+def parallel_zip_files(input_files, max_workers=8, overwrite=False):
+    """Zip each file to <file>.zip in parallel (reference:
+    path_utils.py:1492)."""
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(fn):
+        return zip_file(fn, overwrite=overwrite)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(one, input_files))
+
+
+def parallel_zip_folders(input_folders, max_workers=8,
+                         overwrite=False):
+    """Zip each folder to <folder>.zip in parallel (reference:
+    path_utils.py:1537)."""
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(folder):
+        return zip_folder(folder, overwrite=overwrite)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(one, input_folders))
+
+
+def zip_each_file_in_folder(folder_name, recursive=False,
+                            max_workers=8, overwrite=False,
+                            required_token=None):
+    """Zip every file in a folder to <file>.zip (reference:
+    path_utils.py:1583)."""
+
+    files = file_list(folder_name, recursive=recursive) if recursive \
+        else [os.path.join(folder_name, fn)
+              for fn in os.listdir(folder_name)
+              if os.path.isfile(os.path.join(folder_name, fn))]
+    files = [fn for fn in files if not fn.endswith('.zip')]
+    if required_token is not None:
+        files = [fn for fn in files if required_token in fn]
+    return parallel_zip_files(files, max_workers=max_workers,
+                              overwrite=overwrite)
+
+
+def parallel_unzip_files(input_files, max_workers=8):
+    """Unzip each archive next to itself in parallel (reference:
+    path_utils.py:1647)."""
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(fn):
+        return unzip_file(fn, os.path.splitext(fn)[0])
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(one, input_files))
+
+
+def parallel_delete_files(input_files, max_workers=8, verbose=False):
+    """Delete files in parallel (reference: path_utils.py:1156)."""
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(fn):
+        delete_file(fn, verbose=verbose)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        list(pool.map(one, input_files))

@@ -102,3 +102,65 @@ def test_zip_round_trip(tmp_path):
 
 def test_fileparts():
     assert path_utils.fileparts('c/d/file.jpg') == ('c/d', 'file', '.jpg')
+
+
+def test_folder_utilities(tmp_path):
+    from megadetector_tpu.utils import path_utils as pu
+
+    (tmp_path / 'a' / 'b').mkdir(parents=True)
+    (tmp_path / 'c').mkdir()
+    (tmp_path / 'a' / 'x.jpg').write_bytes(b'1')
+    (tmp_path / 'a' / 'y.txt').write_bytes(b'2')
+
+    folders = pu.folder_list(str(tmp_path), return_relative_paths=True)
+    assert folders == ['a', 'c']
+    folders_r = pu.folder_list(str(tmp_path),
+                               return_relative_paths=True,
+                               recursive=True)
+    assert 'a/b' in folders_r
+
+    summary = pu.folder_summary(str(tmp_path), print_summary=False)
+    assert summary['n_files'] == 2
+    assert summary['extension_to_count']['.jpg'] == 1
+
+    # b and c are empty -> removed; a keeps its files
+    pu.remove_empty_folders(str(tmp_path))
+    assert not (tmp_path / 'a' / 'b').exists()
+    assert not (tmp_path / 'c').exists()
+    assert (tmp_path / 'a' / 'x.jpg').exists()
+
+    assert pu.path_join('a', 'b', 'c.jpg') == 'a/b/c.jpg'
+    assert pu.test_file_write(str(tmp_path / 'w.txt'))
+
+
+def test_zip_tar_utilities(tmp_path):
+    import tarfile
+    import zipfile
+    from megadetector_tpu.utils import path_utils as pu
+
+    folder = tmp_path / 'data'
+    folder.mkdir()
+    for i in range(3):
+        (folder / 'f{}.txt'.format(i)).write_text('x' * 100)
+
+    z = pu.zip_folder(str(folder))
+    with zipfile.ZipFile(z) as zf:
+        assert len(zf.namelist()) == 3
+
+    single = pu.zip_files_into_single_zipfile(
+        [str(folder / 'f0.txt'), str(folder / 'f1.txt')],
+        str(tmp_path / 'both.zip'))
+    with zipfile.ZipFile(single) as zf:
+        assert sorted(zf.namelist()) == ['f0.txt', 'f1.txt']
+
+    tar = pu.add_files_to_single_tar_file(
+        [str(folder / 'f2.txt')], str(tmp_path / 'one.tar'),
+        str(folder))
+    with tarfile.open(tar) as tf:
+        assert tf.getnames() == ['f2.txt']
+
+    zips = pu.zip_each_file_in_folder(str(folder))
+    assert len(zips) == 3
+
+    pu.parallel_delete_files(zips)
+    assert not any(os.path.isfile(z) for z in zips)

@@ -185,3 +185,52 @@ def test_taxonomy_graph(tmp_path):
     chains = g.to_parent_chain_file(chains_file)
     assert chains['red fox'] == ['canidae', 'carnivora', 'mammalia']
     assert os.path.isfile(chains_file)
+
+
+def test_preferred_taxonomic_match(tmp_path):
+    """Reference-style retry heuristics + GBIF backbone loading
+    (reference species_lookup.py:715-800,77)."""
+
+    from megadetector_tpu.taxonomy_mapping.species_lookup import (
+        SpeciesLookup, clean_species_query,
+        get_preferred_taxonomic_match, load_gbif_backbone)
+    from megadetector_tpu.taxonomy_mapping.taxonomy_graph import \
+        TaxonomyGraph
+
+    taxonomy = TaxonomyGraph([
+        ('1', 'class', 'mammalia', None),
+        ('2', 'family', 'canidae', '1'),
+        ('3', 'species', 'black-backed jackal', '2'),
+        ('4', 'genus', 'sciurus', '1'),
+    ])
+    lookup = SpeciesLookup(taxonomy, synonyms={'squirrel': 'sciurus'})
+
+    assert clean_species_query('Unknown Squirrel sp') == 'squirrel'
+
+    # Hyphenation retry
+    m = get_preferred_taxonomic_match('black backed jackal', lookup)
+    assert m.scientific_name == 'black-backed jackal'
+    assert m.taxonomy_levels['family'] == 'canidae'
+    assert m.taxonomy_levels['class'] == 'mammalia'
+
+    # 'sp.'/rank-word stripping + synonym
+    m = get_preferred_taxonomic_match('squirrel species', lookup)
+    assert m.scientific_name == 'sciurus'
+
+    # Unresolvable stays empty
+    m = get_preferred_taxonomic_match('martian rover', lookup)
+    assert m.scientific_name == ''
+
+    # GBIF backbone dump loading (offline local file)
+    tsv = tmp_path / 'Taxon.tsv'
+    tsv.write_text(
+        'taxonID\tparentNameUsageID\tcanonicalName\ttaxonRank\t'
+        'kingdom\tvernacularName\n'
+        '10\t\tMammalia\tclass\tAnimalia\t\n'
+        '11\t10\tVulpes vulpes\tspecies\tAnimalia\tred fox\n'
+        '12\t\tQuercus\tgenus\tPlantae\toak\n')
+    gbif = load_gbif_backbone(str(tsv))
+    node = gbif.lookup('red fox')
+    assert node is not None and node.name == 'vulpes vulpes'
+    # Plantae filtered out by the kingdom filter
+    assert gbif.lookup('oak') is None
