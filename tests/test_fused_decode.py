@@ -1,0 +1,127 @@
+"""
+Fused decode+selection (ops/decode.select_topk_candidates) must match the
+unfused reference path (yolov5.apply(decode=True) -> batched_nms) —
+same candidates, same final detections.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from megadetector_tpu.models import yolov5
+from megadetector_tpu.ops.decode import select_topk_candidates
+from megadetector_tpu.ops.nms import batched_nms, nms_on_candidates
+
+
+@pytest.fixture(scope='module')
+def small_model():
+    config = yolov5.YoloV5Config('yolov5n6', num_classes=3)
+    params = yolov5.init_params(config, seed=7)
+    return config, params
+
+
+def _run_both(config, params, x, conf_thres, k, dtype=None):
+    pred = yolov5.apply(config, params, x, dtype=dtype)
+    ref = batched_nms(pred, jnp.float32(conf_thres), jnp.float32(0.45),
+                      max_det=100, pre_nms_topk=k)
+
+    heads = yolov5.apply(config, params, x, dtype=dtype, decode=False)
+    cands = select_topk_candidates(
+        heads, config.anchors, config.strides, config.num_classes,
+        jnp.float32(conf_thres), k)
+    fused = nms_on_candidates(cands, jnp.float32(0.45), max_det=100)
+    return jax.device_get(ref), jax.device_get(fused)
+
+
+def _as_detection_set(out, b):
+    dets = []
+    for i in range(out['valid'].shape[1]):
+        if not out['valid'][b, i]:
+            continue
+        dets.append((int(out['classes'][b, i]),
+                     round(float(out['scores'][b, i]), 4),
+                     tuple(np.round(out['boxes'][b, i], 1))))
+    return dets
+
+
+def test_fused_matches_unfused_f32(small_model):
+    config, params = small_model
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 192, 192, 3)), jnp.float32)
+
+    ref, fused = _run_both(config, params, x, 0.005, 512)
+    for b in range(2):
+        ref_set = _as_detection_set(ref, b)
+        fused_set = _as_detection_set(fused, b)
+        assert len(ref_set) == len(fused_set)
+        for (rc, rs, rb), (fc, fs, fb) in zip(ref_set, fused_set):
+            assert rc == fc
+            assert abs(rs - fs) < 1e-3
+            np.testing.assert_allclose(rb, fb, atol=0.5)
+
+
+def test_fused_matches_unfused_bf16(small_model):
+    """bf16 heads (the production dtype): fused and unfused paths see the
+    same logits, so candidate sets must agree within score tolerance."""
+
+    config, params = small_model
+    params16 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16), params)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 192, 192, 3)), jnp.float32)
+
+    ref, fused = _run_both(config, params16, x, 0.005, 512,
+                           dtype=jnp.bfloat16)
+    ref_set = _as_detection_set(ref, 0)
+    fused_set = _as_detection_set(fused, 0)
+    # Same count; scores within the reference golden tolerance
+    assert len(ref_set) == len(fused_set)
+    for (rc, rs, rb), (fc, fs, fb) in zip(ref_set, fused_set):
+        assert rc == fc
+        assert abs(rs - fs) < 5e-3
+        np.testing.assert_allclose(rb, fb, atol=1.0)
+
+
+def test_selection_respects_conf_floor(small_model):
+    config, params = small_model
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 192, 192, 3)), jnp.float32)
+    heads = yolov5.apply(config, params, x, decode=False)
+
+    # A high floor must mark low-score candidates invalid
+    cands = select_topk_candidates(
+        heads, config.anchors, config.strides, config.num_classes,
+        jnp.float32(0.9), 128)
+    got = jax.device_get(cands)
+    assert not np.any(got['scores'][got['valid']] <= 0.9)
+    # Invalid tail is score-padded with -1
+    assert np.all(got['scores'][~got['valid']] <= 0.0)
+
+
+def test_per_level_topk_equals_global(small_model):
+    """Per-level top-k + merge must equal a global top-k over all levels
+    whenever k <= each level's size (selection-equivalence argument in
+    ops/decode.py)."""
+
+    config, params = small_model
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 192, 192, 3)), jnp.float32)
+
+    pred = yolov5.apply(config, params, x)
+    heads = yolov5.apply(config, params, x, decode=False)
+    k = 64
+
+    cands = select_topk_candidates(
+        heads, config.anchors, config.strides, config.num_classes,
+        jnp.float32(0.0005), k)
+
+    p = jax.device_get(pred)[0]
+    obj = p[:, 4]
+    score = (p[:, 5:] * p[:, 4:5]).max(axis=-1)
+    valid = (obj > 0.0005) & (score > 0.0005)
+    ranked = np.where(valid, score, -1.0)
+    ref_top = np.sort(ranked)[::-1][:k]
+
+    got = np.sort(np.asarray(jax.device_get(cands['scores'][0])))[::-1]
+    np.testing.assert_allclose(got, ref_top, atol=1e-5)

@@ -227,3 +227,64 @@ def test_nms_xyxy_plain():
     keep, valid = nms_xyxy(boxes, scores, iou_thres=0.45)
     kept = np.asarray(keep)[np.asarray(valid)]
     assert set(kept.tolist()) == {0, 2}
+
+
+def test_fixpoint_suppress_matches_loop_random():
+    """The fixpoint-iteration suppressor (ops/nms._fixpoint_suppress) must
+    produce exactly the greedy keep mask on randomized candidate sets,
+    including long suppression chains."""
+
+    from megadetector_tpu.ops.nms import (
+        _fixpoint_suppress, _greedy_suppress, _pairwise_iou_xyxy)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        n = 96
+        # Cluster boxes so chains of overlapping candidates are common
+        centers = rng.uniform(0, 200, (n, 2)) if trial % 2 == 0 else \
+            rng.uniform(0, 60, (n, 2))
+        wh = rng.uniform(20, 80, (n, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1)
+        valid = rng.uniform(size=n) > 0.2
+        iou = _pairwise_iou_xyxy(jnp.asarray(boxes, jnp.float32))
+        ref = np.asarray(_greedy_suppress(iou, jnp.asarray(valid), 0.3))
+        got = np.asarray(_fixpoint_suppress(iou, jnp.asarray(valid), 0.3))
+        np.testing.assert_array_equal(got, ref,
+                                      err_msg='trial {}'.format(trial))
+
+
+def test_fixpoint_suppress_adversarial_chain():
+    """A strict suppression chain (each box suppresses the next) is the
+    worst case for fixpoint convergence: greedy keeps alternating boxes."""
+
+    from megadetector_tpu.ops.nms import (
+        _fixpoint_suppress, _pairwise_iou_xyxy)
+    import jax.numpy as jnp
+
+    n = 32
+    # Overlapping ladder: box i spans [i*10, i*10+25] so IoU(i, i+1) ~ 0.43
+    boxes = np.stack([np.arange(n) * 10.0,
+                      np.zeros(n),
+                      np.arange(n) * 10.0 + 25.0,
+                      np.full(n, 10.0)], axis=1)
+    iou = _pairwise_iou_xyxy(jnp.asarray(boxes, jnp.float32))
+    keep = np.asarray(_fixpoint_suppress(
+        iou, jnp.ones(n, bool), 0.3))
+    # Greedy over a chain keeps every other box
+    np.testing.assert_array_equal(keep, np.arange(n) % 2 == 0)
+
+
+def test_batched_nms_fixpoint_mode_matches_oracle():
+    pred = make_pred([
+        (100, 100, 50, 50, 0.9, 0, 0.8),
+        (105, 102, 50, 50, 0.85, 0, 0.9),
+        (300, 300, 40, 40, 0.7, 1, 0.95),
+        (302, 301, 42, 38, 0.6, 1, 0.9),
+        (100, 100, 50, 50, 0.8, 2, 0.9),
+    ])
+    expected = reference_nms(pred, 0.1, 0.45, 300)
+    got = batched_nms(pred, 0.1, 0.45, max_det=300, pre_nms_topk=64,
+                      suppress_mode='fixpoint')
+    valid = np.asarray(got['valid'][0])
+    assert valid.sum() == expected[0].shape[0]
