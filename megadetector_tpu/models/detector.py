@@ -209,6 +209,12 @@ class TPUDetector:
             self.config = yolov5.YoloV5Config(
                 arch, num_classes=num_classes, anchors=anchors)
             self._apply_fn = yolov5.apply
+            # Width-fold the early high-resolution layers (exact weight
+            # rewrite, hardware-measured ~1.2x forward win; see
+            # ops/folding.py). Opt out with folded_early=false.
+            if _to_bool(options.get('folded_early', True)):
+                from megadetector_tpu.ops import folding
+                params = folding.fold_early_params(params, self.config)
         self.letterbox_stride = int(self.config.max_stride)
 
         image_size = options.get('image_size',

@@ -273,12 +273,26 @@ def init_params(config, seed=0):
 #%% Forward
 
 
+def conv_geom(stride, pad, k):
+    """Normalize conv geometry: stride -> 2-tuple, pad -> [(t,b),(l,r)]
+    (int/None inputs keep the classic square k//2 behavior)."""
+
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if pad is None:
+        pad = k // 2
+    if isinstance(pad, int):
+        pad = [(pad, pad), (pad, pad)]
+    return stride, pad
+
+
 def _conv(params, x, stride, dtype=None, pad=None):
     """
     Fused conv + bias + SiLU over NHWC. Three parameter flavors:
     float 'w' (bf16/f32 path), int8 'w_q' without scales (dynamic /
     calibration path), and int8 'w_q' with calibrated x_scale/y_scale
     (CHAIN mode: int8 in, int8 out — see ops/quantization.py).
+    stride/pad accept the folded-layout tuple forms (see ops/folding.py).
     """
 
     from megadetector_tpu.ops import quantization as q
@@ -308,12 +322,11 @@ def _conv(params, x, stride, dtype=None, pad=None):
     if dtype is not None:
         w = w.astype(dtype)
         b = b.astype(dtype)
-    k = w.shape[0]
-    p = k // 2 if pad is None else pad
+    strides, pads = conv_geom(stride, pad, w.shape[0])
     y = jax.lax.conv_general_dilated(
         x, w,
-        window_strides=(stride, stride),
-        padding=[(p, p), (p, p)],
+        window_strides=strides,
+        padding=pads,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
     )
     y = y + b
@@ -347,6 +360,51 @@ def _conv_linear(params, x, dtype=None):
         x, w, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     return y + b
+
+
+def _c3_folded(params, x, n, shortcut, dtype=None):
+    """C3 on the folded layout (see ops/folding.py): cv1||cv2 run as one
+    merged 1x1 ('cv12', output [fold(y1) | fold(y2)]), bottlenecks use
+    folded kernels, cv3 consumes the folded concat."""
+
+    from megadetector_tpu.ops import quantization as q
+
+    y12 = _conv(params['cv12'], x, 1, dtype, pad=0)
+    half = y12.shape[-1] // 2
+    if isinstance(y12, q.QTensor):
+        y1 = q.QTensor(y12.q[..., :half], y12.scale)
+        y2 = q.QTensor(y12.q[..., half:], y12.scale)
+    else:
+        y1 = y12[..., :half]
+        y2 = y12[..., half:]
+    for j in range(n):
+        m = params['m{}'.format(j)]
+        h = _conv(m['cv1'], y1, 1, dtype, pad=0)
+        h = _conv(m['cv2'], h, 1, dtype, pad=1)
+        y1 = q.qt_add(y1, h) if shortcut else h
+    y = q.qt_concat([y1, y2], axis=-1)
+    return _conv(params['cv3'], y, 1, dtype, pad=0)
+
+
+def _apply_folded_layer(i, entry, params_i, src, dtype):
+    """Run early layer i (0..3) in the folded layout. l0 folds the input
+    by 4 in width (a pure reshape of the row-major pixel stream) and the
+    chain stays folded until l3 emits the normal layout."""
+
+    if i == 0:
+        b, h, w, c = src.shape
+        assert c == 3 and w % 4 == 0, \
+            'Folded l0 needs RGB input with width % 4 == 0'
+        xf = src.reshape(b, h, w // 4, 12)
+        return _conv(params_i, xf, (2, 1), dtype, pad=((2, 2), (1, 1)))
+    if i == 1:
+        return _conv(params_i, src, (2, 2), dtype, pad=((1, 1), (1, 1)))
+    if i == 2:
+        return _c3_folded(params_i, src, entry['n'], entry['shortcut'],
+                          dtype)
+    if i == 3:
+        return _conv(params_i, src, (2, 1), dtype, pad=((1, 1), (1, 0)))
+    raise ValueError(i)
 
 
 def _c3(params, x, n, shortcut, dtype=None):
@@ -426,18 +484,24 @@ def apply(config, params, x, dtype=None, decode=True):
         [B, A, 5+nc] decoded predictions (or raw head list)
     """
 
+    from megadetector_tpu.ops import folding
+
     if dtype is not None:
         x = x.astype(dtype)
     saved = {}
     prev = x
     head_outputs = None
+    folded = folding.params_are_folded(params)
 
     for i, entry in enumerate(config.layers):
         kind = entry['kind']
         name = 'l{}'.format(i)
         frm = entry['frm']
 
-        if kind == 'conv':
+        if folded and i < 4:
+            src = prev if frm == -1 else saved[frm]
+            out = _apply_folded_layer(i, entry, params[name], src, dtype)
+        elif kind == 'conv':
             src = prev if frm == -1 else saved[frm]
             out = _conv(params[name], src, entry['s'], dtype,
                         pad=entry['p'])

@@ -91,10 +91,12 @@ def quantized_conv(params, x, stride, pad, act=True,
     x_q = jnp.clip(jnp.round(x_f32 / x_scale), -127, 127) \
         .astype(jnp.int8)
 
+    from megadetector_tpu.models.yolov5 import conv_geom
+    strides, pads = conv_geom(stride, pad, params['w_q'].shape[0])
     y_i32 = jax.lax.conv_general_dilated(
         x_q, params['w_q'],
-        window_strides=(stride, stride),
-        padding=[(pad, pad), (pad, pad)],
+        window_strides=strides,
+        padding=pads,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=jnp.int32)
 
@@ -294,10 +296,12 @@ def chained_conv(params, x, stride, pad, act=True):
     else:
         xq = qt_quantize(x, x_scale).q
 
+    from megadetector_tpu.models.yolov5 import conv_geom
+    strides, pads = conv_geom(stride, pad, params['w_q'].shape[0])
     y_i32 = jax.lax.conv_general_dilated(
         xq, params['w_q'],
-        window_strides=(stride, stride),
-        padding=[(pad, pad), (pad, pad)],
+        window_strides=strides,
+        padding=pads,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=jnp.int32)
 
@@ -311,6 +315,19 @@ def chained_conv(params, x, stride, pad, act=True):
 
 
 DEFAULT_FLOAT_STORE_LAYERS = ('l0', 'l1', 'l2')
+
+# With width-folded early layers (ops/folding.py) the former <=128-channel
+# int8 regression no longer applies to l1/l2 (they present 128-256 lanes);
+# hardware-measured best policy keeps only the 12-channel stem float.
+DEFAULT_FLOAT_STORE_LAYERS_FOLDED = ('l0',)
+
+
+def default_float_store(params):
+    """Pick the chain-mode float-store policy for a param tree."""
+
+    from megadetector_tpu.ops.folding import params_are_folded
+    return DEFAULT_FLOAT_STORE_LAYERS_FOLDED if params_are_folded(params) \
+        else DEFAULT_FLOAT_STORE_LAYERS
 
 
 def quantize_params_chain(params, skip_names=('detect',),
