@@ -65,7 +65,7 @@ def _accelerator_is_healthy(timeout_s=240, retries=3, retry_wait_s=60):
     return False
 
 
-def bench(batch_sizes=(32, 64, 128), image_size=1280, dtype_name='bfloat16',
+def bench(batch_sizes=(64, 128), image_size=1280, dtype_name='bfloat16',
           warmup=2, iters=5, verbose=True, try_int8=True):
     if not _accelerator_is_healthy():
         print('Accelerator probe failed/hung; falling back to CPU',

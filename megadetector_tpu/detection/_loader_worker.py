@@ -16,18 +16,29 @@ FAILURE_IMAGE_OPEN = 'image access failure'
 def load_and_letterbox(args):
     """
     Worker entry: (im_file, image_size, stride, compatibility_mode,
-    preprocess_mode[, max_staging_side]) -> (im_file, info dict or
-    failure string). The info dict matches
+    preprocess_mode[, max_staging_side[, use_native_loader]]) ->
+    (im_file, info dict or failure string). The info dict matches
     TPUDetector.preprocess_image()'s contract.
     """
 
     (im_file, image_size, stride, compatibility_mode,
      preprocess_mode) = args[:5]
     max_staging_side = args[5] if len(args) > 5 else None
+    use_native_loader = bool(args[6]) if len(args) > 6 else False
 
     from megadetector_tpu.visualization.visualization_utils import \
         load_image
     from megadetector_tpu.ops import boxes as box_ops
+
+    if use_native_loader and preprocess_mode == 'host' and \
+            'classic' in compatibility_mode and \
+            im_file.lower().endswith(('.jpg', '.jpeg')):
+        info = _native_load(im_file, image_size)
+        if info is not None:
+            return im_file, info
+        # else fall through to the PIL/cv2 path (non-RGB JPEG, mirrored
+        # EXIF orientation, or decode error — the Python path decides
+        # whether it is a real failure)
 
     try:
         image = load_image(im_file)
@@ -79,3 +90,44 @@ def load_and_letterbox(args):
         return im_file, info
     except Exception:
         return im_file, FAILURE_IMAGE_OPEN
+
+
+def _native_load(im_file, image_size):
+    """
+    Fused native decode + EXIF rotation + letterbox (C++/libjpeg; see
+    native/jpeg_loader.cpp). Returns an info dict, or None to fall back
+    to the Python path. Performance mode: decode rounding can differ
+    from PIL by a couple of levels, so parity-critical runs keep the
+    default PIL/cv2 loader.
+    """
+
+    from megadetector_tpu import native
+
+    if not native.jpeg_loader_available():
+        return None
+    try:
+        with open(im_file, 'rb') as f:
+            data = f.read()
+        canvas, (h, w) = native.decode_jpeg_letterbox(
+            data, int(image_size), pad_value=114)
+    except Exception:
+        return None
+
+    # Mirror ops/boxes.letterbox geometry bookkeeping (auto=False,
+    # scaleup=True) with the C++ kernel's floor(x+0.5) rounding
+    s = float(image_size)
+    r = min(s / h, s / w)
+    new_w = int(np.floor(w * r + 0.5))
+    new_h = int(np.floor(h * r + 0.5))
+    dw = (s - new_w) / 2.0
+    dh = (s - new_h) / 2.0
+    return {
+        'file': im_file,
+        'scaling_shape': (h, w, 3),
+        'img_original_pil': None,
+        'img_original': None,
+        'img_processed': canvas,
+        'target_shape': canvas.shape[:2],
+        'letterbox_ratio': (r, r),
+        'letterbox_pad': (dw, dh),
+    }

@@ -153,7 +153,8 @@ def load_and_run_detector_batch(model_file,
                                 detector_options=None,
                                 loader_workers=8,
                                 queue_depth=64,
-                                loader_pool_type='thread'):
+                                loader_pool_type='thread',
+                                use_native_loader=False):
     """
     Run a detector over a list of image files; returns a list of MD-format
     image dicts (reference: run_detector_batch.py:1062-1439).
@@ -177,6 +178,12 @@ def load_and_run_detector_batch(model_file,
         detector_options: dict of TPUDetector options
         loader_workers: host threads decoding/letterboxing images
         queue_depth: bounded preprocessed-image queue size
+        loader_pool_type: 'thread' or 'process' loader pool
+        use_native_loader: decode+rotate+letterbox JPEGs with the native
+            C++/libjpeg kernel (native/jpeg_loader.cpp) in the process
+            loader pool — a host-side performance mode whose decode can
+            differ from PIL by a couple of levels; parity-critical runs
+            keep the default PIL/cv2 path
 
     Returns:
         list of image-result dicts
@@ -270,7 +277,8 @@ def load_and_run_detector_batch(model_file,
             (fn, image_size_resolved, detector.letterbox_stride,
              detector.compatibility_mode,
              getattr(detector, 'preprocess_mode', 'host'),
-             getattr(detector, 'max_staging_side', None))
+             getattr(detector, 'max_staging_side', None),
+             use_native_loader)
             for fn in images_to_process]
 
         def pump():
@@ -291,12 +299,31 @@ def load_and_run_detector_batch(model_file,
         t.start()
         threads.append(t)
     else:
+        # The native C++ loader releases the GIL for the whole
+        # decode+rotate+letterbox call, so it scales across loader
+        # threads without a process pool. EXIF enrichment needs the
+        # Python loader, so those runs fall through to it.
+        native_ok = (use_native_loader and not include_exif_data and
+                     not include_image_timestamp)
+        if native_ok:
+            from megadetector_tpu.detection._loader_worker import \
+                load_and_letterbox as _native_worker
+            native_args = (image_size or detector.default_image_size,
+                           detector.letterbox_stride,
+                           detector.compatibility_mode,
+                           getattr(detector, 'preprocess_mode', 'host'),
+                           getattr(detector, 'max_staging_side', None),
+                           True)
+
         def loader(worker_idx):
             for i in range(worker_idx, n_images, loader_workers):
                 im_file = images_to_process[i]
-                info = _load_and_preprocess(
-                    detector, im_file, image_size=image_size,
-                    include_exif_data=include_exif_data)
+                if native_ok:
+                    _, info = _native_worker((im_file,) + native_args)
+                else:
+                    info = _load_and_preprocess(
+                        detector, im_file, image_size=image_size,
+                        include_exif_data=include_exif_data)
                 preprocessed_q.put((i, im_file, info))
             preprocessed_q.put(None)  # per-worker sentinel
 
@@ -540,6 +567,13 @@ def main():
     parser.add_argument('--ncores', type=int, default=0,
                         help='(compatibility) loader workers when > 0')
     parser.add_argument('--loader_workers', type=int, default=8)
+    parser.add_argument('--loader_pool_type', default='thread',
+                        choices=['thread', 'process'])
+    parser.add_argument('--use_native_loader', action='store_true',
+                        help='decode+letterbox JPEGs with the native '
+                             'C++/libjpeg kernel (performance mode; '
+                             'decode rounding can differ from PIL by a '
+                             'couple of levels)')
     parser.add_argument('--use_image_queue', action='store_true',
                         help='(compatibility) the TPU pipeline always '
                              'uses an async image queue')
@@ -652,7 +686,9 @@ def main():
         include_image_timestamp=args.include_image_timestamp,
         include_exif_data=args.include_exif_data,
         detector_options=detector_options,
-        loader_workers=loader_workers)
+        loader_workers=loader_workers,
+        loader_pool_type=args.loader_pool_type,
+        use_native_loader=args.use_native_loader)
     elapsed = time.time() - start_time
 
     n_images = len(image_file_names)

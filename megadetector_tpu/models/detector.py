@@ -646,7 +646,12 @@ class TPUDetector:
             if boxes.shape[0] > 0:
                 if 'classic' in self.compatibility_mode:
                     ratio_pad = None
-                    img0_shape = info['img_original'].shape
+                    # Loaders that never materialize the full-resolution
+                    # image (native JPEG path) pass img_original=None;
+                    # in classic mode its shape IS scaling_shape
+                    img_orig = info.get('img_original')
+                    img0_shape = img_orig.shape if img_orig is not None \
+                        else scaling_shape
                 else:
                     img_orig = info['img_original']
                     ratio = (img_orig.shape[0] / scaling_shape[0],

@@ -119,3 +119,124 @@ def cluster_boxes(boxes_xywh, categories, iou_thres,
         n, float(iou_thres), int(category_agnostic),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out, n_clusters
+
+
+#%% Native JPEG decode + letterbox (separate library: needs libjpeg)
+
+_JPEG_LIB = None
+_JPEG_BUILD_FAILED = False
+
+_JPEG_SRC = os.path.join(os.path.dirname(__file__), 'jpeg_loader.cpp')
+_JPEG_LIB_PATH = os.path.join(os.path.dirname(__file__), 'libmdjpeg.so')
+
+JL_OK = 0
+JL_DECODE_ERROR = 1
+JL_UNSUPPORTED_ORIENTATION = 2
+JL_NOT_RGB = 3
+
+
+def _load_jpeg():
+    global _JPEG_LIB, _JPEG_BUILD_FAILED
+    if _JPEG_LIB is not None or _JPEG_BUILD_FAILED:
+        return _JPEG_LIB
+    try:
+        if not os.path.isfile(_JPEG_LIB_PATH) or \
+                os.path.getmtime(_JPEG_LIB_PATH) < \
+                os.path.getmtime(_JPEG_SRC):
+            subprocess.run(
+                ['g++', '-O3', '-shared', '-fPIC', '-fopenmp',
+                 _JPEG_SRC, '-o', _JPEG_LIB_PATH, '-ljpeg'],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_JPEG_LIB_PATH)
+
+        lib.decode_jpeg_letterbox.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_uint8,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        lib.decode_jpeg_letterbox.restype = ctypes.c_int
+
+        lib.decode_jpeg_letterbox_batch.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_uint8,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.decode_jpeg_letterbox_batch.restype = None
+
+        _JPEG_LIB = lib
+    except Exception:
+        _JPEG_BUILD_FAILED = True
+    return _JPEG_LIB
+
+
+def jpeg_loader_available():
+    """True when the native JPEG loader built against libjpeg."""
+
+    return _load_jpeg() is not None
+
+
+def decode_jpeg_letterbox(jpeg_bytes, canvas, pad_value=114,
+                          dct_scale_target=0):
+    """
+    Decode one JPEG (bytes), apply EXIF orientation (3/6/8), letterbox
+    into a [canvas, canvas, 3] uint8 square.
+
+    Returns (canvas_array, (src_h, src_w)) where src dims are
+    post-rotation (the values scale_coords needs). Raises ValueError on
+    decode failure, mirrored EXIF orientations (caller should fall back
+    to the PIL path), or non-RGB JPEGs.
+
+    dct_scale_target > 0 decodes large images at the smallest libjpeg
+    scale_num/8 that still covers that long side — a large speedup on
+    multi-megapixel camera-trap images, at a documented deviation from
+    full-resolution-resize parity (performance mode only).
+    """
+
+    lib = _load_jpeg()
+    assert lib is not None, 'Native JPEG loader unavailable'
+    buf = np.frombuffer(jpeg_bytes, dtype=np.uint8)
+    out = np.empty((canvas, canvas, 3), dtype=np.uint8)
+    dims = np.zeros(2, dtype=np.int32)
+    rc = lib.decode_jpeg_letterbox(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(buf.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(canvas), int(pad_value), int(dct_scale_target),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != JL_OK:
+        raise ValueError('native JPEG decode failed (code {})'.format(rc))
+    return out, (int(dims[0]), int(dims[1]))
+
+
+def decode_jpeg_letterbox_batch(jpeg_buffers, canvas, pad_value=114,
+                                dct_scale_target=0, out=None):
+    """
+    Decode a batch of JPEGs in parallel (OpenMP) straight into a staging
+    array [n, canvas, canvas, 3] (pass [out] to reuse a pinned buffer).
+
+    Returns (staging, dims [n, 2], errs [n]) — errs[i] != 0 marks a
+    per-image failure (slot content undefined); callers map those to the
+    reference's 'image access failure' record.
+    """
+
+    lib = _load_jpeg()
+    assert lib is not None, 'Native JPEG loader unavailable'
+    n = len(jpeg_buffers)
+    arrays = [np.frombuffer(b, dtype=np.uint8) for b in jpeg_buffers]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(*[
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for a in arrays])
+    lens = (ctypes.c_long * n)(*[a.size for a in arrays])
+    if out is None:
+        out = np.empty((n, canvas, canvas, 3), dtype=np.uint8)
+    else:
+        assert out.shape == (n, canvas, canvas, 3) and \
+            out.dtype == np.uint8
+    dims = np.zeros((n, 2), dtype=np.int32)
+    errs = np.zeros(n, dtype=np.int32)
+    lib.decode_jpeg_letterbox_batch(
+        ptrs, lens, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(canvas), int(pad_value), int(dct_scale_target),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        errs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out, dims, errs

@@ -214,3 +214,37 @@ def test_static_mode_still_available(tmp_path):
     out = np.asarray(jax.jit(
         lambda p, x: yolov5.apply(cfg, p, x))(qp, x))
     assert np.isfinite(out).all()
+
+
+def test_folded_chain_forward_close_to_float():
+    """The production policy — width-folded early layers with the
+    folded float-store set ('l0' only; l1/l2 chained int8) — must stay
+    within the same accuracy envelope as the unfolded chain: obj/cls
+    within 0.005 at p99, xy within a pixel of the FLOAT UNFOLDED
+    forward."""
+
+    from megadetector_tpu.ops import folding
+    from megadetector_tpu.ops import quantization as q
+
+    cfg = yolov5.YoloV5Config('yolov5n6', num_classes=3)
+    params = yolov5.init_params(cfg, seed=0)
+    folded = folding.fold_early_params(params, cfg)
+    detect_name = 'l{}'.format(len(cfg.layers) - 1)
+    qp = q.quantize_params_chain(
+        folded, skip_names=(detect_name,),
+        float_store_names=q.default_float_store(folded))
+    assert 'w' in qp['l0'] and 'w_q' in qp['l1']
+    rng = np.random.RandomState(0)
+    samples = rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    q.calibrate_chain_scales(yolov5.apply, cfg, qp, samples)
+
+    x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
+    ref = np.asarray(yolov5.apply(cfg, params, x))
+    got = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(cfg, p, x))(qp, x))
+
+    d_prob = np.abs(ref[..., 4:] - got[..., 4:])
+    d_xy = np.abs(ref[..., :2] - got[..., :2])
+    assert np.quantile(d_prob, 0.99) < 0.005
+    assert d_prob.max() < 0.03
+    assert np.quantile(d_xy, 0.99) < 1.0
