@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from megadetector_tpu.models import yolov5
 from megadetector_tpu.models.convert_weights import load_checkpoint
 from megadetector_tpu.ops import boxes as box_ops
-from megadetector_tpu.ops.nms import batched_nms
+from megadetector_tpu.ops.decode import select_topk_candidates
+from megadetector_tpu.ops.nms import batched_nms, nms_on_candidates
 from megadetector_tpu.utils import ct_utils
 
 # String constants for consistent failure reporting; part of the MD output
@@ -120,9 +121,13 @@ class TPUDetector:
                               'bf16': jnp.bfloat16}[dtype_name]
         self.mesh = options.get('mesh', None)
         self.batch_axis = options.get('batch_axis', 'data')
-        self.pre_nms_topk = int(options.get('pre_nms_topk', 1024))
+        # 512 holds every candidate that passes the 0.005 objectness
+        # floor on real models (hardware-measured, NEXT.md); _run_batch
+        # warns when a lower detection_threshold could overflow it
+        self.pre_nms_topk = int(options.get('pre_nms_topk', 512))
         self.max_det = int(options.get('max_det', 300))
         self._warned_low_threshold_topk = False
+        self._fused_decode = False  # set per-architecture in _load_model
 
         # Pad partial batches up to this size so one compiled program
         # serves every step (tail batches otherwise each trigger a new
@@ -185,6 +190,7 @@ class TPUDetector:
         num_classes = int(metadata.get('num_classes', 3))
         anchors = metadata.get('anchors', None)
         self.model_type = metadata.get('model_type', 'yolov5')
+        self._fused_decode = False
         if arch.startswith('rfdetr') or (
                 self.model_type == 'rfdetr' and
                 not arch.startswith('detr')):
@@ -209,6 +215,11 @@ class TPUDetector:
             self.config = yolov5.YoloV5Config(
                 arch, num_classes=num_classes, anchors=anchors)
             self._apply_fn = yolov5.apply
+            # Fused decode: select NMS candidates straight from the raw
+            # detect-head logits instead of materializing the full
+            # [B, A, 5+C] f32 decode (~200 MB/step at b64 @1280); see
+            # ops/decode.py. Anchor-based yolov5 heads only.
+            self._fused_decode = _to_bool(options.get('fused_decode', True))
             # Width-fold the early high-resolution layers (exact weight
             # rewrite, hardware-measured ~1.2x forward win; see
             # ops/folding.py). Opt out with folded_early=false.
@@ -265,14 +276,26 @@ class TPUDetector:
         if self.mesh is None:
             global_key = ('std', _config_cache_key(config),
                           str(dtype), pre_nms_topk, max_det,
+                          self._fused_decode,
                           batch_size, height, width)
             if global_key in _PROGRAM_CACHE:
                 fn = _PROGRAM_CACHE[global_key]
                 self._compiled[key] = fn
                 return fn
 
+        fused = self._fused_decode
+
         def program(params, images_u8, conf_thres, iou_thres):
             x = images_u8.astype(dtype) / dtype(255.0)
+            if fused:
+                heads = apply_fn(config, params, x, dtype=dtype,
+                                 decode=False)
+                cands = select_topk_candidates(
+                    heads, config.anchors, config.strides,
+                    config.num_classes, conf_thres, pre_nms_topk)
+                return nms_on_candidates(
+                    cands, iou_thres, max_det=max_det,
+                    class_agnostic=(config.num_classes == 1))
             pred = apply_fn(config, params, x, dtype=dtype)
             return batched_nms(pred, conf_thres, iou_thres,
                                max_det=max_det, pre_nms_topk=pre_nms_topk)
@@ -320,9 +343,12 @@ class TPUDetector:
         for s, flip in ((0.83, True), (0.67, False)):
             sizes.append((snap(height * s), snap(width * s), flip))
 
+        fused = self._fused_decode
+
         def program(params, images_u8, conf_thres, iou_thres):
             x = images_u8.astype(dtype) / dtype(255.0)
             preds = []
+            fused_cands = []
             for (h_s, w_s, flip) in sizes:
                 xi = x
                 if (h_s, w_s) != (height, width):
@@ -331,10 +357,25 @@ class TPUDetector:
                         method='bilinear').astype(dtype)
                 if flip:
                     xi = xi[:, :, ::-1, :]
-                p = apply_fn(config, params, xi, dtype=dtype)
                 # De-scale into canvas pixel space
                 sx = width / w_s
                 sy = height / h_s
+                if fused:
+                    heads = apply_fn(config, params, xi, dtype=dtype,
+                                     decode=False)
+                    c = select_topk_candidates(
+                        heads, config.anchors, config.strides,
+                        config.num_classes, conf_thres, pre_nms_topk)
+                    bx = c['boxes_cxcywh']
+                    cx, cy = bx[..., 0], bx[..., 1]
+                    w_box, h_box = bx[..., 2], bx[..., 3]
+                    if flip:
+                        cx = w_s - cx
+                    bx = jnp.stack([cx * sx, cy * sy,
+                                    w_box * sx, h_box * sy], axis=-1)
+                    fused_cands.append(dict(c, boxes_cxcywh=bx))
+                    continue
+                p = apply_fn(config, params, xi, dtype=dtype)
                 cx, cy = p[..., 0], p[..., 1]
                 w_box, h_box = p[..., 2], p[..., 3]
                 if flip:
@@ -347,6 +388,12 @@ class TPUDetector:
                     [cx[..., None], cy[..., None], w_box[..., None],
                      h_box[..., None], p[..., 4:]], axis=-1)
                 preds.append(p)
+            if fused:
+                from megadetector_tpu.ops.decode import merge_candidates
+                cands = merge_candidates(fused_cands, pre_nms_topk)
+                return nms_on_candidates(
+                    cands, iou_thres, max_det=max_det,
+                    class_agnostic=(config.num_classes == 1))
             pred = jnp.concatenate(preds, axis=1)
             return batched_nms(pred, conf_thres, iou_thres,
                                max_det=max_det,
@@ -372,11 +419,22 @@ class TPUDetector:
         max_det = self.max_det
         apply_fn = self._apply_fn
 
+        fused = self._fused_decode
+
         def program(params, staged_u8, sizes, conf_thres, iou_thres):
             x = jax.vmap(
                 lambda img, hw: letterbox_one(img, hw[0], hw[1],
                                               canvas_size)
             )(staged_u8, sizes)
+            if fused:
+                heads = apply_fn(config, params, x.astype(dtype),
+                                 dtype=dtype, decode=False)
+                cands = select_topk_candidates(
+                    heads, config.anchors, config.strides,
+                    config.num_classes, conf_thres, pre_nms_topk)
+                return nms_on_candidates(
+                    cands, iou_thres, max_det=max_det,
+                    class_agnostic=(config.num_classes == 1))
             pred = apply_fn(config, params, x.astype(dtype), dtype=dtype)
             return batched_nms(pred, conf_thres, iou_thres,
                                max_det=max_det, pre_nms_topk=pre_nms_topk)

@@ -97,9 +97,20 @@ def select_topk_candidates(head_outputs, anchors, strides, num_classes,
             'classes': jnp.take_along_axis(best_class, top_idx, axis=1),
         })
 
-    boxes = jnp.concatenate([p['boxes_cxcywh'] for p in per_level], axis=1)
-    scores = jnp.concatenate([p['scores'] for p in per_level], axis=1)
-    classes = jnp.concatenate([p['classes'] for p in per_level], axis=1)
+    return merge_candidates(per_level, k)
+
+
+def merge_candidates(cands_list, k):
+    """
+    Merge candidate sets (each with 'boxes_cxcywh' [B, K_i, 4], 'scores'
+    [B, K_i], 'classes' [B, K_i]) into one score-sorted top-k set. Used
+    for the per-level merge above and for combining TTA passes at the
+    candidate level (instead of concatenating full decode tensors).
+    """
+
+    boxes = jnp.concatenate([p['boxes_cxcywh'] for p in cands_list], axis=1)
+    scores = jnp.concatenate([p['scores'] for p in cands_list], axis=1)
+    classes = jnp.concatenate([p['classes'] for p in cands_list], axis=1)
 
     k_out = min(k, scores.shape[1])
     final_scores, order = jax.lax.top_k(scores, k_out)

@@ -102,4 +102,7 @@ def make_stub_detector(checkpoint_path, detector_options=None):
     options.setdefault('pre_nms_topk', 131)
     detector = TPUDetector(checkpoint_path, detector_options=options)
     detector._apply_fn = stub_apply
+    # The stub emits decoded predictions directly; the fused
+    # head-logit candidate selection only applies to real yolov5 heads
+    detector._fused_decode = False
     return detector
