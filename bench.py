@@ -77,7 +77,8 @@ def bench(batch_sizes=(64, 128), image_size=1280, dtype_name='bfloat16',
     import jax.numpy as jnp
 
     from megadetector_tpu.models import yolov5
-    from megadetector_tpu.ops.nms import batched_nms
+    from megadetector_tpu.ops.decode import select_topk_candidates
+    from megadetector_tpu.ops.nms import nms_on_candidates
 
     platform = jax.devices()[0].platform
     cpu_fallback = platform == 'cpu'
@@ -105,10 +106,15 @@ def bench(batch_sizes=(64, 128), image_size=1280, dtype_name='bfloat16',
             lambda a: jnp.asarray(a, jnp.bfloat16), params)
     params = jax.device_put(params)
 
+    # Production path (TPUDetector default): fused head-logit candidate
+    # selection, skipping the full [B, A, 8] f32 decode materialization
     def step(params, images_u8, conf, iou):
         x = images_u8.astype(dtype) / dtype(255.0)
-        pred = yolov5.apply(config, params, x, dtype=dtype)
-        return batched_nms(pred, conf, iou, max_det=300, pre_nms_topk=512)
+        heads = yolov5.apply(config, params, x, dtype=dtype, decode=False)
+        cands = select_topk_candidates(
+            heads, config.anchors, config.strides, config.num_classes,
+            conf, 512)
+        return nms_on_candidates(cands, iou, max_det=300)
 
     fn = jax.jit(step)
 
@@ -136,8 +142,12 @@ def bench(batch_sizes=(64, 128), image_size=1280, dtype_name='bfloat16',
 
     def step_int8(params, images_u8, conf, iou):
         x = images_u8.astype(jnp.float32) / jnp.float32(255.0)
-        pred = yolov5.apply(config, params, x, dtype=jnp.bfloat16)
-        return batched_nms(pred, conf, iou, max_det=300, pre_nms_topk=512)
+        heads = yolov5.apply(config, params, x, dtype=jnp.bfloat16,
+                             decode=False)
+        cands = select_topk_candidates(
+            heads, config.anchors, config.strides, config.num_classes,
+            conf, 512)
+        return nms_on_candidates(cands, iou, max_det=300)
 
     fn_int8 = jax.jit(step_int8)
 
