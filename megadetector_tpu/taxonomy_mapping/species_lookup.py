@@ -227,3 +227,172 @@ def load_gbif_backbone(taxon_tsv, max_rows=None,
             if vern:
                 synonyms[vern] = name
     return SpeciesLookup(TaxonomyGraph(rows), synonyms)
+
+
+def load_gbif_vernacular(vernacular_tsv, max_rows=None,
+                         languages=('en',)):
+    """
+    {vernacular_name: taxonID} from a GBIF VernacularName.tsv dump
+    (columns: taxonID, vernacularName, language).
+    """
+
+    import csv
+
+    out = {}
+    langs = {lang.lower() for lang in languages} if languages else None
+    with open(vernacular_tsv, newline='', encoding='utf-8',
+              errors='replace') as f:
+        reader = csv.DictReader(f, delimiter='\t')
+        for i, rec in enumerate(reader):
+            if max_rows is not None and i >= max_rows:
+                break
+            lang = (rec.get('language') or '').lower()
+            if langs and lang and lang not in langs:
+                continue
+            name = rec.get('vernacularName')
+            if name:
+                out.setdefault(_normalize(name), rec.get('taxonID'))
+    return out
+
+
+def load_inat_taxonomy(taxa_csv, vernacular_csv=None, max_rows=None,
+                       kingdoms=('animalia',)):
+    """
+    Build a SpeciesLookup from an iNaturalist DwC-A dump's taxa.csv
+    (columns: id, parentNameUsageID, kingdom, scientificName,
+    taxonRank) plus the optional VernacularNames-english.csv
+    (id, vernacularName). Reference source files:
+    species_lookup.py files_to_unzip['iNaturalist'].
+    """
+
+    import csv
+
+    rows = []
+    id_to_name = {}
+    wanted_kingdoms = {k.lower() for k in kingdoms} if kingdoms else None
+    with open(taxa_csv, newline='', encoding='utf-8',
+              errors='replace') as f:
+        reader = csv.DictReader(f)
+        for i, rec in enumerate(reader):
+            if max_rows is not None and i >= max_rows:
+                break
+            kingdom = (rec.get('kingdom') or '').lower()
+            if wanted_kingdoms and kingdom and \
+                    kingdom not in wanted_kingdoms:
+                continue
+            name = rec.get('scientificName') or ''
+            if not name:
+                continue
+            taxon_id = rec.get('id') or rec.get('taxonID')
+            # iNat parent references arrive as URLs or bare ids;
+            # normalize to the trailing id token
+            parent = rec.get('parentNameUsageID') or None
+            if parent and '/' in parent:
+                parent = parent.rstrip('/').split('/')[-1]
+            rows.append((taxon_id,
+                         (rec.get('taxonRank') or 'unknown').lower(),
+                         name, parent))
+            id_to_name[str(taxon_id)] = name
+
+    synonyms = {}
+    if vernacular_csv:
+        with open(vernacular_csv, newline='', encoding='utf-8',
+                  errors='replace') as f:
+            for rec in csv.DictReader(f):
+                taxon_id = str(rec.get('id') or '')
+                vern = rec.get('vernacularName')
+                if vern and taxon_id in id_to_name:
+                    synonyms.setdefault(vern, id_to_name[taxon_id])
+    return SpeciesLookup(TaxonomyGraph(rows), synonyms)
+
+
+# Current dump locations (reference: species_lookup.py:33-35). Downloads
+# happen only when initialize_taxonomy_lookup runs on a host with egress.
+TAXONOMY_URLS = {
+    'GBIF': 'https://hosted-datasets.gbif.org/datasets/backbone/current/'
+            'backbone.zip',
+    'iNaturalist': 'https://www.inaturalist.org/taxa/'
+                   'inaturalist-taxonomy.dwca.zip',
+}
+
+FILES_TO_UNZIP = {
+    'GBIF': ['Taxon.tsv', 'VernacularName.tsv'],
+    'iNaturalist': ['taxa.csv', 'VernacularNames-english.csv'],
+}
+
+
+def initialize_taxonomy_lookup(taxonomy_dir, force_init=False,
+                               download_fn=None, unzip_fn=None,
+                               max_rows=None, verbose=True):
+    """
+    Download (when needed), unzip, and load the GBIF + iNat taxonomies
+    (the reference's module-initialization flow,
+    species_lookup.py:76-180, as a function with injectable transport
+    so it tests offline and degrades cleanly on zero-egress hosts).
+
+    Args:
+        taxonomy_dir: working directory for zips/extracted files
+        force_init: re-download and re-parse even if files exist
+        download_fn: (url, dest_path) -> None; defaults to
+            utils.url_utils.download_url. On hosts without egress, pass
+            pre-staged files and no download occurs.
+        unzip_fn: (zip_path, out_dir) -> None; defaults to
+            utils.path_utils.unzip_file
+        max_rows: row cap per source (tests / smoke)
+
+    Returns:
+        {'gbif': SpeciesLookup, 'inat': SpeciesLookup}
+    """
+
+    import os
+
+    from megadetector_tpu.utils import path_utils, url_utils
+
+    download_fn = download_fn or (
+        lambda url, dest: url_utils.download_url(
+            url, dest, verbose=verbose))
+    unzip_fn = unzip_fn or path_utils.unzip_file
+
+    os.makedirs(taxonomy_dir, exist_ok=True)
+    for name, url in TAXONOMY_URLS.items():
+        out_dir = os.path.join(taxonomy_dir, name)
+        needed = [os.path.join(out_dir, fn)
+                  for fn in FILES_TO_UNZIP[name]]
+        if not force_init and all(os.path.isfile(p) for p in needed):
+            if verbose:
+                print('Bypassing download of {}: files available'.format(
+                    name))
+            continue
+        zip_path = os.path.join(taxonomy_dir, url.split('/')[-1])
+        if force_init or not os.path.isfile(zip_path):
+            download_fn(url, zip_path)
+        os.makedirs(out_dir, exist_ok=True)
+        unzip_fn(zip_path, out_dir)
+        missing = [p for p in needed if not os.path.isfile(p)]
+        assert not missing, \
+            'Archive for {} did not contain {}'.format(name, missing)
+
+    gbif_dir = os.path.join(taxonomy_dir, 'GBIF')
+    inat_dir = os.path.join(taxonomy_dir, 'iNaturalist')
+    gbif = load_gbif_backbone(os.path.join(gbif_dir, 'Taxon.tsv'),
+                              max_rows=max_rows)
+    gbif.synonyms.update({
+        _normalize(k): _normalize(v) for k, v in _gbif_vernacular_names(
+            os.path.join(gbif_dir, 'VernacularName.tsv'), gbif,
+            max_rows=max_rows).items()})
+    inat = load_inat_taxonomy(
+        os.path.join(inat_dir, 'taxa.csv'),
+        os.path.join(inat_dir, 'VernacularNames-english.csv'),
+        max_rows=max_rows)
+    return {'gbif': gbif, 'inat': inat}
+
+
+def _gbif_vernacular_names(vernacular_tsv, gbif_lookup, max_rows=None):
+    """{vernacular: scientific} resolved through the backbone's ids."""
+
+    id_to_name = {str(taxon_id): node.name for taxon_id, node in
+                  gbif_lookup.taxonomy.id_to_node.items()}
+    name_to_id = load_gbif_vernacular(vernacular_tsv, max_rows=max_rows)
+    return {vern: id_to_name[str(taxon_id)]
+            for vern, taxon_id in name_to_id.items()
+            if str(taxon_id) in id_to_name}
