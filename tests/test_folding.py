@@ -24,8 +24,10 @@ def test_folded_forward_matches_plain(arch):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.uniform(0, 1, (2, 192, 192, 3)), jnp.float32)
 
-    ref = np.asarray(yolov5.apply(config, params, x))
-    got = np.asarray(yolov5.apply(config, folded, x))
+    ref = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(config, p, x))(params, x))
+    got = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(config, p, x))(folded, x))
     assert ref.shape == got.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
@@ -41,8 +43,10 @@ def test_folded_heads_match_per_level():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.uniform(0, 1, (1, 256, 192, 3)), jnp.float32)
 
-    ref = yolov5.apply(config, params, x, decode=False)
-    got = yolov5.apply(config, folded, x, decode=False)
+    ref = jax.jit(lambda p, x: yolov5.apply(
+        config, p, x, decode=False))(params, x)
+    got = jax.jit(lambda p, x: yolov5.apply(
+        config, p, x, decode=False))(folded, x)
     for lvl, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4,
@@ -84,7 +88,9 @@ def test_folded_chain_quantization_composes():
     q.calibrate_chain_scales(yolov5.apply, config, chained, calib)
 
     x = jnp.asarray(rng.uniform(0, 1, (1, 192, 192, 3)), jnp.float32)
-    ref = np.asarray(yolov5.apply(config, folded, x))
-    got = np.asarray(yolov5.apply(config, chained, x))
+    ref = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(config, p, x))(folded, x))
+    got = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(config, p, x))(chained, x))
     # int8 tolerance: scores/logits drift but stay close
     assert np.mean(np.abs(got[..., 4:] - ref[..., 4:])) < 0.02

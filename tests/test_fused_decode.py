@@ -22,15 +22,26 @@ def small_model():
 
 
 def _run_both(config, params, x, conf_thres, k, dtype=None):
-    pred = yolov5.apply(config, params, x, dtype=dtype)
-    ref = batched_nms(pred, jnp.float32(conf_thres), jnp.float32(0.45),
-                      max_det=100, pre_nms_topk=k)
+    # jit the full paths: eager op-by-op dispatch of the n6 net costs
+    # ~10x the compiled run on the single-core CI host
 
-    heads = yolov5.apply(config, params, x, dtype=dtype, decode=False)
-    cands = select_topk_candidates(
-        heads, config.anchors, config.strides, config.num_classes,
-        jnp.float32(conf_thres), k)
-    fused = nms_on_candidates(cands, jnp.float32(0.45), max_det=100)
+    @jax.jit
+    def unfused(params, x, conf):
+        pred = yolov5.apply(config, params, x, dtype=dtype)
+        return batched_nms(pred, conf, jnp.float32(0.45),
+                           max_det=100, pre_nms_topk=k)
+
+    @jax.jit
+    def fused_path(params, x, conf):
+        heads = yolov5.apply(config, params, x, dtype=dtype,
+                             decode=False)
+        cands = select_topk_candidates(
+            heads, config.anchors, config.strides, config.num_classes,
+            conf, k)
+        return nms_on_candidates(cands, jnp.float32(0.45), max_det=100)
+
+    ref = unfused(params, x, jnp.float32(conf_thres))
+    fused = fused_path(params, x, jnp.float32(conf_thres))
     return jax.device_get(ref), jax.device_get(fused)
 
 

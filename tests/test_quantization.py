@@ -150,7 +150,8 @@ def test_chain_forward_close_to_float():
     q.calibrate_chain_scales(yolov5.apply, cfg, qp, samples)
 
     x = rng.uniform(0, 1, (1, 96, 96, 3)).astype(np.float32)
-    ref = np.asarray(yolov5.apply(cfg, params, x))
+    ref = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(cfg, p, x))(params, x))
     # jit with params as an argument: the production path (static scales
     # must survive the pytree flatten/unflatten round trip)
     got = np.asarray(jax.jit(
@@ -239,7 +240,8 @@ def test_folded_chain_forward_close_to_float():
     q.calibrate_chain_scales(yolov5.apply, cfg, qp, samples)
 
     x = rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32)
-    ref = np.asarray(yolov5.apply(cfg, params, x))
+    ref = np.asarray(jax.jit(
+        lambda p, x: yolov5.apply(cfg, p, x))(params, x))
     got = np.asarray(jax.jit(
         lambda p, x: yolov5.apply(cfg, p, x))(qp, x))
 

@@ -1,0 +1,97 @@
+"""
+Stored golden-file regression tier.
+
+The reference pins behavior with expected-results JSONs committed next
+to the test package and compares at fixed tolerances
+(/root/reference/megadetector/utils/md_tests.py:82,221-314). Real MDv5
+weights are unavailable in this environment (zero egress), so the
+golden here pins the full pipeline (classic letterbox -> forward ->
+NMS -> coordinate mapback -> MD emission) over the deterministic stub
+forward: any unintended change to preprocessing geometry, NMS
+semantics, rounding, or output formatting across rounds fails this
+tier at the reference tolerances.
+
+Regenerate intentionally with:
+    MD_REGEN_GOLDENS=1 python -m pytest tests/test_stored_goldens.py
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from megadetector_tpu.models import yolov5
+from megadetector_tpu.models.convert_weights import save_checkpoint
+from megadetector_tpu.utils import md_tests as comparator
+
+from stub_model import make_stub_detector
+from test_reference_golden import _structured_images, IMAGE_SIZE
+
+GOLDEN_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'data', 'stub_golden_results.json')
+
+SIZES = [(256, 256), (192, 320), (330, 190)]
+
+
+@pytest.fixture(scope='module')
+def stub_detector(tmp_path_factory):
+    config = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    folder = tmp_path_factory.mktemp('stub_golden_model')
+    path = str(folder / 'stub.npz')
+    save_checkpoint(yolov5.init_params(config, seed=0), path, {
+        'arch': 'yolov5n',
+        'model_type': 'yolov5',
+        'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': IMAGE_SIZE,
+    })
+    return make_stub_detector(path)
+
+
+def _run_pipeline(detector):
+    results = []
+    for i, img in enumerate(_structured_images(SIZES)):
+        r = detector.generate_detections_one_image(
+            img, image_id='golden_{:02d}.jpg'.format(i),
+            detection_threshold=0.005)
+        results.append(r)
+    return {'images': results}
+
+
+def test_pipeline_matches_stored_golden(stub_detector):
+    got = _run_pipeline(stub_detector)
+
+    if os.environ.get('MD_REGEN_GOLDENS'):
+        os.makedirs(os.path.dirname(GOLDEN_FILE), exist_ok=True)
+        with open(GOLDEN_FILE, 'w') as f:
+            json.dump(got, f, indent=1)
+        pytest.skip('goldens regenerated at {}'.format(GOLDEN_FILE))
+
+    assert os.path.isfile(GOLDEN_FILE), \
+        'Golden file missing; regenerate with MD_REGEN_GOLDENS=1'
+    with open(GOLDEN_FILE) as f:
+        expected = json.load(f)
+
+    options = comparator.MDTestOptions()
+    options.comparison_confidence_threshold = 0.005
+    options.iou_match_threshold = 0.85
+    options.max_conf_error = 0.005
+    options.max_coord_error = 0.001
+
+    assert len(got['images']) == len(expected['images'])
+    for got_im, exp_im in zip(got['images'], expected['images']):
+        assert got_im['file'] == exp_im['file']
+        result = comparator.compare_detection_lists(
+            exp_im['detections'], got_im['detections'],
+            options=options, image_id=got_im['file'])
+        assert result['errors'] == [], result['errors']
+
+
+def test_golden_file_is_committed():
+    """The stored golden must exist in the repo (regen-skip must not
+    silently disable the tier on CI)."""
+
+    if os.environ.get('MD_REGEN_GOLDENS'):
+        pytest.skip('regenerating')
+    assert os.path.isfile(GOLDEN_FILE)
