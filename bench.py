@@ -76,6 +76,10 @@ def bench(batch_sizes=(64, 128), image_size=1280, dtype_name='bfloat16',
     import jax
     import jax.numpy as jnp
 
+    from megadetector_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
+
     from megadetector_tpu.models import yolov5
     from megadetector_tpu.ops.decode import select_topk_candidates
     from megadetector_tpu.ops.nms import nms_on_candidates

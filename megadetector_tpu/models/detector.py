@@ -105,6 +105,12 @@ class TPUDetector:
         if _to_bool(options.get('force_cpu', False)):
             jax.config.update('jax_platforms', 'cpu')
 
+        # Persistent XLA compilation cache: later processes skip the
+        # 20-40s per-program compiles (opt out: MD_COMPILATION_CACHE=0)
+        from megadetector_tpu.utils.compile_cache import \
+            enable_persistent_cache
+        enable_persistent_cache()
+
         if require_non_default_compatibility_mode:
             assert options.get('compatibility_mode') not in \
                 (None, '', DEFAULT_COMPATIBILITY_MODE), \
