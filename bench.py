@@ -66,7 +66,7 @@ def _accelerator_is_healthy(timeout_s=240, retries=3, retry_wait_s=60):
 
 
 def bench(batch_sizes=(64, 128), image_size=1280, dtype_name='bfloat16',
-          warmup=2, iters=5, verbose=True, try_int8=True):
+          warmup=2, iters=5, verbose=True, try_int8=True, progress=None):
     if not _accelerator_is_healthy():
         print('Accelerator probe failed/hung; falling back to CPU',
               file=sys.stderr)
@@ -247,6 +247,21 @@ def bench(batch_sizes=(64, 128), image_size=1280, dtype_name='bfloat16',
             best_rate = rate
             best_batch = batch
             best_dtype = 'int8-chain' if which == 'int8' else dtype_name
+        if progress is not None:
+            # Partial-result record for the __main__ watchdog: if a
+            # later device op wedges, the best completed variant still
+            # gets reported
+            progress['best'] = {
+                'metric': 'images/sec (MDv5 @{}px batch, {} {})'.format(
+                    image_size, platform, best_dtype),
+                'value': round(best_rate, 2),
+                'unit': 'img/s',
+                'vs_baseline': round(best_rate / BASELINE_IMG_PER_SEC, 3),
+                'batch_size': best_batch,
+                'image_size': image_size,
+                'p50_latency_ms_batch1': round(p50_latency_ms, 1)
+                if p50_latency_ms else None,
+            }
 
     result = {
         'metric': 'images/sec (MDv5 @{}px batch, {} {})'.format(
@@ -270,5 +285,46 @@ def bench(batch_sizes=(64, 128), image_size=1280, dtype_name='bfloat16',
 
 
 if __name__ == '__main__':
-    result = bench()
+    import threading
+
+    # The remote-TPU relay can wedge mid-op indefinitely (observed: a
+    # healthy probe followed by a stalled first device op in the main
+    # process). Run the bench in a worker thread with a wall limit: on
+    # timeout, report the best COMPLETED variant (honest partial) or an
+    # explicit failure record, and self-exit without waiting for the
+    # wedged op.
+    wall_limit_s = float(os.environ.get('BENCH_WALL_LIMIT_S', '2400'))
+    shared = {}
+
+    def _run():
+        try:
+            shared['result'] = bench(progress=shared)
+        except Exception as e:
+            shared['error'] = str(e)
+
+    worker = threading.Thread(target=_run, daemon=True)
+    worker.start()
+    worker.join(timeout=wall_limit_s)
+
+    result = shared.get('result')
+    if result is None:
+        partial = shared.get('best')
+        if partial is not None:
+            partial['partial'] = True
+            print('WARNING: bench wall limit hit; reporting best '
+                  'completed variant', file=sys.stderr)
+            result = partial
+        else:
+            result = {
+                'metric': 'images/sec (MDv5 @1280px batch)',
+                'value': 0.0,
+                'unit': 'img/s',
+                'vs_baseline': None,
+                'error': shared.get(
+                    'error',
+                    'bench exceeded {}s wall limit with no completed '
+                    'variant (wedged device op?)'.format(wall_limit_s)),
+            }
     print(json.dumps(result))
+    sys.stdout.flush()
+    os._exit(0)
