@@ -1,0 +1,160 @@
+"""
+Direct coverage for the handful of modules not exercised elsewhere:
+annotation constants, speciesnet_to_md CLI, md_to_coco / md_to_labelme
+converters, url_utils (file:// transport), compile_cache.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+from PIL import Image
+
+from megadetector_tpu.postprocessing.md_to_coco import md_to_coco
+from megadetector_tpu.postprocessing.md_to_labelme import md_to_labelme
+from megadetector_tpu.utils import url_utils
+
+
+def _write_md_results(path, files_and_sizes):
+    images = []
+    for name, (w, h) in files_and_sizes.items():
+        images.append({
+            'file': name,
+            'detections': [
+                {'category': '1', 'conf': 0.9,
+                 'bbox': [0.1, 0.2, 0.3, 0.4]},
+                {'category': '2', 'conf': 0.04,
+                 'bbox': [0.5, 0.5, 0.2, 0.2]},
+            ],
+        })
+    out = {
+        'info': {'format_version': '1.6', 'detector': 'test'},
+        'detection_categories': {'1': 'animal', '2': 'person',
+                                 '3': 'vehicle'},
+        'images': images,
+    }
+    with open(path, 'w') as f:
+        json.dump(out, f)
+    return out
+
+
+def _make_images(folder, files_and_sizes):
+    rng = np.random.RandomState(0)
+    for name, (w, h) in files_and_sizes.items():
+        p = os.path.join(folder, name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(
+            rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(p)
+
+
+def test_annotation_constants():
+    from megadetector_tpu.data_management import annotation_constants as ac
+    assert ac.detector_bbox_category_id_to_name[1] == 'animal'
+    assert ac.detector_bbox_category_name_to_id['vehicle'] == 3
+    assert ac.NUM_DETECTOR_CATEGORIES == 3
+
+
+def test_md_to_coco(tmp_path):
+    files = {'a/x.jpg': (320, 240), 'y.jpg': (160, 120)}
+    folder = str(tmp_path / 'images')
+    _make_images(folder, files)
+    md_file = str(tmp_path / 'md.json')
+    _write_md_results(md_file, files)
+
+    coco_file = str(tmp_path / 'coco.json')
+    md_to_coco(md_file, coco_output_file=coco_file, image_folder=folder,
+               confidence_threshold=0.1)
+    with open(coco_file) as f:
+        coco = json.load(f)
+    assert len(coco['images']) == 2
+    # Only the 0.9 detection survives the 0.1 threshold
+    assert len(coco['annotations']) == 2
+    im = [i for i in coco['images'] if i['file_name'] == 'a/x.jpg'][0]
+    assert im['width'] == 320 and im['height'] == 240
+    ann = [a for a in coco['annotations']
+           if a['image_id'] == im['id']][0]
+    # normalized (0.1, 0.2, 0.3, 0.4) -> pixels
+    assert abs(ann['bbox'][0] - 0.1 * 320) < 1e-6
+    assert abs(ann['bbox'][3] - 0.4 * 240) < 1e-6
+
+
+def test_md_to_labelme(tmp_path):
+    files = {'z.jpg': (200, 100)}
+    folder = str(tmp_path / 'images')
+    _make_images(folder, files)
+    md_file = str(tmp_path / 'md.json')
+    _write_md_results(md_file, files)
+
+    md_to_labelme(md_file, folder, confidence_threshold=0.1,
+                  overwrite=True)
+    labelme_file = os.path.join(folder, 'z.json')
+    assert os.path.isfile(labelme_file)
+    with open(labelme_file) as f:
+        lm = json.load(f)
+    assert lm['imageWidth'] == 200 and lm['imageHeight'] == 100
+    assert len(lm['shapes']) == 1
+    shape = lm['shapes'][0]
+    assert shape['label'] == 'animal'
+    (x0, y0), (x1, y1) = shape['points']
+    assert abs(x0 - 0.1 * 200) < 1e-6
+    assert abs(y1 - (0.2 + 0.4) * 100) < 1e-6
+
+
+def test_speciesnet_to_md_cli(tmp_path):
+    predictions = {
+        'predictions': [{
+            'filepath': 'base/cam/img1.jpg',
+            'detections': [{'category': '1', 'label': 'animal',
+                            'conf': 0.8,
+                            'bbox': [0.1, 0.1, 0.4, 0.4]}],
+            'prediction':
+                ';'.join(['uuid', 'mammalia', 'carnivora', 'felidae',
+                          'puma', 'concolor', 'cougar']),
+            'prediction_score': 0.7,
+        }],
+    }
+    pred_file = str(tmp_path / 'predictions.json')
+    with open(pred_file, 'w') as f:
+        json.dump(predictions, f)
+    out_file = str(tmp_path / 'md.json')
+
+    result = subprocess.run(
+        [sys.executable, '-m',
+         'megadetector_tpu.data_management.speciesnet_to_md',
+         pred_file, out_file, '--base_folder', 'base/'],
+        capture_output=True, text=True, timeout=240)
+    assert result.returncode == 0, result.stderr[-500:]
+    with open(out_file) as f:
+        md = json.load(f)
+    assert md['images'][0]['file'] == 'cam/img1.jpg'
+    assert len(md['images'][0]['detections']) == 1
+
+
+def test_url_utils_file_transport(tmp_path):
+    src = tmp_path / 'payload.bin'
+    src.write_bytes(b'hello megadetector')
+    url = 'file://' + str(src)
+
+    dest = str(tmp_path / 'out' / 'payload.bin')
+    got = url_utils.download_url(url, dest, verbose=False)
+    assert got == dest
+    assert open(dest, 'rb').read() == b'hello megadetector'
+
+    # Cached: force_download=False must not re-fetch (mtime unchanged)
+    mtime = os.path.getmtime(dest)
+    url_utils.download_url(url, dest, verbose=False)
+    assert os.path.getmtime(dest) == mtime
+
+
+def test_compile_cache(tmp_path, monkeypatch):
+    from megadetector_tpu.utils import compile_cache
+
+    monkeypatch.setenv('MD_COMPILATION_CACHE', '0')
+    assert compile_cache.enable_persistent_cache() is None
+
+    monkeypatch.delenv('MD_COMPILATION_CACHE', raising=False)
+    d = str(tmp_path / 'cc')
+    assert compile_cache.enable_persistent_cache(d) == d
+    assert os.path.isdir(d)
