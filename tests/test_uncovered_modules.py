@@ -158,3 +158,50 @@ def test_compile_cache(tmp_path, monkeypatch):
     d = str(tmp_path / 'cc')
     assert compile_cache.enable_persistent_cache(d) == d
     assert os.path.isdir(d)
+
+
+def test_url_utils_http_transport(tmp_path):
+    """Hermetic HTTP download via a local http.server, the reference's
+    pattern for testing the download path without egress
+    (reference utils/url_utils.py:473)."""
+
+    import http.server
+    import socketserver
+    import threading
+
+    serve_dir = tmp_path / 'serve'
+    serve_dir.mkdir()
+    (serve_dir / 'blob.bin').write_bytes(b'x' * 4096)
+
+    handler = type('H', (http.server.SimpleHTTPRequestHandler,), {
+        'directory': str(serve_dir),
+        'log_message': lambda self, *a: None,
+    })
+
+    def make_handler(*args, **kwargs):
+        return handler(*args, directory=str(serve_dir), **kwargs)
+
+    with socketserver.TCPServer(('127.0.0.1', 0), make_handler) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = 'http://127.0.0.1:{}/blob.bin'.format(port)
+            dest = str(tmp_path / 'dl' / 'blob.bin')
+            got = url_utils.download_url(url, dest, verbose=False)
+            assert got == dest
+            assert os.path.getsize(dest) == 4096
+
+            # parallel downloads: distinct URLs so the pool actually
+            # exercises the map
+            mapping = {
+                'http://127.0.0.1:{}/blob.bin?copy={}'.format(port, i):
+                    str(tmp_path / 'dl2' / 'b{}.bin'.format(i))
+                for i in range(3)}
+            results = url_utils.parallel_download_urls(mapping,
+                                                       verbose=False)
+            for target in mapping.values():
+                assert os.path.getsize(target) == 4096
+            assert results is not None
+        finally:
+            srv.shutdown()
