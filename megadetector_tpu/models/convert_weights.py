@@ -635,9 +635,10 @@ def quantize_checkpoint(input_path, output_path,
     import jax
     import numpy as _np
     from megadetector_tpu.models import yolov5 as _yolov5
+    from megadetector_tpu.ops.folding import fold_early_params
     from megadetector_tpu.ops.quantization import (
         calibrate_activation_scales, calibrate_chain_scales,
-        quantize_params, quantize_params_chain)
+        default_float_store, quantize_params, quantize_params_chain)
 
     params, metadata = load_checkpoint(input_path)
     metadata = metadata or {}
@@ -647,8 +648,15 @@ def quantize_checkpoint(input_path, output_path,
         anchors=metadata.get('anchors'))
 
     if mode == 'chain':
+        # Fold the early layers BEFORE chain quantization: the folded
+        # l1/l2 present >=128 lanes, where int8 wins (the production
+        # bench path); unfolded they would have to stay float. The
+        # detector's own fold step is idempotent on folded checkpoints.
+        params = fold_early_params(params, config)
         detect_name = 'l{}'.format(len(config.layers) - 1)
-        q = quantize_params_chain(params, skip_names=(detect_name,))
+        q = quantize_params_chain(
+            params, skip_names=(detect_name,),
+            float_store_names=default_float_store(params))
     else:
         q = quantize_params(params)
 

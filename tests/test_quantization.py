@@ -250,3 +250,28 @@ def test_folded_chain_forward_close_to_float():
     assert np.quantile(d_prob, 0.99) < 0.005
     assert d_prob.max() < 0.03
     assert np.quantile(d_xy, 0.99) < 1.0
+
+
+def test_quantize_checkpoint_folds_early_layers(tmp_path):
+    """Chain-mode checkpoint quantization must fold the early layers
+    first (folded l1/l2 are int8-profitable; unfolded they would stay
+    float) — the production bench path."""
+
+    from megadetector_tpu.models.convert_weights import (
+        load_checkpoint, quantize_checkpoint, save_checkpoint)
+    from megadetector_tpu.ops.folding import params_are_folded
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=3)
+    f_path = str(tmp_path / 'float.npz')
+    save_checkpoint(params, f_path, {
+        'arch': 'yolov5n', 'model_type': 'yolov5', 'num_classes': 3,
+        'image_size': 64, 'anchors': cfg.anchors.tolist()})
+    q_path = str(tmp_path / 'q.npz')
+    quantize_checkpoint(f_path, q_path, calibration_image_size=64)
+
+    qp, meta = load_checkpoint(q_path)
+    assert params_are_folded(qp)
+    # Folded policy: l0 float-store, l1 int8-chained
+    assert 'w' in qp['l0'] and 'w_q' in qp['l1']
+    assert meta['quantization'] == 'int8-chain'
