@@ -349,3 +349,45 @@ with open(os.path.join(out_dir, 'best_predictions.json'), 'w') as f:
     options2.unique_id_strategy = 'verify'
     with pytest.raises(AssertionError):
         run_inference_with_yolo_val(options2)
+
+
+def test_augmented_fused_matches_unfused(tmp_path):
+    """The TTA program's candidate-level flip/scale transform (fused
+    default) must agree with the unfused full-tensor TTA path at the
+    golden tolerances."""
+
+    from megadetector_tpu.models import yolov5
+    from megadetector_tpu.models.convert_weights import save_checkpoint
+    from megadetector_tpu.models.detector import TPUDetector
+    from megadetector_tpu.utils.md_tests import (MDTestOptions,
+                                                 compare_detection_lists)
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=11)
+    path = str(tmp_path / 'm.npz')
+    save_checkpoint(params, path, {
+        'arch': 'yolov5n', 'model_type': 'yolov5', 'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': 128, 'anchors': cfg.anchors.tolist()})
+
+    fused = TPUDetector(path)
+    unfused = TPUDetector(path, detector_options={
+        'fused_decode': False, 'pre_nms_topk': 513})
+    assert fused._fused_decode and not unfused._fused_decode
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (100, 120, 3), dtype=np.uint8)
+    out_f = fused.generate_detections_one_image(
+        img, 'x.jpg', detection_threshold=0.2, augment=True)
+    out_u = unfused.generate_detections_one_image(
+        img, 'x.jpg', detection_threshold=0.2, augment=True)
+
+    options = MDTestOptions()
+    options.comparison_confidence_threshold = 0.25
+    options.iou_match_threshold = 0.85
+    options.max_conf_error = 0.005
+    options.max_coord_error = 0.005
+    result = compare_detection_lists(out_u['detections'],
+                                     out_f['detections'],
+                                     options=options, image_id='x.jpg')
+    assert result['errors'] == [], result['errors']
