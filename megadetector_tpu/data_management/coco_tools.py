@@ -258,3 +258,71 @@ def resize_coco_dataset(input_folder, input_filename, output_folder,
     if output_filename is not None:
         ct_utils.write_json(output_filename, data, force_str=True)
     return data
+
+
+def main():
+    """CLI with one subcommand per reference script
+    (remap_coco_categories / threshold_coco_dataset /
+    combine_coco_camera_traps_files / get_image_sizes /
+    resize_coco_dataset)."""
+
+    import argparse
+    import sys
+
+    parser = argparse.ArgumentParser(description='COCO dataset tools')
+    sub = parser.add_subparsers(dest='command', required=True)
+
+    p = sub.add_parser('threshold', help='drop low-confidence annotations')
+    p.add_argument('input_file')
+    p.add_argument('output_file')
+    p.add_argument('--confidence_threshold', type=float, default=0.0)
+    p.add_argument('--confidence_field', default='score')
+    p.add_argument('--missing_confidence_handling', default='error')
+
+    p = sub.add_parser('combine', help='merge CCT .json files')
+    p.add_argument('input_files', nargs='+')
+    p.add_argument('--output_file', required=True)
+    p.add_argument('--no_require_uniqueness', action='store_true')
+
+    p = sub.add_parser('sizes', help='read image sizes for a folder')
+    p.add_argument('image_folder')
+    p.add_argument('output_file')
+    p.add_argument('--n_workers', type=int, default=8)
+
+    p = sub.add_parser('resize', help='resize a COCO dataset')
+    p.add_argument('input_folder')
+    p.add_argument('input_filename')
+    p.add_argument('output_folder')
+    p.add_argument('output_filename')
+    p.add_argument('--width', type=int, default=-1)
+    p.add_argument('--height', type=int, default=-1)
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+    args = parser.parse_args()
+
+    if args.command == 'threshold':
+        threshold_coco_dataset(
+            args.input_file, args.confidence_threshold,
+            args.output_file, confidence_field=args.confidence_field,
+            missing_confidence_handling=args.missing_confidence_handling)
+    elif args.command == 'combine':
+        combine_cct_files(args.input_files, args.output_file,
+                          require_uniqueness=not
+                          args.no_require_uniqueness)
+    elif args.command == 'sizes':
+        from megadetector_tpu.utils.path_utils import find_images
+        files = find_images(args.image_folder, recursive=True,
+                            return_relative_paths=True)
+        get_image_sizes(files, image_prefix=args.image_folder,
+                        output_file=args.output_file,
+                        n_workers=args.n_workers)
+    elif args.command == 'resize':
+        resize_coco_dataset(args.input_folder, args.input_filename,
+                            args.output_folder, args.output_filename,
+                            target_size=(args.width, args.height))
+
+
+if __name__ == '__main__':
+    main()

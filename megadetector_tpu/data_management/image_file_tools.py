@@ -170,3 +170,49 @@ def generate_crops_from_cct(cct_file, image_dir, output_dir, padding=0,
 
     print('Wrote {} crops'.format(len(crops_written)))
     return crops_written
+
+
+def main():
+    """CLI with one subcommand per reference script (remove_exif /
+    rename_images / generate_crops_from_cct)."""
+
+    import argparse
+    import sys
+
+    parser = argparse.ArgumentParser(description='Image file tools')
+    sub = parser.add_subparsers(dest='command', required=True)
+
+    p = sub.add_parser('remove-exif', help='strip EXIF in place')
+    p.add_argument('image_folder')
+    p.add_argument('--n_workers', type=int, default=1)
+
+    p = sub.add_parser('rename', help='flatten/rename images into '
+                                      'datetime-stamped names')
+    p.add_argument('input_folder')
+    p.add_argument('output_folder')
+    p.add_argument('--dry_run', action='store_true')
+
+    p = sub.add_parser('crops-from-cct', help='crop annotations out of '
+                                              'a CCT database')
+    p.add_argument('cct_file')
+    p.add_argument('image_dir')
+    p.add_argument('output_dir')
+    p.add_argument('--padding', type=int, default=0)
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+    args = parser.parse_args()
+
+    if args.command == 'remove-exif':
+        remove_exif(args.image_folder, n_workers=args.n_workers)
+    elif args.command == 'rename':
+        rename_images(args.input_folder, args.output_folder,
+                      dry_run=args.dry_run)
+    elif args.command == 'crops-from-cct':
+        generate_crops_from_cct(args.cct_file, args.image_dir,
+                                args.output_dir, padding=args.padding)
+
+
+if __name__ == '__main__':
+    main()

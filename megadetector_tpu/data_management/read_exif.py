@@ -273,3 +273,35 @@ def exif_results_to_cct(exif_results, cct_output_file=None):
     if cct_output_file is not None:
         ct_utils.write_json(cct_output_file, cct, force_str=True)
     return cct
+
+
+def main():
+    """CLI: harvest EXIF for a folder into a .json file (reference:
+    read_exif.py command-line driver)."""
+
+    import argparse
+    import sys
+
+    parser = argparse.ArgumentParser(
+        description='Read EXIF data for every image in a folder')
+    parser.add_argument('input_folder')
+    parser.add_argument('output_file')
+    parser.add_argument('--n_workers', type=int, default=1)
+    parser.add_argument('--processing_library', default='pil',
+                        choices=['pil', 'exiftool'])
+    parser.add_argument('--no_recursive', action='store_true')
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+    args = parser.parse_args()
+
+    options = ReadExifOptions()
+    options.n_workers = args.n_workers
+    options.processing_library = args.processing_library
+    read_exif_from_folder(args.input_folder, args.output_file,
+                          options=options,
+                          recursive=not args.no_recursive)
+
+
+if __name__ == '__main__':
+    main()

@@ -460,3 +460,43 @@ def frame_results_to_video_results(input_file, output_file,
     data['images'] = sort_list_of_dicts_by_key(video_images, 'file')
     write_json(output_file, data, force_str=True)
     return data
+
+
+def main():
+    """CLI: extract sampled frames from a video or a video folder
+    (reference: utils/extract_frames_from_video.py)."""
+
+    import argparse
+    import sys
+
+    parser = argparse.ArgumentParser(
+        description='Extract sampled frames from video(s) to JPEGs')
+    parser.add_argument('input_path',
+                        help='a video file or a folder of videos')
+    parser.add_argument('output_folder')
+    parser.add_argument('--every_n_frames', type=float, default=None,
+                        help='sample every Nth frame (negative: every '
+                             'N seconds)')
+    parser.add_argument('--quality', type=int, default=90)
+    parser.add_argument('--max_width', type=int, default=None)
+    parser.add_argument('--n_threads', type=int, default=1)
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+    args = parser.parse_args()
+
+    import os
+    if os.path.isdir(args.input_path):
+        video_folder_to_frames(
+            args.input_path, args.output_folder,
+            every_n_frames=args.every_n_frames, quality=args.quality,
+            max_width=args.max_width, n_threads=args.n_threads)
+    else:
+        video_to_frames(
+            args.input_path, args.output_folder,
+            every_n_frames=args.every_n_frames, quality=args.quality,
+            max_width=args.max_width)
+
+
+if __name__ == '__main__':
+    main()

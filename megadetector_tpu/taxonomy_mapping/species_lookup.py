@@ -396,3 +396,46 @@ def _gbif_vernacular_names(vernacular_tsv, gbif_lookup, max_rows=None):
     return {vern: id_to_name[str(taxon_id)]
             for vern, taxon_id in name_to_id.items()
             if str(taxon_id) in id_to_name}
+
+
+def main():
+    """CLI: resolve species names against a local taxonomy (reference
+    species_lookup.py's interactive lookup as a batch tool)."""
+
+    import argparse
+    import sys
+
+    parser = argparse.ArgumentParser(
+        description='Look up species names in a local taxonomy')
+    parser.add_argument('queries', nargs='+',
+                        help='common or scientific names')
+    parser.add_argument('--taxonomy_csv', default=None,
+                        help='taxonomy table (taxon_id/level/name/'
+                             'parent_id CSV)')
+    parser.add_argument('--gbif_taxon_tsv', default=None,
+                        help='GBIF backbone Taxon.tsv dump')
+    parser.add_argument('--synonyms_json', default=None)
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+    args = parser.parse_args()
+
+    if args.gbif_taxon_tsv:
+        lookup = load_gbif_backbone(args.gbif_taxon_tsv)
+    else:
+        lookup = SpeciesLookup.from_files(args.taxonomy_csv,
+                                          args.synonyms_json)
+
+    n_missing = 0
+    for query in args.queries:
+        node = lookup.lookup(query)
+        if node is None:
+            print('{}: NO MATCH'.format(query))
+            n_missing += 1
+        else:
+            print('{}: {} ({})'.format(query, node.name, node.level))
+    sys.exit(1 if n_missing else 0)
+
+
+if __name__ == '__main__':
+    main()

@@ -187,3 +187,48 @@ def output_files_are_identical(file_a, file_b,
         for field in ignore_fields:
             info.pop(field, None)
     return a == b
+
+
+def main():
+    """CLI: compare two MD results files at the golden tolerances
+    (reference md_tests.py's comparison core as a standalone tool)."""
+
+    import argparse
+    import sys
+
+    parser = argparse.ArgumentParser(
+        description='Compare two MD results files with IoU-matched '
+                    'tolerances')
+    parser.add_argument('results_file_a')
+    parser.add_argument('results_file_b')
+    parser.add_argument('--comparison_confidence_threshold',
+                        type=float, default=0.1)
+    parser.add_argument('--max_conf_error', type=float, default=0.005)
+    parser.add_argument('--max_coord_error', type=float, default=0.001)
+    parser.add_argument('--iou_match_threshold', type=float,
+                        default=0.85)
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+    args = parser.parse_args()
+
+    options = MDTestOptions()
+    options.comparison_confidence_threshold = \
+        args.comparison_confidence_threshold
+    options.max_conf_error = args.max_conf_error
+    options.max_coord_error = args.max_coord_error
+    options.iou_match_threshold = args.iou_match_threshold
+
+    result = compare_results(args.results_file_a, args.results_file_b,
+                             options=options)
+    for line in result['errors'][:50]:
+        print(line)
+    print('{} images compared, {} errors, max conf error {:.4f}, '
+          'max coord error {:.4f}'.format(
+              result['n_images_compared'], len(result['errors']),
+              result['max_conf_error'], result['max_coord_error']))
+    sys.exit(1 if result['errors'] else 0)
+
+
+if __name__ == '__main__':
+    main()
