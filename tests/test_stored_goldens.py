@@ -95,3 +95,56 @@ def test_golden_file_is_committed():
     if os.environ.get('MD_REGEN_GOLDENS'):
         pytest.skip('regenerating')
     assert os.path.isfile(GOLDEN_FILE)
+
+
+DEVICE_GOLDEN_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), 'data',
+    'stub_golden_results_device.json')
+
+
+@pytest.fixture(scope='module')
+def stub_detector_device(tmp_path_factory):
+    config = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    folder = tmp_path_factory.mktemp('stub_golden_model_dev')
+    path = str(folder / 'stub.npz')
+    save_checkpoint(yolov5.init_params(config, seed=0), path, {
+        'arch': 'yolov5n',
+        'model_type': 'yolov5',
+        'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': IMAGE_SIZE,
+    })
+    return make_stub_detector(path, {'preprocess_mode': 'device'})
+
+
+def test_device_preprocess_matches_stored_golden(stub_detector_device):
+    """Pins the on-device matmul letterbox + stub forward: any change
+    to the device-preprocess geometry or interpolation semantics
+    across rounds fails here at the reference tolerances."""
+
+    got = _run_pipeline(stub_detector_device)
+
+    if os.environ.get('MD_REGEN_GOLDENS'):
+        os.makedirs(os.path.dirname(DEVICE_GOLDEN_FILE), exist_ok=True)
+        with open(DEVICE_GOLDEN_FILE, 'w') as f:
+            json.dump(got, f, indent=1)
+        pytest.skip('device goldens regenerated')
+
+    assert os.path.isfile(DEVICE_GOLDEN_FILE), \
+        'Golden file missing; regenerate with MD_REGEN_GOLDENS=1'
+    with open(DEVICE_GOLDEN_FILE) as f:
+        expected = json.load(f)
+
+    options = comparator.MDTestOptions()
+    options.comparison_confidence_threshold = 0.005
+    options.iou_match_threshold = 0.85
+    options.max_conf_error = 0.005
+    options.max_coord_error = 0.001
+
+    assert len(got['images']) == len(expected['images'])
+    for got_im, exp_im in zip(got['images'], expected['images']):
+        assert got_im['file'] == exp_im['file']
+        result = comparator.compare_detection_lists(
+            exp_im['detections'], got_im['detections'],
+            options=options, image_id=got_im['file'])
+        assert result['errors'] == [], result['errors']
