@@ -275,3 +275,49 @@ def test_quantize_checkpoint_folds_early_layers(tmp_path):
     # Folded policy: l0 float-store, l1 int8-chained
     assert 'w' in qp['l0'] and 'w_q' in qp['l1']
     assert meta['quantization'] == 'int8-chain'
+
+
+def test_quantized_checkpoint_with_device_preprocess(tmp_path):
+    """int8-chain checkpoint + on-device letterbox together (the
+    production deployment combo) must agree with the host-preprocess
+    path on the same quantized weights."""
+
+    from megadetector_tpu.models.convert_weights import (
+        quantize_checkpoint, save_checkpoint)
+    from megadetector_tpu.models.detector import TPUDetector
+    from megadetector_tpu.utils.md_tests import (MDTestOptions,
+                                                 compare_detection_lists)
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=9)
+    f_path = str(tmp_path / 'float.npz')
+    save_checkpoint(params, f_path, {
+        'arch': 'yolov5n', 'model_type': 'yolov5', 'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': 64, 'anchors': cfg.anchors.tolist()})
+    q_path = str(tmp_path / 'q.npz')
+    quantize_checkpoint(f_path, q_path, calibration_image_size=64)
+
+    host = TPUDetector(q_path)
+    device = TPUDetector(q_path, detector_options={
+        'preprocess_mode': 'device'})
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (56, 72, 3), dtype=np.uint8)
+    out_h = host.generate_detections_one_image(
+        img, 'x.jpg', detection_threshold=0.2)
+    out_d = device.generate_detections_one_image(
+        img, 'x.jpg', detection_threshold=0.2)
+    assert out_d['detections'] is not None
+
+    # Device letterbox is within 0.5/255 of cv2 per pixel; allow a
+    # slightly wider conf band than the bit-parity tier
+    options = MDTestOptions()
+    options.comparison_confidence_threshold = 0.3
+    options.iou_match_threshold = 0.8
+    options.max_conf_error = 0.05
+    options.max_coord_error = 0.02
+    result = compare_detection_lists(out_h['detections'],
+                                     out_d['detections'],
+                                     options=options, image_id='x.jpg')
+    assert result['errors'] == [], result['errors']
