@@ -141,3 +141,42 @@ def test_batch_driver_auto_meshes(tiny_checkpoint, image_folder, tmp_path):
     with open(out_b) as f:
         b = json.load(f)
     assert a['images'] == b['images']
+
+
+def test_meshed_quantized_inference_matches_single(tmp_path):
+    """int8-chain checkpoints over a mesh: the QConvParams static
+    scales must survive replicated sharding, and results must be
+    identical to the single-device quantized path."""
+
+    from megadetector_tpu.models import yolov5
+    from megadetector_tpu.models.convert_weights import (
+        quantize_checkpoint, save_checkpoint)
+    from megadetector_tpu.models.detector import TPUDetector
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    params = yolov5.init_params(cfg, seed=21)
+    f_path = str(tmp_path / 'float.npz')
+    save_checkpoint(params, f_path, {
+        'arch': 'yolov5n', 'model_type': 'yolov5', 'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': 64, 'anchors': cfg.anchors.tolist()})
+    q_path = str(tmp_path / 'q.npz')
+    quantize_checkpoint(f_path, q_path, calibration_image_size=64)
+
+    rng = np.random.RandomState(3)
+    images = [rng.randint(0, 255, (50, 70, 3), dtype=np.uint8)
+              for _ in range(8)]
+    names = ['im_{}.jpg'.format(i) for i in range(8)]
+
+    single = TPUDetector(q_path)
+    meshed = TPUDetector(q_path, detector_options={
+        'mesh': make_data_mesh(8), 'pad_batches_to': 8})
+
+    r_single = single.generate_detections_one_batch(
+        images, image_ids=names, detection_threshold=0.2)
+    r_meshed = meshed.generate_detections_one_batch(
+        images, image_ids=names, detection_threshold=0.2)
+
+    for a, b in zip(r_single, r_meshed):
+        assert a['detections'] is not None
+        assert _detection_key(a) == _detection_key(b)
