@@ -5,6 +5,7 @@ compiler is present; all callers have pure-Python/numpy paths.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -14,12 +15,24 @@ _LIB = None
 _BUILD_FAILED = False
 
 _SRC = os.path.join(os.path.dirname(__file__), 'letterbox_nms.cpp')
-_LIB_PATH = os.path.join(os.path.dirname(__file__), 'libmdnative.so')
 
 
-def _build():
-    cmd = ['g++', '-O3', '-shared', '-fPIC', '-fopenmp', _SRC,
-           '-o', _LIB_PATH]
+def _hashed_lib_path(src_path, stem):
+    """
+    Library path keyed by a content hash of the source: any source edit
+    changes the filename, so a stale binary can never shadow a rebuild
+    (binaries are not committed; they always build from source).
+    """
+
+    with open(src_path, 'rb') as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(os.path.dirname(src_path),
+                        '{}-{}.so'.format(stem, digest))
+
+
+def _build(src, lib_path, extra_args=()):
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-fopenmp', src,
+           '-o', lib_path] + list(extra_args)
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -28,15 +41,21 @@ def _load():
     if _LIB is not None or _BUILD_FAILED:
         return _LIB
     try:
-        if not os.path.isfile(_LIB_PATH) or \
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
-            _build()
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib_path = _hashed_lib_path(_SRC, 'libmdnative')
+        if not os.path.isfile(lib_path):
+            _build(_SRC, lib_path)
+        lib = ctypes.CDLL(lib_path)
 
         lib.letterbox_u8.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_uint8]
         lib.letterbox_u8.restype = None
+
+        lib.letterbox_u8_rect.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint8]
+        lib.letterbox_u8_rect.restype = None
 
         lib.nms_xyxy.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -63,8 +82,9 @@ def is_available():
 
 def letterbox_u8(image, out_size, pad_value=114):
     """
-    Fused native letterbox: HWC uint8 -> [out_size, out_size, 3] uint8
+    Fused native letterbox: HWC uint8 -> [out_h, out_w, 3] uint8
     (geometry identical to ops/boxes.letterbox(auto=False, scaleup=True)).
+    out_size may be an int (square canvas) or an (out_h, out_w) tuple.
     """
 
     lib = _load()
@@ -72,11 +92,15 @@ def letterbox_u8(image, out_size, pad_value=114):
     image = np.ascontiguousarray(image, dtype=np.uint8)
     assert image.ndim == 3 and image.shape[2] == 3
     h, w = image.shape[:2]
-    out = np.empty((out_size, out_size, 3), dtype=np.uint8)
-    lib.letterbox_u8(
+    if isinstance(out_size, (tuple, list)):
+        out_h, out_w = int(out_size[0]), int(out_size[1])
+    else:
+        out_h = out_w = int(out_size)
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    lib.letterbox_u8_rect(
         image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        out_size, pad_value)
+        out_h, out_w, pad_value)
     return out
 
 
@@ -127,7 +151,6 @@ _JPEG_LIB = None
 _JPEG_BUILD_FAILED = False
 
 _JPEG_SRC = os.path.join(os.path.dirname(__file__), 'jpeg_loader.cpp')
-_JPEG_LIB_PATH = os.path.join(os.path.dirname(__file__), 'libmdjpeg.so')
 
 JL_OK = 0
 JL_DECODE_ERROR = 1
@@ -140,28 +163,26 @@ def _load_jpeg():
     if _JPEG_LIB is not None or _JPEG_BUILD_FAILED:
         return _JPEG_LIB
     try:
-        if not os.path.isfile(_JPEG_LIB_PATH) or \
-                os.path.getmtime(_JPEG_LIB_PATH) < \
-                os.path.getmtime(_JPEG_SRC):
-            subprocess.run(
-                ['g++', '-O3', '-shared', '-fPIC', '-fopenmp',
-                 _JPEG_SRC, '-o', _JPEG_LIB_PATH, '-ljpeg'],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(_JPEG_LIB_PATH)
+        lib_path = _hashed_lib_path(_JPEG_SRC, 'libmdjpeg')
+        if not os.path.isfile(lib_path):
+            _build(_JPEG_SRC, lib_path, extra_args=['-ljpeg'])
+        lib = ctypes.CDLL(lib_path)
 
-        lib.decode_jpeg_letterbox.argtypes = [
+        lib.decode_jpeg_letterbox_rect.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_uint8,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint8,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
-        lib.decode_jpeg_letterbox.restype = ctypes.c_int
+        lib.decode_jpeg_letterbox_rect.restype = ctypes.c_int
 
-        lib.decode_jpeg_letterbox_batch.argtypes = [
+        lib.decode_jpeg_letterbox_batch_rect.argtypes = [
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_long), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_uint8,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint8,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
-        lib.decode_jpeg_letterbox_batch.restype = None
+        lib.decode_jpeg_letterbox_batch_rect.restype = None
 
         _JPEG_LIB = lib
     except Exception:
@@ -175,11 +196,18 @@ def jpeg_loader_available():
     return _load_jpeg() is not None
 
 
+def _canvas_hw(canvas):
+    if isinstance(canvas, (tuple, list)):
+        return int(canvas[0]), int(canvas[1])
+    return int(canvas), int(canvas)
+
+
 def decode_jpeg_letterbox(jpeg_bytes, canvas, pad_value=114,
                           dct_scale_target=0):
     """
     Decode one JPEG (bytes), apply EXIF orientation (3/6/8), letterbox
-    into a [canvas, canvas, 3] uint8 square.
+    into a [canvas_h, canvas_w, 3] uint8 canvas (canvas: int for a
+    square, or an (h, w) tuple for a rectangular aspect bucket).
 
     Returns (canvas_array, (src_h, src_w)) where src dims are
     post-rotation (the values scale_coords needs). Raises ValueError on
@@ -194,14 +222,15 @@ def decode_jpeg_letterbox(jpeg_bytes, canvas, pad_value=114,
 
     lib = _load_jpeg()
     assert lib is not None, 'Native JPEG loader unavailable'
+    canvas_h, canvas_w = _canvas_hw(canvas)
     buf = np.frombuffer(jpeg_bytes, dtype=np.uint8)
-    out = np.empty((canvas, canvas, 3), dtype=np.uint8)
+    out = np.empty((canvas_h, canvas_w, 3), dtype=np.uint8)
     dims = np.zeros(2, dtype=np.int32)
-    rc = lib.decode_jpeg_letterbox(
+    rc = lib.decode_jpeg_letterbox_rect(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_long(buf.size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        int(canvas), int(pad_value), int(dct_scale_target),
+        canvas_h, canvas_w, int(pad_value), int(dct_scale_target),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if rc != JL_OK:
         raise ValueError('native JPEG decode failed (code {})'.format(rc))
@@ -212,7 +241,8 @@ def decode_jpeg_letterbox_batch(jpeg_buffers, canvas, pad_value=114,
                                 dct_scale_target=0, out=None):
     """
     Decode a batch of JPEGs in parallel (OpenMP) straight into a staging
-    array [n, canvas, canvas, 3] (pass [out] to reuse a pinned buffer).
+    array [n, canvas_h, canvas_w, 3] (pass [out] to reuse a pinned
+    buffer; canvas: int or (h, w) tuple).
 
     Returns (staging, dims [n, 2], errs [n]) — errs[i] != 0 marks a
     per-image failure (slot content undefined); callers map those to the
@@ -221,22 +251,23 @@ def decode_jpeg_letterbox_batch(jpeg_buffers, canvas, pad_value=114,
 
     lib = _load_jpeg()
     assert lib is not None, 'Native JPEG loader unavailable'
+    canvas_h, canvas_w = _canvas_hw(canvas)
     n = len(jpeg_buffers)
     arrays = [np.frombuffer(b, dtype=np.uint8) for b in jpeg_buffers]
     ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(*[
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for a in arrays])
     lens = (ctypes.c_long * n)(*[a.size for a in arrays])
     if out is None:
-        out = np.empty((n, canvas, canvas, 3), dtype=np.uint8)
+        out = np.empty((n, canvas_h, canvas_w, 3), dtype=np.uint8)
     else:
-        assert out.shape == (n, canvas, canvas, 3) and \
+        assert out.shape == (n, canvas_h, canvas_w, 3) and \
             out.dtype == np.uint8
     dims = np.zeros((n, 2), dtype=np.int32)
     errs = np.zeros(n, dtype=np.int32)
-    lib.decode_jpeg_letterbox_batch(
+    lib.decode_jpeg_letterbox_batch_rect(
         ptrs, lens, n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        int(canvas), int(pad_value), int(dct_scale_target),
+        canvas_h, canvas_w, int(pad_value), int(dct_scale_target),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         errs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out, dims, errs

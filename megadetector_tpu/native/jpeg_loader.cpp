@@ -80,10 +80,13 @@ int parse_exif_orientation(const uint8_t* buf, size_t len) {
             else if (tiff[0] == 'I' && tiff[1] == 'I') be = false;
             else return 0;
             uint32_t ifd0 = read_u32(tiff + 4, be);
-            if (ifd0 + 2 > tiff_len) return 0;
+            // Widen to size_t before adding: ifd0 comes from untrusted
+            // bytes and uint32 arithmetic would wrap (0xFFFFFFFE + 2 ==
+            // 0), bypassing the bounds check and reading out of bounds
+            if ((size_t)ifd0 + 2 > tiff_len) return 0;
             uint16_t n_entries = read_u16(tiff + ifd0, be);
             for (uint16_t i = 0; i < n_entries; ++i) {
-                size_t e = ifd0 + 2 + (size_t)i * 12;
+                size_t e = (size_t)ifd0 + 2 + (size_t)i * 12;
                 if (e + 12 > tiff_len) return 0;
                 uint16_t tag = read_u16(tiff + e, be);
                 if (tag == 274) {
@@ -142,16 +145,17 @@ void rotate_rgb(const uint8_t* src, int h, int w, int orientation,
 }
 
 void letterbox_into(const uint8_t* src, int h, int w,
-                    uint8_t* dst, int out_size, uint8_t pad_value) {
-    const float r = std::min((float)out_size / h, (float)out_size / w);
+                    uint8_t* dst, int out_h, int out_w,
+                    uint8_t pad_value) {
+    const float r = std::min((float)out_h / h, (float)out_w / w);
     const int new_w = (int)std::floor(w * r + 0.5f);
     const int new_h = (int)std::floor(h * r + 0.5f);
     const int left =
-        (int)std::floor((out_size - new_w) / 2.0f - 0.1f + 0.5f);
+        (int)std::floor((out_w - new_w) / 2.0f - 0.1f + 0.5f);
     const int top =
-        (int)std::floor((out_size - new_h) / 2.0f - 0.1f + 0.5f);
+        (int)std::floor((out_h - new_h) / 2.0f - 0.1f + 0.5f);
 
-    std::memset(dst, pad_value, (size_t)out_size * out_size * 3);
+    std::memset(dst, pad_value, (size_t)out_h * out_w * 3);
 
     const float sx = (float)w / new_w;
     const float sy = (float)h / new_h;
@@ -163,7 +167,7 @@ void letterbox_into(const uint8_t* src, int h, int w,
         const int y1 = std::min(y0 + 1, h - 1);
         const float wy = fy - y0;
         uint8_t* out_row =
-            dst + ((size_t)(top + oy) * out_size + left) * 3;
+            dst + ((size_t)(top + oy) * out_w + left) * 3;
         const uint8_t* row0 = src + (size_t)y0 * w * 3;
         const uint8_t* row1 = src + (size_t)y1 * w * 3;
         for (int ox = 0; ox < new_w; ++ox) {
@@ -200,18 +204,25 @@ enum {
 };
 
 // Decode one JPEG, apply EXIF rotation, letterbox into dst.
-// dst: [canvas, canvas, 3] u8. out_dims receives the post-rotation
+// dst: [canvas_h, canvas_w, 3] u8. out_dims receives the post-rotation
 // (h, w) of the source (needed by scale_coords). dct_scale_target > 0
 // enables scaled decode down to roughly that long side (performance
 // mode; 0 = always full resolution).
-int decode_jpeg_letterbox(const uint8_t* buf, long len,
-                          uint8_t* dst, int canvas, uint8_t pad_value,
-                          int dct_scale_target, int* out_dims) {
+int decode_jpeg_letterbox_rect(const uint8_t* buf, long len,
+                               uint8_t* dst, int canvas_h, int canvas_w,
+                               uint8_t pad_value,
+                               int dct_scale_target, int* out_dims) {
     int orientation = parse_exif_orientation(buf, (size_t)len);
     if (orientation == 2 || orientation == 4 || orientation == 5 ||
         orientation == 7) {
         return JL_UNSUPPORTED_ORIENTATION;
     }
+
+    // Buffers live before setjmp so their destructors run on the
+    // error return path (declared after setjmp they would be skipped
+    // by longjmp — UB plus a per-corrupt-image heap leak)
+    std::vector<uint8_t> pixels;
+    std::vector<uint8_t> rotated;
 
     jpeg_decompress_struct cinfo;
     ErrorMgr jerr;
@@ -248,7 +259,7 @@ int decode_jpeg_letterbox(const uint8_t* buf, long len,
     }
     const int w = cinfo.output_width;
     const int h = cinfo.output_height;
-    std::vector<uint8_t> pixels((size_t)h * w * 3);
+    pixels.resize((size_t)h * w * 3);
     while ((int)cinfo.output_scanline < h) {
         uint8_t* row = pixels.data() +
             (size_t)cinfo.output_scanline * w * 3;
@@ -260,13 +271,13 @@ int decode_jpeg_letterbox(const uint8_t* buf, long len,
 
     const uint8_t* final_pixels = pixels.data();
     int fh = h, fw = w;
-    std::vector<uint8_t> rotated;
     if (orientation == 3 || orientation == 6 || orientation == 8) {
         rotate_rgb(pixels.data(), h, w, orientation, &rotated, &fh, &fw);
         final_pixels = rotated.data();
     }
 
-    letterbox_into(final_pixels, fh, fw, dst, canvas, pad_value);
+    letterbox_into(final_pixels, fh, fw, dst, canvas_h, canvas_w,
+                   pad_value);
     if (out_dims != nullptr) {
         out_dims[0] = fh;
         out_dims[1] = fw;
@@ -274,21 +285,41 @@ int decode_jpeg_letterbox(const uint8_t* buf, long len,
     return JL_OK;
 }
 
+// Square-canvas compatibility wrapper.
+int decode_jpeg_letterbox(const uint8_t* buf, long len,
+                          uint8_t* dst, int canvas, uint8_t pad_value,
+                          int dct_scale_target, int* out_dims) {
+    return decode_jpeg_letterbox_rect(buf, len, dst, canvas, canvas,
+                                      pad_value, dct_scale_target,
+                                      out_dims);
+}
+
 // Batch variant: decode n JPEGs in parallel straight into the staging
-// buffer dst [n, canvas, canvas, 3]. bufs/lens address the encoded
+// buffer dst [n, canvas_h, canvas_w, 3]. bufs/lens address the encoded
 // images; per-image status lands in errs[n]; per-image post-rotation
 // dims in out_dims [n, 2].
+void decode_jpeg_letterbox_batch_rect(
+        const uint8_t** bufs, const long* lens,
+        int n, uint8_t* dst, int canvas_h, int canvas_w,
+        uint8_t pad_value, int dct_scale_target,
+        int* out_dims, int* errs) {
+    const size_t slot = (size_t)canvas_h * canvas_w * 3;
+    #pragma omp parallel for schedule(dynamic)
+    for (int i = 0; i < n; ++i) {
+        errs[i] = decode_jpeg_letterbox_rect(
+            bufs[i], lens[i], dst + (size_t)i * slot, canvas_h,
+            canvas_w, pad_value, dct_scale_target,
+            out_dims + (size_t)i * 2);
+    }
+}
+
 void decode_jpeg_letterbox_batch(const uint8_t** bufs, const long* lens,
                                  int n, uint8_t* dst, int canvas,
                                  uint8_t pad_value, int dct_scale_target,
                                  int* out_dims, int* errs) {
-    const size_t slot = (size_t)canvas * canvas * 3;
-    #pragma omp parallel for schedule(dynamic)
-    for (int i = 0; i < n; ++i) {
-        errs[i] = decode_jpeg_letterbox(
-            bufs[i], lens[i], dst + (size_t)i * slot, canvas, pad_value,
-            dct_scale_target, out_dims + (size_t)i * 2);
-    }
+    decode_jpeg_letterbox_batch_rect(bufs, lens, n, dst, canvas, canvas,
+                                     pad_value, dct_scale_target,
+                                     out_dims, errs);
 }
 
 }  // extern "C"

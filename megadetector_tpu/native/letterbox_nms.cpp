@@ -24,19 +24,20 @@
 extern "C" {
 
 // Fused letterbox: resize src (h x w x 3, uint8) so it fits centered in
-// dst (out_size x out_size x 3, uint8), bilinear, remainder filled with
+// dst (out_h x out_w x 3, uint8), bilinear, remainder filled with
 // pad_value. Geometry matches ops/boxes.letterbox(auto=False,
-// scaleup=True).
-void letterbox_u8(const uint8_t* src, int h, int w,
-                  uint8_t* dst, int out_size, uint8_t pad_value) {
+// scaleup=True) on a rectangular canvas.
+void letterbox_u8_rect(const uint8_t* src, int h, int w,
+                       uint8_t* dst, int out_h, int out_w,
+                       uint8_t pad_value) {
 
-    const float r = std::min((float)out_size / h, (float)out_size / w);
+    const float r = std::min((float)out_h / h, (float)out_w / w);
     const int new_w = (int)std::floor(w * r + 0.5f);
     const int new_h = (int)std::floor(h * r + 0.5f);
-    const int left = (int)std::floor((out_size - new_w) / 2.0f - 0.1f + 0.5f);
-    const int top = (int)std::floor((out_size - new_h) / 2.0f - 0.1f + 0.5f);
+    const int left = (int)std::floor((out_w - new_w) / 2.0f - 0.1f + 0.5f);
+    const int top = (int)std::floor((out_h - new_h) / 2.0f - 0.1f + 0.5f);
 
-    std::memset(dst, pad_value, (size_t)out_size * out_size * 3);
+    std::memset(dst, pad_value, (size_t)out_h * out_w * 3);
 
     const float sx = (float)w / new_w;
     const float sy = (float)h / new_h;
@@ -49,7 +50,7 @@ void letterbox_u8(const uint8_t* src, int h, int w,
         const int y0 = (int)fy;
         const int y1 = std::min(y0 + 1, h - 1);
         const float wy = fy - y0;
-        uint8_t* out_row = dst + ((size_t)(top + oy) * out_size + left) * 3;
+        uint8_t* out_row = dst + ((size_t)(top + oy) * out_w + left) * 3;
         const uint8_t* row0 = src + (size_t)y0 * w * 3;
         const uint8_t* row1 = src + (size_t)y1 * w * 3;
         for (int ox = 0; ox < new_w; ++ox) {
@@ -72,6 +73,12 @@ void letterbox_u8(const uint8_t* src, int h, int w,
             }
         }
     }
+}
+
+// Square-canvas compatibility wrapper.
+void letterbox_u8(const uint8_t* src, int h, int w,
+                  uint8_t* dst, int out_size, uint8_t pad_value) {
+    letterbox_u8_rect(src, h, w, dst, out_size, out_size, pad_value);
 }
 
 static inline float iou_xyxy(const float* a, const float* b) {
