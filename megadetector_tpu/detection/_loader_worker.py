@@ -13,18 +13,40 @@ import numpy as np
 FAILURE_IMAGE_OPEN = 'image access failure'
 
 
+def _auto_target_shape(shape_hw, image_size, stride, scaleup=True):
+    """Minimal stride-multiple canvas for letterbox(auto=True); mirrors
+    TPUDetector._auto_target_shape / ops/boxes.letterbox rounding."""
+
+    h, w = int(shape_hw[0]), int(shape_hw[1])
+    r = min(image_size / h, image_size / w)
+    if not scaleup:
+        r = min(r, 1.0)
+    new_w = int(round(w * r))
+    new_h = int(round(h * r))
+    dh = (image_size - new_h) % stride
+    dw = (image_size - new_w) % stride
+    return (new_h + dh, new_w + dw)
+
+
 def load_and_letterbox(args):
     """
     Worker entry: (im_file, image_size, stride, compatibility_mode,
-    preprocess_mode[, max_staging_side[, use_native_loader]]) ->
-    (im_file, info dict or failure string). The info dict matches
-    TPUDetector.preprocess_image()'s contract.
+    preprocess_mode[, max_staging_side[, use_native_loader[,
+    canvas_mode]]]) -> (im_file, info dict or failure string). The info
+    dict matches TPUDetector.preprocess_image()'s contract.
+
+    canvas_mode 'auto' letterboxes onto the minimal stride-multiple
+    rectangle (the reference's behavior); 'square' (default) onto the
+    full square canvas. The detector's max_canvases compile-guard is
+    per-process here; shape grouping downstream handles whatever
+    arrives.
     """
 
     (im_file, image_size, stride, compatibility_mode,
      preprocess_mode) = args[:5]
     max_staging_side = args[5] if len(args) > 5 else None
     use_native_loader = bool(args[6]) if len(args) > 6 else False
+    canvas_mode = args[7] if len(args) > 7 else 'square'
 
     from megadetector_tpu.visualization.visualization_utils import \
         load_image
@@ -33,7 +55,7 @@ def load_and_letterbox(args):
     if use_native_loader and preprocess_mode == 'host' and \
             'classic' in compatibility_mode and \
             im_file.lower().endswith(('.jpg', '.jpeg')):
-        info = _native_load(im_file, image_size)
+        info = _native_load(im_file, image_size, stride, canvas_mode)
         if info is not None:
             return im_file, info
         # else fall through to the PIL/cv2 path (non-RGB JPEG, mirrored
@@ -51,6 +73,8 @@ def load_and_letterbox(args):
             'scaling_shape': scaling_shape,
             'img_original_pil': None}
 
+    auto = (canvas_mode == 'auto')
+
     try:
         if preprocess_mode == 'device':
             # Same >max_staging_side host pre-shrink that
@@ -63,9 +87,15 @@ def load_and_letterbox(args):
                 img_original, _ = box_ops.resize_long_side(
                     img_original, max_side)
                 info['scaling_shape'] = img_original.shape
+            if auto:
+                target = _auto_target_shape(
+                    img_original.shape[:2], image_size, stride)
+            else:
+                target = (image_size, image_size)
             info['img_processed'] = None
             info['img_original'] = img_original
-            info['target_shape'] = (image_size, image_size)
+            info['target_shape'] = target
+            info['scale_target'] = image_size
             info['letterbox_ratio'] = None
             info['letterbox_pad'] = None
             return im_file, info
@@ -73,14 +103,14 @@ def load_and_letterbox(args):
         if 'classic' in compatibility_mode:
             img, ratio, pad = box_ops.letterbox(
                 img_original, new_shape=(image_size, image_size),
-                stride=stride, auto=False, scaleup=True)
+                stride=stride, auto=auto, scaleup=True)
         else:
             use_ceil = 'use_ceil_for_resize' in compatibility_mode
             img_original, _ = box_ops.resize_long_side(
                 img_original, image_size, use_ceil=use_ceil)
             img, ratio, pad = box_ops.letterbox(
                 img_original, new_shape=(image_size, image_size),
-                stride=stride, auto=False, scaleup=False)
+                stride=stride, auto=auto, scaleup=False)
 
         info['img_processed'] = img
         info['img_original'] = img_original
@@ -92,13 +122,17 @@ def load_and_letterbox(args):
         return im_file, FAILURE_IMAGE_OPEN
 
 
-def _native_load(im_file, image_size):
+def _native_load(im_file, image_size, stride=64, canvas_mode='square'):
     """
     Fused native decode + EXIF rotation + letterbox (C++/libjpeg; see
     native/jpeg_loader.cpp). Returns an info dict, or None to fall back
     to the Python path. Performance mode: decode rounding can differ
     from PIL by a couple of levels, so parity-critical runs keep the
     default PIL/cv2 loader.
+
+    In 'auto' canvas mode the target rectangle comes from the JPEG
+    header dimensions (PIL reads them without decoding) and the EXIF
+    orientation, then the C++ kernel decodes straight onto that canvas.
     """
 
     from megadetector_tpu import native
@@ -108,19 +142,34 @@ def _native_load(im_file, image_size):
     try:
         with open(im_file, 'rb') as f:
             data = f.read()
+
+        canvas_hw = int(image_size)
+        if canvas_mode == 'auto':
+            import io
+            from PIL import Image
+            with Image.open(io.BytesIO(data)) as pim:
+                w0, h0 = pim.size  # header only, no decode
+                try:
+                    orientation = pim.getexif().get(274, 1)
+                except Exception:
+                    orientation = 1
+            if orientation in (6, 8):
+                h0, w0 = w0, h0  # post-rotation dims
+            canvas_hw = _auto_target_shape((h0, w0), image_size, stride)
+
         canvas, (h, w) = native.decode_jpeg_letterbox(
-            data, int(image_size), pad_value=114)
+            data, canvas_hw, pad_value=114)
     except Exception:
         return None
 
     # Mirror ops/boxes.letterbox geometry bookkeeping (auto=False,
     # scaleup=True) with the C++ kernel's floor(x+0.5) rounding
-    s = float(image_size)
-    r = min(s / h, s / w)
+    ch, cw = canvas.shape[:2]
+    r = min(ch / h, cw / w)
     new_w = int(np.floor(w * r + 0.5))
     new_h = int(np.floor(h * r + 0.5))
-    dw = (s - new_w) / 2.0
-    dh = (s - new_h) / 2.0
+    dw = (cw - new_w) / 2.0
+    dh = (ch - new_h) / 2.0
     return {
         'file': im_file,
         'scaling_shape': (h, w, 3),

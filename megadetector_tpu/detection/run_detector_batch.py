@@ -278,7 +278,8 @@ def load_and_run_detector_batch(model_file,
              detector.compatibility_mode,
              getattr(detector, 'preprocess_mode', 'host'),
              getattr(detector, 'max_staging_side', None),
-             use_native_loader)
+             use_native_loader,
+             getattr(detector, 'canvas_mode', 'square'))
             for fn in images_to_process]
 
         def pump():
@@ -313,7 +314,8 @@ def load_and_run_detector_batch(model_file,
                            detector.compatibility_mode,
                            getattr(detector, 'preprocess_mode', 'host'),
                            getattr(detector, 'max_staging_side', None),
-                           True)
+                           True,
+                           getattr(detector, 'canvas_mode', 'square'))
 
         def loader(worker_idx):
             for i in range(worker_idx, n_images, loader_workers):
@@ -333,34 +335,44 @@ def load_and_run_detector_batch(model_file,
             threads.append(t)
 
     # --- Consumer: pack batches, run device program, emit results ---
+    #
+    # Batches pack per canvas shape (the reference's shape-grouped
+    # batching, pytorch_detector.py:1228-1251): with canvas_mode='auto'
+    # each aspect bucket fills its own batch so full batches always run
+    # one homogeneous compiled program; 'square' mode degenerates to a
+    # single bucket.
 
     new_results = [None] * n_images
     n_sentinels = 0
-    pending = []  # list of (index, im_file, info)
+    pending = {}  # canvas shape -> list of (index, im_file, info)
     images_since_checkpoint = 0
     pbar = None if quiet else tqdm(total=n_images)
 
-    def flush_pending():
+    def flush_bucket(bucket):
         nonlocal images_since_checkpoint
-        if len(pending) == 0:
+        if len(bucket) == 0:
             return
-        batch_infos = [p[2] for p in pending]
+        batch_infos = [p[2] for p in bucket]
         batch_results = detector.generate_detections_one_batch(
             batch_infos,
-            [p[1] for p in pending],
+            [p[1] for p in bucket],
             detection_threshold=confidence_threshold,
             image_size=image_size)
-        for (idx, im_file, info), r in zip(pending, batch_results):
+        for (idx, im_file, info), r in zip(bucket, batch_results):
             _augment_result(r, info,
                             include_image_size=include_image_size,
                             include_image_timestamp=
                             include_image_timestamp,
                             include_exif_data=include_exif_data)
             new_results[idx] = r
-        images_since_checkpoint += len(pending)
+        images_since_checkpoint += len(bucket)
         if pbar is not None:
-            pbar.update(len(pending))
-        pending.clear()
+            pbar.update(len(bucket))
+        bucket.clear()
+
+    def flush_all_pending():
+        for bucket in pending.values():
+            flush_bucket(bucket)
 
     while n_sentinels < loader_workers:
         item = preprocessed_q.get()
@@ -379,20 +391,22 @@ def load_and_run_detector_batch(model_file,
             if pbar is not None:
                 pbar.update(1)
         else:
-            pending.append((idx, im_file, info))
-            if len(pending) >= batch_size:
-                flush_pending()
+            shape = tuple(info.get('target_shape') or (0, 0))
+            bucket = pending.setdefault(shape, [])
+            bucket.append((idx, im_file, info))
+            if len(bucket) >= batch_size:
+                flush_bucket(bucket)
 
         if checkpoint_frequency > 0 and checkpoint_path is not None and \
                 images_since_checkpoint >= checkpoint_frequency:
-            flush_pending()
+            flush_all_pending()
             done = [r for r in new_results if r is not None]
             write_checkpoint(checkpoint_path, results + done)
             if not quiet:
                 print('Wrote checkpoint after {} images'.format(len(done)))
             images_since_checkpoint = 0
 
-    flush_pending()
+    flush_all_pending()
     if pbar is not None:
         pbar.close()
     for t in threads:

@@ -7,13 +7,18 @@ API mirrors the reference's duck-typed detector protocol
 preprocess_image / generate_detections_one_image /
 generate_detections_one_batch), with a TPU-first execution model:
 
-- Every image letterboxes onto one fixed square canvas (default 1280x1280)
-  so a single XLA program serves all aspect ratios; the reference instead
-  letterboxes to per-image stride-multiple rectangles and groups same-shape
-  images into batches (pytorch_detector.py:1228-1251). Letterbox ratio/pad
-  are tracked per image and undone by scale_coords, so box coordinates are
-  unaffected; only the extra gray border differs, which stays within the
-  golden-file tolerances (conf 0.005 / coord 0.001).
+- Canvas policy ('canvas_mode' option): 'auto' (default) letterboxes each
+  image onto its minimal stride-multiple rectangle and groups same-shape
+  images into batches — exactly the reference's behavior
+  (pytorch_detector.py:1064-1068 letterbox(auto=True), shape-grouped
+  batching :1228-1251) — skipping the ~25-33% of conv FLOPs a square
+  canvas burns on gray padding for typical 4:3 camera-trap images.
+  'square' letterboxes everything onto one fixed image_size x image_size
+  canvas so a single XLA program serves all aspect ratios; letterbox
+  ratio/pad are tracked per image and undone by scale_coords, so box
+  coordinates are unaffected either way and both modes stay within the
+  golden-file tolerances (conf 0.005 / coord 0.001). A max_canvases
+  guard bounds compilation count in 'auto' mode.
 - uint8 HWC batches are shipped to device; normalization (1/255), the
   network, anchor decode, and class-aware NMS all run inside one jitted
   program per (batch_size, canvas, dtype) triple.
@@ -92,6 +97,10 @@ class TPUDetector:
         image_size: override the checkpoint's inference canvas
         use_model_native_classes: emit 0-based model classes instead of
             MD categories
+        canvas_mode: 'auto' (default; minimal stride-rectangle canvases,
+            shape-grouped batches, the reference's behavior) or 'square'
+            (one full-canvas program for all aspect ratios)
+        max_canvases: compile-guard for 'auto' mode (default 16)
         max_batch_size: cap on compiled batch size
         mesh: optional jax.sharding.Mesh for data-parallel inference
         batch_axis: mesh axis name for the batch dimension (default 'data')
@@ -133,6 +142,11 @@ class TPUDetector:
         self.pre_nms_topk = int(options.get('pre_nms_topk', 512))
         self.max_det = int(options.get('max_det', 300))
         self._warned_low_threshold_topk = False
+        # Images whose above-floor candidate count exceeded pre_nms_topk
+        # (i.e. the fixed-shape selection truncated detections the
+        # reference's uncapped nms() would keep); each such image result
+        # carries a 'pre_nms_truncation' field with the true count
+        self.n_truncated_images = 0
         self._fused_decode = False  # set per-architecture in _load_model
 
         # Pad partial batches up to this size so one compiled program
@@ -148,6 +162,23 @@ class TPUDetector:
         assert self.preprocess_mode in ('host', 'device')
         # Staging canvases are bucketed to this multiple in device mode
         self.staging_multiple = int(options.get('staging_multiple', 256))
+
+        # Canvas policy. 'auto' (default): letterbox each image onto its
+        # minimal stride-multiple rectangle, exactly like the reference
+        # (pytorch_detector.py:1064-1068 letterbox(auto=True)); batches
+        # are grouped by canvas shape (:1228-1251). On typical 4:3
+        # camera-trap images this skips ~25% of the conv FLOPs a square
+        # canvas burns on gray padding. 'square': one full
+        # image_size x image_size canvas for every aspect ratio (one
+        # compiled program total).
+        self.canvas_mode = options.get('canvas_mode', 'auto')
+        assert self.canvas_mode in ('auto', 'square')
+        # Compile-guard: at most this many distinct auto canvases per
+        # detector; further new shapes fall back to the square canvas
+        # (worst case ~40 shapes exist at stride 64; real folders use
+        # 1-3). The square program may thus compile in addition.
+        self.max_canvases = int(options.get('max_canvases', 16))
+        self._auto_canvases = set()
 
         self.model_path = model_path
         self.printed_image_size_warning = False
@@ -409,11 +440,19 @@ class TPUDetector:
         self._compiled[key] = fn
         return fn
 
-    def _get_compiled_device_preprocess(self, batch_size, staging_size,
-                                        canvas_size):
-        """Compiled program: staged uint8 -> letterbox -> forward -> NMS."""
+    def _get_compiled_device_preprocess(self, batch_size, staging_hw,
+                                        canvas_hw, scale_target):
+        """Compiled program: staged uint8 -> letterbox -> forward -> NMS.
 
-        key = ('dev', batch_size, staging_size, canvas_size)
+        staging_hw / canvas_hw are (h, w) tuples; scale_target is the
+        square size the letterbox ratio derives from (see
+        ops/preprocess_device.letterbox_one) so rectangular canvases
+        reproduce the host letterbox(auto=True) geometry exactly.
+        """
+
+        staging_hw = tuple(int(v) for v in staging_hw)
+        canvas_hw = tuple(int(v) for v in canvas_hw)
+        key = ('dev', batch_size, staging_hw, canvas_hw, scale_target)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -430,7 +469,8 @@ class TPUDetector:
         def program(params, staged_u8, sizes, conf_thres, iou_thres):
             x = jax.vmap(
                 lambda img, hw: letterbox_one(img, hw[0], hw[1],
-                                              canvas_size)
+                                              canvas_hw,
+                                              scale_target=scale_target)
             )(staged_u8, sizes)
             if fused:
                 heads = apply_fn(config, params, x.astype(dtype),
@@ -459,6 +499,41 @@ class TPUDetector:
         return fn
 
     #%% Preprocessing
+
+    def _auto_target_shape(self, shape_hw, image_size, scaleup=True):
+        """
+        The minimal stride-multiple canvas letterbox(auto=True) produces
+        for an image of [shape_hw] at square target [image_size]
+        (mirrors ops/boxes.letterbox's rounding exactly).
+        """
+
+        h, w = int(shape_hw[0]), int(shape_hw[1])
+        r = min(image_size / h, image_size / w)
+        if not scaleup:
+            r = min(r, 1.0)
+        new_w = int(round(w * r))
+        new_h = int(round(h * r))
+        stride = self.letterbox_stride
+        dh = (image_size - new_h) % stride
+        dw = (image_size - new_w) % stride
+        return (new_h + dh, new_w + dw)
+
+    def _use_auto_canvas(self, shape_hw, image_size, scaleup=True):
+        """
+        True when this image should letterbox onto its minimal
+        stride-rectangle canvas; False when canvas_mode is 'square' or
+        the max_canvases compile-guard already tripped for a new shape.
+        """
+
+        if self.canvas_mode != 'auto':
+            return False
+        t = self._auto_target_shape(shape_hw, image_size, scaleup)
+        if t == (image_size, image_size) or t in self._auto_canvases:
+            return True
+        if len(self._auto_canvases) >= self.max_canvases:
+            return False
+        self._auto_canvases.add(t)
+        return True
 
     def preprocess_image(self, img_original, image_id='unknown',
                          image_size=None, verbose=False):
@@ -490,9 +565,10 @@ class TPUDetector:
         if self.preprocess_mode == 'device' and \
                 'classic' in self.compatibility_mode:
             # Device mode: the letterbox runs on the TPU; here we only
-            # record the raw image (geometry is identical to the classic
-            # full-canvas letterbox, so downstream scale_coords is
-            # unchanged). Very large images are host-shrunk first to
+            # record the raw image plus the target canvas (geometry is
+            # identical to the classic host letterbox for that canvas,
+            # so downstream scale_coords is unchanged). Very large
+            # images are host-shrunk first to
             # bound the staging canvas; normalized output coordinates are
             # scale-invariant, so scaling_shape tracks the shrunk image.
             max_side = int(
@@ -501,31 +577,42 @@ class TPUDetector:
                 img_original, _ = box_ops.resize_long_side(
                     img_original, max_side)
                 scaling_shape = img_original.shape
+            if self._use_auto_canvas(img_original.shape[:2], image_size):
+                target = self._auto_target_shape(
+                    img_original.shape[:2], image_size)
+            else:
+                target = (image_size, image_size)
             result['img_processed'] = None
             result['img_original'] = img_original
             result['img_original_pil'] = img_original_pil
-            result['target_shape'] = (image_size, image_size)
+            result['target_shape'] = target
+            result['scale_target'] = image_size
             result['scaling_shape'] = scaling_shape
             result['letterbox_ratio'] = None
             result['letterbox_pad'] = None
             return result
 
         if 'classic' in self.compatibility_mode:
-            # Classic: single letterbox onto the full square canvas with
-            # scale-up allowed
-            target = (image_size, image_size)
+            # Classic: one letterbox straight to the target with
+            # scale-up allowed — onto the minimal stride-multiple
+            # rectangle in 'auto' canvas mode (the reference's exact
+            # behavior, pytorch_detector.py:1064-1068) or the full
+            # square canvas in 'square' mode
+            auto = self._use_auto_canvas(img_original.shape[:2],
+                                         image_size, scaleup=True)
             img, ratio, pad = box_ops.letterbox(
-                img_original, new_shape=target,
-                stride=self.letterbox_stride, auto=False, scaleup=True)
+                img_original, new_shape=(image_size, image_size),
+                stride=self.letterbox_stride, auto=auto, scaleup=True)
         else:
             # Modern: pre-resize long side (linear up / area down), then pad
             use_ceil = 'use_ceil_for_resize' in self.compatibility_mode
             img_resized, _ = box_ops.resize_long_side(
                 img_original, image_size, use_ceil=use_ceil)
-            target = (image_size, image_size)
+            auto = self._use_auto_canvas(img_resized.shape[:2],
+                                         image_size, scaleup=False)
             img, ratio, pad = box_ops.letterbox(
-                img_resized, new_shape=target,
-                stride=self.letterbox_stride, auto=False, scaleup=False)
+                img_resized, new_shape=(image_size, image_size),
+                stride=self.letterbox_stride, auto=auto, scaleup=False)
             img_original = img_resized
 
         result['img_processed'] = img
@@ -605,20 +692,29 @@ class TPUDetector:
                         'failure': FAILURE_IMAGE_OPEN,
                     }
 
-        if len(infos) > 0:
+        # Group same-canvas images and run one compiled program per
+        # canvas shape — the reference's shape-grouped batching
+        # (pytorch_detector.py:1228-1251). With canvas_mode='square'
+        # there is exactly one group.
+        groups = {}
+        for item in infos:
+            shape = tuple(item[1].get('target_shape') or (0, 0))
+            groups.setdefault(shape, []).append(item)
+
+        for group in groups.values():
             try:
-                self._run_batch(infos, results, detection_threshold,
+                self._run_batch(group, results, detection_threshold,
                                 augment)
             except Exception as e:
                 # Failure containment is contractual (reference
                 # pytorch_detector.py:1240-1249), but never silently:
                 # one diagnostic line always, full trace when verbose
                 print('Inference failure on batch of {}: {}'.format(
-                    len(infos), e))
+                    len(group), e))
                 if verbose:
                     import traceback
                     traceback.print_exc()
-                for idx, info in infos:
+                for idx, info in group:
                     results[idx] = {
                         'file': info['file'],
                         'detections': None,
@@ -668,14 +764,17 @@ class TPUDetector:
         if self.preprocess_mode == 'device' and \
                 infos[0][1].get('img_processed') is None:
             from megadetector_tpu.ops.preprocess_device import stage_images
-            canvas = infos[0][1]['target_shape'][0]
+            canvas = tuple(infos[0][1]['target_shape'])
+            scale_target = int(infos[0][1].get('scale_target',
+                                               max(canvas)))
             raw_imgs = [np.asarray(info['img_original'])
                         for _, info in infos]
             staged, sizes = stage_images(
                 raw_imgs, multiple=self.staging_multiple)
-            h = w = canvas
+            h, w = canvas
             fn = self._get_compiled_device_preprocess(
-                staged.shape[0], staged.shape[1], canvas)
+                staged.shape[0], staged.shape[1:3], canvas,
+                scale_target)
             out = fn(self.params, staged, sizes,
                      jnp.float32(detection_threshold),
                      jnp.float32(nms_iou))
@@ -694,6 +793,8 @@ class TPUDetector:
                      jnp.float32(detection_threshold),
                      jnp.float32(nms_iou))
         out = jax.device_get(out)
+
+        n_cand = out.get('n_candidates', None)
 
         for slot, (idx, info) in enumerate(infos):
             if idx is None:
@@ -773,6 +874,24 @@ class TPUDetector:
                 'detections': detections,
                 'max_detection_conf': max_conf,
             }
+
+            # Guarantee the 0.005-floor contract is observable: when
+            # more candidates passed the floor than the fixed-shape
+            # selection kept, the tail was truncated relative to the
+            # reference's uncapped nms() (run_detector.py:251). Flag
+            # the image and say so once per run.
+            if n_cand is not None and \
+                    int(n_cand[slot]) > self.pre_nms_topk:
+                results[idx]['pre_nms_truncation'] = int(n_cand[slot])
+                self.n_truncated_images += 1
+                if self.n_truncated_images <= 3:
+                    print('Warning: image {} had {} candidates above '
+                          'the confidence floor but pre_nms_topk={}; '
+                          'lowest-confidence detections were dropped '
+                          '(raise the pre_nms_topk detector option to '
+                          'keep them)'.format(
+                              info['file'], int(n_cand[slot]),
+                              self.pre_nms_topk))
 
 
 def _to_bool(v):

@@ -53,6 +53,7 @@ def select_topk_candidates(head_outputs, anchors, strides, num_classes,
 
     no = 5 + num_classes
     per_level = []
+    n_above = None
 
     for lvl, raw in enumerate(head_outputs):
         b, h, w, _ = raw.shape
@@ -67,6 +68,12 @@ def select_topk_candidates(head_outputs, anchors, strides, num_classes,
         best_class = jnp.argmax(cls, axis=-1).astype(jnp.int32)
         score = obj * best_cls
         valid = (obj > conf_thres) & (score > conf_thres)
+        # Above-floor candidate count: lets the host detect when the
+        # fixed top-k truncated the tail (the reference nms() has no
+        # cap, pytorch_detector.py:502-610, so > pre_nms_topk candidates
+        # means detections the reference would keep were dropped)
+        lvl_count = jnp.sum(valid.astype(jnp.int32), axis=-1)
+        n_above = lvl_count if n_above is None else n_above + lvl_count
         ranked = jnp.where(valid, score, -1.0)
 
         k_l = min(k, n)
@@ -97,7 +104,9 @@ def select_topk_candidates(head_outputs, anchors, strides, num_classes,
             'classes': jnp.take_along_axis(best_class, top_idx, axis=1),
         })
 
-    return merge_candidates(per_level, k)
+    out = merge_candidates(per_level, k)
+    out['n_candidates'] = n_above
+    return out
 
 
 def merge_candidates(cands_list, k):

@@ -179,8 +179,15 @@ def nms_on_candidates(cands, iou_thres, max_det=300, class_agnostic=False,
             'valid': final_valid,
         }
 
-    return jax.vmap(one_image)(cands['boxes_cxcywh'], cands['scores'],
-                               cands['classes'], cands['valid'])
+    out = jax.vmap(one_image)(cands['boxes_cxcywh'], cands['scores'],
+                              cands['classes'], cands['valid'])
+    if 'n_candidates' in cands:
+        # Above-floor candidate count from the selection stage, so the
+        # host can flag fixed-shape top-k truncation (count >
+        # pre_nms_topk means the reference's uncapped nms() would have
+        # kept more)
+        out['n_candidates'] = cands['n_candidates']
+    return out
 
 
 @functools.partial(
@@ -230,6 +237,7 @@ def batched_nms(pred, conf_thres, iou_thres, max_det=300,
             'scores': top_scores,
             'classes': best_class[top_idx],
             'valid': top_scores > 0.0,
+            'n_candidates': jnp.sum(valid.astype(jnp.int32)),
         }
 
     cands = jax.vmap(select_one)(pred)

@@ -82,3 +82,18 @@ def shard_image_list_for_hosts(image_file_names):
     """
 
     return image_file_names[process_index()::max(process_count(), 1)]
+
+
+def shard_output_filename(output_file, index=None):
+    """
+    Per-host output shard path for a multi-host run:
+    results.json -> results.host003.json. Shards are merged by
+    postprocessing.combine_batch_outputs.combine_batch_output_files,
+    mirroring the reference's per-GPU shard+combine flow
+    (run_detector_batch.py:20-34, combine_batch_outputs.py:36).
+    """
+
+    import os
+    i = process_index() if index is None else index
+    base, ext = os.path.splitext(output_file)
+    return '{}.host{:03d}{}'.format(base, i, ext)

@@ -19,8 +19,6 @@ import random
 import sys
 
 from megadetector_tpu.utils import ct_utils
-from megadetector_tpu.utils.write_html_image_list import \
-    write_html_image_list
 
 
 class PairwiseBatchComparisonResults:
@@ -55,7 +53,17 @@ class BatchComparisonOptions:
         self.max_images_per_category = 100
         self.random_seed = 0
         self.parallelize_rendering = False
+        self.parallelize_rendering_n_cores = 8
         self.error_on_non_matching_lists = True
+
+        # Side-by-side gallery rendering (reference:
+        # compare_batch_results.py:626-1627): each sampled image renders
+        # twice — model A's boxes and model B's boxes — shown as one
+        # row. False falls back to unrendered source-image galleries.
+        self.render_images = True
+        self.viz_target_width = 700
+        self.line_thickness = 4
+        self.box_expansion = 0
 
 
 def _above_threshold_detections(im, thresholds, categories):
@@ -159,9 +167,60 @@ def _pairwise_compare_batch_results(options, results_a, results_b):
     return results
 
 
+def _render_pair_image(job):
+    """
+    Render one sampled image twice — model A's boxes and model B's —
+    into the comparison output folder. Returns (target_a, target_b) or
+    None on failure (the page falls back to the unrendered source).
+    """
+
+    (source, im_a, im_b, categories_a, categories_b,
+     target_a, target_b, options) = job
+
+    from megadetector_tpu.visualization import \
+        visualization_utils as vis_utils
+
+    try:
+        base = vis_utils.load_image(source)
+    except Exception as e:
+        print('Warning: comparison rendering error for {}: {}'.format(
+            source, e))
+        return None
+
+    for im, categories, thresh, target in (
+            (im_a, categories_a,
+             options.rendering_confidence_threshold_a, target_a),
+            (im_b, categories_b,
+             options.rendering_confidence_threshold_b, target_b)):
+        image = base.copy()
+        vis_utils.render_detection_bounding_boxes(
+            im.get('detections') or [], image,
+            label_map=categories,
+            confidence_threshold=thresh,
+            thickness=options.line_thickness,
+            expansion=options.box_expansion)
+        if options.viz_target_width is not None and \
+                image.size[0] > options.viz_target_width:
+            image = vis_utils.resize_image(
+                image, target_width=options.viz_target_width)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        image.convert('RGB').save(target, quality=85)
+    return (target_a, target_b)
+
+
+def _detection_summary(im, thresh):
+    dets = [d for d in im.get('detections') or [] if d['conf'] >= thresh]
+    max_conf = max([d['conf'] for d in im.get('detections') or []],
+                   default=0.0)
+    return '{} detections, max conf {:.3f}'.format(len(dets), max_conf)
+
+
 def compare_batch_results(options):
     """
-    Full pairwise comparison with HTML output. Returns the
+    Full pairwise comparison with HTML output: per-agreement-category
+    pages showing each sampled image side by side with model A's and
+    model B's boxes rendered (reference:
+    compare_batch_results.py:626-1627). Returns the
     PairwiseBatchComparisonResults (with .html_output_file set when an
     output folder was provided).
     """
@@ -185,28 +244,101 @@ def compare_batch_results(options):
     desc_b = options.results_description_b or \
         os.path.basename(options.results_filename_b)
 
+    images_a = {im['file']: im for im in results_a['images']}
+    images_b = {im['file']: im for im in results_b['images']}
+    categories_a = results_a.get('detection_categories', {})
+    categories_b = results_b.get('detection_categories', {})
+
     index_html = os.path.join(options.output_folder, 'index.html')
+    page_lines = []
+
+    for key in sorted(pairwise.categories_to_image_files.keys()):
+        files = pairwise.categories_to_image_files[key]
+        sample = files
+        if options.max_images_per_category is not None and \
+                len(files) > options.max_images_per_category:
+            sample = rng.sample(files, options.max_images_per_category)
+        page_fn = os.path.join(options.output_folder, key + '.html')
+
+        render_jobs = []
+        rows = []  # (fn, img_a_rel, img_b_rel) — rel paths or None
+        if options.render_images and options.image_folder:
+            render_dir = os.path.join(options.output_folder, 'rendered',
+                                      key)
+            for i_fn, fn in enumerate(sample):
+                source = os.path.join(options.image_folder, fn)
+                safe = fn.replace('/', '~').replace('\\', '~')[-80:]
+                target_a = os.path.join(
+                    render_dir, '{:0>5d}_A_{}.jpg'.format(i_fn, safe))
+                target_b = os.path.join(
+                    render_dir, '{:0>5d}_B_{}.jpg'.format(i_fn, safe))
+                render_jobs.append(
+                    (source, images_a[fn], images_b[fn], categories_a,
+                     categories_b, target_a, target_b, options))
+
+            if options.parallelize_rendering and len(render_jobs) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(
+                        max_workers=
+                        options.parallelize_rendering_n_cores) as pool:
+                    rendered = list(pool.map(_render_pair_image,
+                                             render_jobs))
+            else:
+                rendered = [_render_pair_image(j) for j in render_jobs]
+
+            for fn, r in zip(sample, rendered):
+                if r is None:
+                    rows.append((fn, None, None))
+                else:
+                    rows.append((
+                        fn,
+                        os.path.relpath(r[0], options.output_folder),
+                        os.path.relpath(r[1], options.output_folder)))
+        else:
+            rows = [(fn, None, None) for fn in sample]
+
+        with open(page_fn, 'w') as f:
+            f.write('<html><head><meta charset="utf-8"/></head><body>\n')
+            f.write('<h1>{}</h1>\n'.format(key))
+            f.write('<p>{} of {} images shown</p>\n'.format(
+                len(rows), len(files)))
+            for fn, img_a, img_b in rows:
+                f.write('<h3>{}</h3>\n'.format(fn))
+                if img_a is not None:
+                    f.write(
+                        '<table><tr>'
+                        '<td style="vertical-align:top;padding:4px">'
+                        '<b>{}</b> ({})<br/>'
+                        '<img src="{}"/></td>'
+                        '<td style="vertical-align:top;padding:4px">'
+                        '<b>{}</b> ({})<br/>'
+                        '<img src="{}"/></td>'
+                        '</tr></table>\n'.format(
+                            desc_a,
+                            _detection_summary(images_a[fn],
+                                               options.
+                                               rendering_confidence_threshold_a),
+                            img_a,
+                            desc_b,
+                            _detection_summary(images_b[fn],
+                                               options.
+                                               rendering_confidence_threshold_b),
+                            img_b))
+                else:
+                    src = os.path.join(options.image_folder, fn) \
+                        if options.image_folder else fn
+                    f.write('<img src="{}"/>\n'.format(src))
+            f.write('</body></html>\n')
+
+        page_lines.append(
+            '<li><a href="{}">{}</a>: {} images</li>\n'.format(
+                os.path.basename(page_fn), key, len(files)))
+
     with open(index_html, 'w') as f:
         f.write('<html><body>\n<h1>Comparison: {} vs {}</h1>\n<ul>\n'
                 .format(desc_a, desc_b))
-        for key in sorted(pairwise.categories_to_image_files.keys()):
-            files = pairwise.categories_to_image_files[key]
-            sample = files
-            if options.max_images_per_category is not None and \
-                    len(files) > options.max_images_per_category:
-                sample = rng.sample(files,
-                                    options.max_images_per_category)
-            page_fn = os.path.join(options.output_folder, key + '.html')
-            entries = []
-            for fn in sample:
-                src = os.path.join(options.image_folder, fn) \
-                    if options.image_folder else fn
-                entries.append({'filename': src, 'title': fn})
-            write_html_image_list(
-                page_fn, entries,
-                options={'headerHtml': '<h1>{}</h1>'.format(key)})
-            f.write('<li><a href="{}">{}</a>: {} images</li>\n'.format(
-                os.path.basename(page_fn), key, len(files)))
+        for line in page_lines:
+            f.write(line)
         f.write('</ul>\n</body></html>\n')
 
     pairwise.html_output_file = index_html

@@ -10,7 +10,11 @@ category pages named detections_animal / detections_person /
 detections_vehicle / multiple categories / non_detections /
 almost_detections, sampling with a fixed seed, thumbnail rendering in a
 parallel pool, index.html linking the subpages with counts and
-percentages.
+percentages. When classification results are present (two-stage
+pipelines), class labels render on the boxes, each image joins
+class_<name> gallery pages by top-1 classification (class_unreliable
+below the classification threshold; reference :905-937), and the index
+gains a classification category report.
 """
 
 import argparse
@@ -54,6 +58,15 @@ class PostProcessingOptions:
         # in [almost_detection_confidence_threshold, confidence_threshold)
         self.include_almost_detections = False
         self.almost_detection_confidence_threshold = None
+
+        # Classification-aware rendering (reference:
+        # postprocess_batch_results.py:136-140,911-937): detections
+        # whose top-1 classification clears this threshold send the
+        # image to a 'class_<name>' gallery page; below it, to
+        # 'class_unreliable'. Negative = no threshold (never
+        # unreliable). Class labels also render on the boxes.
+        self.classification_confidence_threshold = 0.5
+        self.include_classification_category_report = True
 
         self.separate_detections_by_category = True
         self.parallelize_rendering = True
@@ -103,17 +116,65 @@ def _image_category(im, detection_categories, threshold, options):
     return 'multiple categories'
 
 
+def _classification_pages(im, page, classification_categories, threshold,
+                          options):
+    """
+    Extra 'class_<name>' gallery pages this image belongs on, from the
+    top-1 classification of each above-threshold detection (reference:
+    postprocess_batch_results.py:905-937; 'class_unreliable' when the
+    top-1 score misses the classification threshold). Returns a set.
+    """
+
+    if page in ('failures', 'non_detections'):
+        return set()
+    pages = set()
+    for d in im.get('detections') or []:
+        if d['conf'] < threshold:
+            continue
+        classifications = d.get('classifications') or []
+        if len(classifications) == 0:
+            continue
+        class_id, class_conf = classifications[0][0], classifications[0][1]
+        name = classification_categories.get(
+            str(class_id), str(class_id))
+        if options.classification_confidence_threshold < 0 or \
+                class_conf >= options.classification_confidence_threshold:
+            pages.add('class_{}'.format(name))
+        else:
+            pages.add('class_unreliable')
+    return pages
+
+
+def _top_classification_names(im, classification_categories, threshold):
+    """Sorted unique top-1 class names over the image's above-threshold
+    detections (for gallery titles); empty when no classifications."""
+
+    names = set()
+    for d in im.get('detections') or []:
+        if d['conf'] < threshold:
+            continue
+        classifications = d.get('classifications') or []
+        if classifications:
+            class_id = str(classifications[0][0])
+            names.add(classification_categories.get(class_id, class_id))
+    return sorted(names)
+
+
 def _render_image(job):
     """Render one sampled image with boxes to the output folder."""
 
-    (im, source, target, detection_categories, threshold, options) = job
+    (im, source, target, detection_categories,
+     classification_categories, threshold, options) = job
     try:
         image = vis_utils.load_image(source)
         detections = im.get('detections') or []
         vis_utils.render_detection_bounding_boxes(
             detections, image,
             label_map=detection_categories,
+            classification_label_map=classification_categories or None,
             confidence_threshold=threshold,
+            classification_confidence_threshold=max(
+                0.0, options.classification_confidence_threshold),
             thickness=options.line_thickness,
             expansion=options.box_expansion)
         if options.viz_target_width is not None and \
@@ -150,12 +211,24 @@ def process_batch_results(options):
 
     os.makedirs(options.output_dir, exist_ok=True)
 
-    # --- Assign images to pages
+    classification_categories = {
+        str(k): v for k, v in
+        (data.get('classification_categories') or {}).items()}
+
+    # --- Assign images to pages (an image with classification results
+    # appears on its detection page AND its class_<name> pages)
     category_to_images = collections.defaultdict(list)
     for im in data['images']:
         page = _image_category(im, detection_categories, threshold,
                                options)
         category_to_images[page].append(im)
+        if classification_categories or any(
+                'classifications' in d
+                for d in im.get('detections') or []):
+            for cls_page in _classification_pages(
+                    im, page, classification_categories, threshold,
+                    options):
+                category_to_images[cls_page].append(im)
 
     # --- Sample
     rng = random.Random(options.sample_seed)
@@ -183,14 +256,19 @@ def process_batch_results(options):
                     im['file'].replace('/', '~').replace('\\', '~')[-80:]))
             title = '{} (max conf {:.3f})'.format(
                 im['file'], ct_utils.get_max_conf(im))
+            top_classes = _top_classification_names(
+                im, classification_categories, threshold)
+            if top_classes:
+                title += ' ({})'.format(', '.join(top_classes))
             page_entries[page].append({
                 'filename': os.path.relpath(target, options.output_dir),
                 'title': title,
             })
             if im.get('detections') is not None:
                 render_jobs.append((im, source, target,
-                                    detection_categories, threshold,
-                                    options))
+                                    detection_categories,
+                                    classification_categories,
+                                    threshold, options))
 
     if options.parallelize_rendering and \
             options.parallelize_rendering_n_cores > 1 and render_jobs:
@@ -242,6 +320,27 @@ def process_batch_results(options):
                 f.write('<li>{}: {} images ({:.1f}%)</li>\n'.format(
                     page, n, pct))
         f.write('</ul>\n')
+
+        # Classification category report (reference:
+        # postprocess_batch_results.py:249-251): image counts per
+        # class_<name> page, sorted by count or alphabetically
+        class_pages = [p for p in category_to_images
+                       if p.startswith('class_')]
+        if class_pages and options.include_classification_category_report:
+            f.write('<h2>Classification categories</h2>\n')
+            f.write('<table border=1 cellpadding=3 '
+                    'style="border-collapse:collapse">'
+                    '<tr><th>class</th><th>images</th></tr>\n')
+            if options.sort_classification_results_by_count:
+                class_pages.sort(
+                    key=lambda p: -len(category_to_images[p]))
+            else:
+                class_pages.sort()
+            for p in class_pages:
+                f.write('<tr><td>{}</td><td>{}</td></tr>\n'.format(
+                    p[len('class_'):], len(category_to_images[p])))
+            f.write('</table>\n')
+
         if eval_metrics is not None:
             f.write('<h2>Ground-truth evaluation</h2>\n')
             f.write('<p>Image-level precision: {:.3f}, recall: {:.3f} '

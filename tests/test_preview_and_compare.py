@@ -202,3 +202,109 @@ def test_find_equivalent_threshold(tmp_path):
     file_b = file_with_confs([0.6, 0.45, 0.2, 0.05], 'b.json')
     t = find_equivalent_threshold(file_a, file_b, 0.5)
     assert t == pytest.approx(0.45)
+
+
+def test_preview_renders_classifications(tmp_path):
+    """Two-stage results: class labels must land in the preview —
+    class_<name> gallery pages, index report, and titles (VERDICT
+    round-2 item 3; reference postprocess_batch_results.py:905-937)."""
+
+    from megadetector_tpu.postprocessing.postprocess_batch_results import (
+        PostProcessingOptions, process_batch_results)
+
+    files = ['a.jpg', 'b.jpg', 'c.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+
+    images = [
+        {'file': 'a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2],
+             'classifications': [['10', 0.95], ['11', 0.03]]}]},
+        {'file': 'b.jpg', 'detections': [
+            {'category': '1', 'conf': 0.8, 'bbox': [0.1, 0.1, 0.2, 0.2],
+             'classifications': [['11', 0.2]]}]},  # below class threshold
+        {'file': 'c.jpg', 'detections': []},
+    ]
+    data = _results(images)
+    data['classification_categories'] = {'10': 'deer', '11': 'bear'}
+    results_file = str(tmp_path / 'results.json')
+    ct_utils.write_json(results_file, data)
+
+    options = PostProcessingOptions()
+    options.md_results_file = results_file
+    options.output_dir = str(tmp_path / 'preview')
+    options.image_base_dir = image_base
+    options.num_images_to_sample = 10
+    options.parallelize_rendering = False
+
+    out = process_batch_results(options)
+    cats = out.category_to_images
+    assert [im['file'] for im in cats['class_deer']] == ['a.jpg']
+    assert [im['file'] for im in cats['class_unreliable']] == ['b.jpg']
+
+    index_html = open(out.output_html_file).read()
+    assert 'class_deer' in index_html
+    assert 'Classification categories' in index_html
+
+    page = os.path.join(options.output_dir, 'class_deer.html')
+    assert os.path.isfile(page)
+    assert 'deer' in open(page).read()
+    # The class page gallery title carries the species name
+    det_page = os.path.join(options.output_dir,
+                            'detections_animal.html')
+    assert 'deer' in open(det_page).read()
+
+
+def test_compare_renders_side_by_side(tmp_path):
+    """Comparison pages must contain rendered A/B image pairs (VERDICT
+    round-2 item 4; reference compare_batch_results.py:626-1627)."""
+
+    from megadetector_tpu.postprocessing.compare_batch_results import (
+        BatchComparisonOptions, compare_batch_results)
+
+    files = ['x.jpg', 'y.jpg', 'z.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+
+    box = [0.1, 0.1, 0.2, 0.2]
+    images_a = [
+        {'file': 'x.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': box}]},
+        {'file': 'y.jpg', 'detections': []},
+        {'file': 'z.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': box}]},
+    ]
+    images_b = [
+        {'file': 'x.jpg', 'detections': [
+            {'category': '1', 'conf': 0.85, 'bbox': box}]},
+        {'file': 'y.jpg', 'detections': []},
+        {'file': 'z.jpg', 'detections': []},
+    ]
+    file_a = str(tmp_path / 'a.json')
+    file_b = str(tmp_path / 'b.json')
+    ct_utils.write_json(file_a, _results(images_a))
+    ct_utils.write_json(file_b, _results(images_b))
+
+    options = BatchComparisonOptions()
+    options.results_filename_a = file_a
+    options.results_filename_b = file_b
+    options.output_folder = str(tmp_path / 'cmp')
+    options.image_folder = image_base
+
+    out = compare_batch_results(options)
+    assert os.path.isfile(out.html_output_file)
+
+    # Each agreement page holds one rendered pair per sampled image
+    page = os.path.join(options.output_folder,
+                        'detections_a_only.html')
+    html = open(page).read()
+    assert html.count('<img') == 2  # A and B renderings of z.jpg
+    rendered = os.path.join(options.output_folder, 'rendered',
+                            'detections_a_only')
+    jpgs = sorted(os.listdir(rendered))
+    assert len(jpgs) == 2
+    assert any('_A_' in f for f in jpgs)
+    assert any('_B_' in f for f in jpgs)
+    # Page names both models with their detection summaries
+    assert 'a.json' in html and 'b.json' in html
+    assert 'max conf' in html

@@ -46,7 +46,9 @@ def stub_detector(tmp_path_factory):
         'class_names': ['animal', 'person', 'vehicle'],
         'image_size': IMAGE_SIZE,
     })
-    return make_stub_detector(path)
+    # The golden was generated on the square canvas; pin that mode
+    # (canvas_mode='auto' has its own golden below)
+    return make_stub_detector(path, {'canvas_mode': 'square'})
 
 
 def _run_pipeline(detector):
@@ -114,7 +116,8 @@ def stub_detector_device(tmp_path_factory):
         'class_names': ['animal', 'person', 'vehicle'],
         'image_size': IMAGE_SIZE,
     })
-    return make_stub_detector(path, {'preprocess_mode': 'device'})
+    return make_stub_detector(path, {'preprocess_mode': 'device',
+                                     'canvas_mode': 'square'})
 
 
 def test_device_preprocess_matches_stored_golden(stub_detector_device):
@@ -148,3 +151,79 @@ def test_device_preprocess_matches_stored_golden(stub_detector_device):
             exp_im['detections'], got_im['detections'],
             options=options, image_id=got_im['file'])
         assert result['errors'] == [], result['errors']
+
+
+#%% Auto-canvas (minimal stride-rectangle) goldens
+#
+# canvas_mode='auto' is the production default: each image letterboxes
+# onto its minimal stride-multiple rectangle like the reference
+# (pytorch_detector.py:1064-1068). These goldens pin the rectangular
+# pipeline — host letterbox and the on-device matmul letterbox — so
+# geometry changes across rounds fail at the reference tolerances.
+
+AUTO_GOLDEN_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), 'data',
+    'stub_golden_results_auto.json')
+
+AUTO_DEVICE_GOLDEN_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), 'data',
+    'stub_golden_results_auto_device.json')
+
+
+def _make_auto_detector(tmp_path_factory, name, extra_options=None):
+    config = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    folder = tmp_path_factory.mktemp(name)
+    path = str(folder / 'stub.npz')
+    save_checkpoint(yolov5.init_params(config, seed=0), path, {
+        'arch': 'yolov5n',
+        'model_type': 'yolov5',
+        'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': IMAGE_SIZE,
+    })
+    options = {'canvas_mode': 'auto'}
+    options.update(extra_options or {})
+    return make_stub_detector(path, options)
+
+
+def _check_against_golden(got, golden_file):
+    if os.environ.get('MD_REGEN_GOLDENS'):
+        os.makedirs(os.path.dirname(golden_file), exist_ok=True)
+        with open(golden_file, 'w') as f:
+            json.dump(got, f, indent=1)
+        pytest.skip('goldens regenerated at {}'.format(golden_file))
+
+    assert os.path.isfile(golden_file), \
+        'Golden file missing; regenerate with MD_REGEN_GOLDENS=1'
+    with open(golden_file) as f:
+        expected = json.load(f)
+
+    options = comparator.MDTestOptions()
+    options.comparison_confidence_threshold = 0.005
+    options.iou_match_threshold = 0.85
+    options.max_conf_error = 0.005
+    options.max_coord_error = 0.001
+
+    assert len(got['images']) == len(expected['images'])
+    for got_im, exp_im in zip(got['images'], expected['images']):
+        assert got_im['file'] == exp_im['file']
+        result = comparator.compare_detection_lists(
+            exp_im['detections'], got_im['detections'],
+            options=options, image_id=got_im['file'])
+        assert result['errors'] == [], result['errors']
+
+
+def test_auto_canvas_matches_stored_golden(tmp_path_factory):
+    detector = _make_auto_detector(tmp_path_factory, 'stub_auto')
+    got = _run_pipeline(detector)
+    # Non-square inputs really did letterbox onto rectangles
+    assert any(s[0] != s[1] for s in detector._auto_canvases), \
+        'auto mode produced no rectangular canvases'
+    _check_against_golden(got, AUTO_GOLDEN_FILE)
+
+
+def test_auto_canvas_device_matches_stored_golden(tmp_path_factory):
+    detector = _make_auto_detector(
+        tmp_path_factory, 'stub_auto_dev', {'preprocess_mode': 'device'})
+    got = _run_pipeline(detector)
+    _check_against_golden(got, AUTO_DEVICE_GOLDEN_FILE)
