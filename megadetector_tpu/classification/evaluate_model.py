@@ -1,0 +1,226 @@
+"""
+Evaluate a trained species classifier over a classification dataset.
+
+Reference contract (megadetector/classification/evaluate_model.py:1-520),
+with the JAX classifier stack in place of torch. Outputs to
+[output_dir]:
+
+1) outputs_{split}.csv per split: path, label, weight, then one
+   confidence column per label name
+2) overall_metrics.csv: split, loss, acc_top1, acc_top3 (+ weighted
+   variants)
+3) confusion_matrices.npz: per-split confusion matrix ndarrays
+4) label_stats.csv: split, label, precision, recall
+
+Example weights follow the reference's inverse-frequency convention:
+weight = (split size) / (label count within the split), normalized so
+weights sum to the split size.
+"""
+
+import argparse
+import collections
+import json
+import os
+import sys
+
+import numpy as np
+
+from megadetector_tpu.classification.create_classification_dataset import (
+    load_dataset_csv, rows_for_split)
+
+SPLITS = ['train', 'val', 'test']
+
+
+def _predict_rows(classifier, rows, cropped_images_dir, batch_size=32):
+    """Run the classifier over crop files; returns (probs [N, C],
+    valid mask [N])."""
+
+    from megadetector_tpu.visualization import \
+        visualization_utils as vis_utils
+
+    n = len(rows)
+    num_classes = classifier.config.num_classes
+    probs = np.zeros((n, num_classes), np.float32)
+    valid = np.zeros(n, bool)
+
+    batch_imgs = []
+    batch_idx = []
+
+    def flush():
+        if not batch_imgs:
+            return
+        p = classifier.classify_batch(batch_imgs)
+        for bi, pi in zip(batch_idx, np.asarray(p)):
+            probs[bi] = pi
+            valid[bi] = True
+        batch_imgs.clear()
+        batch_idx.clear()
+
+    for i, r in enumerate(rows):
+        path = os.path.join(cropped_images_dir, r['path'])
+        try:
+            img = np.asarray(vis_utils.load_image(path))
+        except Exception:
+            continue
+        batch_imgs.append(img)
+        batch_idx.append(i)
+        if len(batch_imgs) >= batch_size:
+            flush()
+    flush()
+    return probs, valid
+
+
+def _topk_accuracy(probs, labels, weights, k):
+    if len(labels) == 0:
+        return 0.0, 0.0
+    topk = np.argsort(-probs, axis=1)[:, :k]
+    hit = np.any(topk == labels[:, None], axis=1)
+    acc = float(hit.mean())
+    acc_w = float((hit * weights).sum() / max(weights.sum(), 1e-9))
+    return acc, acc_w
+
+
+def evaluate_model(checkpoint_path, dataset_dir, cropped_images_dir,
+                   output_dir, splits=None, batch_size=32,
+                   label_index_path=None):
+    """
+    Evaluate [checkpoint_path] (a converted classifier checkpoint; see
+    training/train_classifier.py) over the dataset in [dataset_dir]
+    (classification_ds.csv + label_index.json + splits.json). Returns
+    the overall-metrics rows.
+    """
+
+    from megadetector_tpu.models.classifier import SpeciesClassifier
+
+    splits = splits or SPLITS
+    rows = load_dataset_csv(
+        os.path.join(dataset_dir, 'classification_ds.csv'))
+    with open(label_index_path or
+              os.path.join(dataset_dir, 'label_index.json')) as f:
+        label_index = json.load(f)
+    with open(os.path.join(dataset_dir, 'splits.json')) as f:
+        split_map = json.load(f)
+
+    label_names = [label_index[str(i)] for i in range(len(label_index))]
+    name_to_id = {n: i for i, n in enumerate(label_names)}
+
+    classifier = SpeciesClassifier(checkpoint_path)
+    assert classifier.config.num_classes >= len(label_names), \
+        'checkpoint has fewer classes than the label index'
+
+    os.makedirs(output_dir, exist_ok=True)
+    overall_rows = []
+    confusions = {}
+    label_stat_rows = []
+
+    for split in splits:
+        split_rows = rows_for_split(rows, split_map, split)
+        # Only rows with a single known label evaluate cleanly
+        split_rows = [r for r in split_rows
+                      if r['label'] in name_to_id]
+        if len(split_rows) == 0:
+            continue
+        labels = np.asarray([name_to_id[r['label']]
+                             for r in split_rows], np.int64)
+
+        # Inverse-frequency example weights, normalized to the split
+        counts = collections.Counter(labels.tolist())
+        weights = np.asarray(
+            [1.0 / counts[int(l)] for l in labels], np.float64)
+        weights *= len(labels) / weights.sum()
+
+        probs, valid = _predict_rows(classifier, split_rows,
+                                     cropped_images_dir,
+                                     batch_size=batch_size)
+        labels = labels[valid]
+        weights = weights[valid]
+        probs = probs[valid][:, :len(label_names)]
+        kept_rows = [r for r, v in zip(split_rows, valid) if v]
+
+        # 1) per-split outputs CSV
+        out_csv = os.path.join(output_dir,
+                               'outputs_{}.csv'.format(split))
+        with open(out_csv, 'w') as f:
+            f.write('path,label,weight,' + ','.join(label_names) + '\n')
+            for r, lbl, w, p in zip(kept_rows, labels, weights, probs):
+                f.write('{},{},{:.6f},{}\n'.format(
+                    r['path'], label_names[int(lbl)], w,
+                    ','.join('{:.6f}'.format(v) for v in p)))
+
+        # 2) overall metrics
+        eps = 1e-12
+        losses = -np.log(probs[np.arange(len(labels)), labels] + eps)
+        acc1, acc1_w = _topk_accuracy(probs, labels, weights, 1)
+        k3 = min(3, len(label_names))
+        acc3, acc3_w = _topk_accuracy(probs, labels, weights, k3)
+        overall_rows.append({
+            'split': split,
+            'loss': float(losses.mean()),
+            'acc_top1': acc1,
+            'acc_top3': acc3,
+            'loss_weighted': float((losses * weights).sum() /
+                                   max(weights.sum(), eps)),
+            'acc_weighted_top1': acc1_w,
+            'acc_weighted_top3': acc3_w,
+        })
+
+        # 3) confusion matrix
+        preds = probs.argmax(axis=1)
+        cm = np.zeros((len(label_names), len(label_names)), np.int64)
+        for t, p in zip(labels, preds):
+            cm[int(t), int(p)] += 1
+        confusions[split] = cm
+
+        # 4) per-label precision/recall
+        for i, name in enumerate(label_names):
+            tp = cm[i, i]
+            label_stat_rows.append({
+                'split': split,
+                'label': name,
+                'precision': float(tp / max(cm[:, i].sum(), 1)),
+                'recall': float(tp / max(cm[i, :].sum(), 1)),
+            })
+
+    with open(os.path.join(output_dir, 'overall_metrics.csv'), 'w') as f:
+        cols = ['split', 'loss', 'acc_top1', 'acc_top3',
+                'loss_weighted', 'acc_weighted_top1',
+                'acc_weighted_top3']
+        f.write(','.join(cols) + '\n')
+        for r in overall_rows:
+            f.write(','.join(str(r[c]) for c in cols) + '\n')
+
+    np.savez(os.path.join(output_dir, 'confusion_matrices.npz'),
+             **confusions)
+
+    with open(os.path.join(output_dir, 'label_stats.csv'), 'w') as f:
+        f.write('split,label,precision,recall\n')
+        for r in label_stat_rows:
+            f.write('{split},{label},{precision},{recall}\n'.format(**r))
+
+    print('Wrote evaluation outputs to {}'.format(output_dir))
+    return overall_rows
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description='Evaluate a species classifier over a '
+                    'classification dataset')
+    parser.add_argument('checkpoint')
+    parser.add_argument('dataset_dir')
+    parser.add_argument('--cropped_images_dir', required=True)
+    parser.add_argument('--output_dir', required=True)
+    parser.add_argument('--splits', nargs='*', default=None)
+    parser.add_argument('--batch_size', type=int, default=32)
+
+    if len(sys.argv[1:]) == 0:
+        parser.print_help()
+        parser.exit()
+
+    args = parser.parse_args()
+    evaluate_model(args.checkpoint, args.dataset_dir,
+                   args.cropped_images_dir, args.output_dir,
+                   splits=args.splits, batch_size=args.batch_size)
+
+
+if __name__ == '__main__':
+    main()

@@ -252,15 +252,25 @@ class TPUDetector:
             self.config = yolov5.YoloV5Config(
                 arch, num_classes=num_classes, anchors=anchors)
             self._apply_fn = yolov5.apply
+            # Both transforms below are mathematically exact weight/
+            # graph rewrites, but they change float reduction order, so
+            # outputs can drift by a truncation digit relative to a
+            # plain execution. That stays well inside the golden
+            # tolerances (conf 0.005 / coord 0.001), which is what the
+            # reference itself promises across hardware; for bit-level
+            # reproduction of the unoptimized graph, the
+            # 'classic-strict' compatibility mode turns them off.
+            strict = 'strict' in self.compatibility_mode
             # Fused decode: select NMS candidates straight from the raw
             # detect-head logits instead of materializing the full
             # [B, A, 5+C] f32 decode (~200 MB/step at b64 @1280); see
             # ops/decode.py. Anchor-based yolov5 heads only.
-            self._fused_decode = _to_bool(options.get('fused_decode', True))
+            self._fused_decode = _to_bool(
+                options.get('fused_decode', not strict))
             # Width-fold the early high-resolution layers (exact weight
             # rewrite, hardware-measured ~1.2x forward win; see
             # ops/folding.py). Opt out with folded_early=false.
-            if _to_bool(options.get('folded_early', True)):
+            if _to_bool(options.get('folded_early', not strict)):
                 from megadetector_tpu.ops import folding
                 params = folding.fold_early_params(params, self.config)
         self.letterbox_stride = int(self.config.max_stride)
@@ -355,16 +365,26 @@ class TPUDetector:
 
     def _get_compiled_augment(self, batch_size, height, width):
         """
-        Test-time-augmentation program: identity + horizontally-flipped
-        0.83x + 0.67x scales, predictions de-scaled into canvas space and
-        concatenated before NMS (the YOLOv5-style TTA behind the
-        reference's augment=True flag, pytorch_detector.py:1313; scale
-        sizes snap to stride multiples so each pass stays static-shape).
+        Test-time-augmentation program reproducing the reference's
+        augment=True recipe exactly (ultralytics-yolov5
+        Model.forward_augment, invoked at pytorch_detector.py:1313):
+        passes (scale, hflip) = (1, no), (0.83, yes), (0.67, no); each
+        pass flips the ORIGINAL canvas first, bilinear-resizes to
+        (int(H*s), int(W*s)), pads bottom/right up to the next stride
+        multiple with gray 0.447 (yolov5 scale_img), runs the network,
+        de-scales predictions by the nominal s and de-flips against the
+        original canvas width (yolov5 _descale_pred). All passes'
+        predictions merge before one NMS, like the reference's
+        concatenated TTA output entering its uncapped nms().
+        Cross-checked against a torch implementation of the same recipe
+        in tests/test_tta_parity.py.
         """
 
         key = ('aug', batch_size, height, width)
         if key in self._compiled:
             return self._compiled[key]
+
+        import math
 
         config = self.config
         dtype = self.compute_dtype
@@ -373,12 +393,13 @@ class TPUDetector:
         apply_fn = self._apply_fn
         stride = int(self.letterbox_stride)
 
-        def snap(v):
-            return max(stride, int(round(v / stride)) * stride)
-
-        sizes = [(height, width, False)]
+        # (scale, flip, scaled_h, scaled_w, padded_h, padded_w)
+        passes = [(1.0, False, height, width, height, width)]
         for s, flip in ((0.83, True), (0.67, False)):
-            sizes.append((snap(height * s), snap(width * s), flip))
+            sh, sw = int(height * s), int(width * s)
+            ph = int(math.ceil(sh / stride) * stride)
+            pw = int(math.ceil(sw / stride) * stride)
+            passes.append((s, flip, sh, sw, ph, pw))
 
         fused = self._fused_decode
 
@@ -386,45 +407,43 @@ class TPUDetector:
             x = images_u8.astype(dtype) / dtype(255.0)
             preds = []
             fused_cands = []
-            for (h_s, w_s, flip) in sizes:
-                xi = x
-                if (h_s, w_s) != (height, width):
+            for (s, flip, sh, sw, ph, pw) in passes:
+                xi = x[:, :, ::-1, :] if flip else x
+                if (sh, sw) != (height, width):
+                    # antialias=False: torch F.interpolate (the
+                    # reference's scale_img) does not antialias on
+                    # downscale
                     xi = jax.image.resize(
-                        x, (x.shape[0], h_s, w_s, x.shape[3]),
-                        method='bilinear').astype(dtype)
-                if flip:
-                    xi = xi[:, :, ::-1, :]
-                # De-scale into canvas pixel space
-                sx = width / w_s
-                sy = height / h_s
+                        xi, (x.shape[0], sh, sw, x.shape[3]),
+                        method='bilinear',
+                        antialias=False).astype(dtype)
+                if (ph, pw) != (sh, sw):
+                    xi = jnp.pad(
+                        xi, ((0, 0), (0, ph - sh), (0, pw - sw),
+                             (0, 0)),
+                        constant_values=dtype(0.447))
                 if fused:
                     heads = apply_fn(config, params, xi, dtype=dtype,
                                      decode=False)
                     c = select_topk_candidates(
                         heads, config.anchors, config.strides,
                         config.num_classes, conf_thres, pre_nms_topk)
-                    bx = c['boxes_cxcywh']
-                    cx, cy = bx[..., 0], bx[..., 1]
-                    w_box, h_box = bx[..., 2], bx[..., 3]
+                    bx = c['boxes_cxcywh'] / jnp.float32(s)
                     if flip:
-                        cx = w_s - cx
-                    bx = jnp.stack([cx * sx, cy * sy,
-                                    w_box * sx, h_box * sy], axis=-1)
+                        cx = width - bx[..., 0]
+                        bx = jnp.stack(
+                            [cx, bx[..., 1], bx[..., 2], bx[..., 3]],
+                            axis=-1)
                     fused_cands.append(dict(c, boxes_cxcywh=bx))
                     continue
                 p = apply_fn(config, params, xi, dtype=dtype)
-                cx, cy = p[..., 0], p[..., 1]
-                w_box, h_box = p[..., 2], p[..., 3]
+                boxes = p[..., :4] / jnp.float32(s)
                 if flip:
-                    cx = w_s - cx
-                cx = cx * sx
-                cy = cy * sy
-                w_box = w_box * sx
-                h_box = h_box * sy
-                p = jnp.concatenate(
-                    [cx[..., None], cy[..., None], w_box[..., None],
-                     h_box[..., None], p[..., 4:]], axis=-1)
-                preds.append(p)
+                    cx = width - boxes[..., 0]
+                    boxes = jnp.concatenate(
+                        [cx[..., None], boxes[..., 1:]], axis=-1)
+                preds.append(jnp.concatenate([boxes, p[..., 4:]],
+                                             axis=-1))
             if fused:
                 from megadetector_tpu.ops.decode import merge_candidates
                 cands = merge_candidates(fused_cands, pre_nms_topk)

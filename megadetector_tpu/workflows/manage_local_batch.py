@@ -56,6 +56,9 @@ class BatchJobOptions:
         self.classification_confidence_threshold = 0.1
         # Optional classification smoothing after classification
         self.smooth_classifications = True
+        # Keep a preview from every pipeline stage (the reference's
+        # preview chain) instead of only the final one
+        self.preview_each_stage = False
 
 
 class BatchJob:
@@ -295,11 +298,16 @@ class BatchJob:
         strip_classifications_from_nonanimal_detections(
             self.final_file, self.final_file)
 
-    def smooth_sequences(self, sequence_information):
+    def smooth_sequences(self, sequence_information=None):
         """Sequence-level classification smoothing (reference cells
         :1702-1880); [sequence_information] per
-        classification_postprocessing's contract."""
+        classification_postprocessing's contract (defaults to the
+        result of build_sequences())."""
 
+        if sequence_information is None:
+            sequence_information = getattr(
+                self, 'sequence_information', None) or \
+                self.build_sequences()
         from megadetector_tpu.postprocessing \
             .classification_postprocessing import \
             smooth_classification_results_sequence_level
@@ -391,14 +399,107 @@ class BatchJob:
         return subset_json_detector_output(self.final_file, out_dir,
                                            options)
 
-    def build_preview(self):
-        """Stage 5: HTML preview."""
+    def build_sequences(self, max_gap_seconds=10.0):
+        """
+        Group this job's images into time-based sequences from their
+        EXIF datetimes, location = parent folder (the reference's
+        build-sequences cell, manage_local_batch.py:1702-1850). Stores
+        and returns the image-info list create_sequences populated
+        (usable directly by smooth_sequences()).
+        """
+
+        from megadetector_tpu.data_management.cct_json_utils import (
+            SequenceOptions, create_sequences)
+        from megadetector_tpu.data_management.read_exif import \
+            read_pil_exif
+        from megadetector_tpu.visualization import \
+            visualization_utils as vis_utils
+
+        with open(self.final_file) as f:
+            data = json.load(f)
+
+        image_info = []
+        for im in data['images']:
+            fn = im['file']
+            dt = im.get('datetime')
+            if dt is None:
+                try:
+                    pil = vis_utils.open_image(os.path.join(
+                        self.options.input_path, fn))
+                    exif = read_pil_exif(pil) or {}
+                    dt = exif.get('DateTimeOriginal',
+                                  exif.get('DateTime'))
+                except Exception:
+                    dt = None
+            image_info.append({
+                'file_name': fn,
+                'datetime': dt,
+                'location': os.path.dirname(fn) or 'root',
+            })
+
+        seq_options = SequenceOptions()
+        seq_options.episode_interval_seconds = max_gap_seconds
+        create_sequences(image_info, seq_options)
+        self.sequence_information = image_info
+        n_seq = len({im.get('seq_id') for im in image_info})
+        print('Assembled {} sequences from {} images'.format(
+            n_seq, len(image_info)))
+        return image_info
+
+    def apply_custom_taxa(self, taxa_list, taxonomy_file,
+                          allow_walk_down=False):
+        """Restrict classifications to a custom taxa list (reference
+        cells :1617,:1898); see
+        classification_postprocessing.restrict_to_taxa_list."""
+
+        from megadetector_tpu.postprocessing \
+            .classification_postprocessing import restrict_to_taxa_list
+        restrict_to_taxa_list(taxa_list, taxonomy_file,
+                              self.final_file, self.final_file,
+                              allow_walk_down=allow_walk_down)
+
+    def audit_classification_results(self, threshold=None):
+        """
+        Confirm the classification stage covered every above-threshold
+        animal detection (reference cell :1555). Returns
+        {'n_animal_detections', 'n_classified', 'unclassified_files'}.
+        """
+
+        if threshold is None:
+            threshold = self.options.classification_confidence_threshold
+        with open(self.final_file) as f:
+            data = json.load(f)
+        n_animal = n_classified = 0
+        unclassified_files = set()
+        for im in data['images']:
+            for det in im.get('detections') or []:
+                if det['category'] != '1' or det['conf'] < threshold:
+                    continue
+                n_animal += 1
+                if det.get('classifications'):
+                    n_classified += 1
+                else:
+                    unclassified_files.add(im['file'])
+        print('Classification audit: {}/{} animal detections '
+              'classified'.format(n_classified, n_animal))
+        return {'n_animal_detections': n_animal,
+                'n_classified': n_classified,
+                'unclassified_files': sorted(unclassified_files)}
+
+    def build_preview(self, stage=None):
+        """
+        Stage 5: HTML preview. With [stage], writes to a stage-suffixed
+        folder so the reference's multi-point preview chain (pre-RDE,
+        post-RDE, post-classification, post-smoothing — cells :980,
+        :1101, :1601, :1687, :1880, :1914) keeps every preview.
+        """
 
         from megadetector_tpu.postprocessing.postprocess_batch_results \
             import PostProcessingOptions, process_batch_results
         p_options = PostProcessingOptions()
         p_options.md_results_file = self.final_file
-        p_options.output_dir = self.preview_dir
+        p_options.output_dir = self.preview_dir if stage is None else \
+            '{}_{}'.format(self.preview_dir, stage)
         p_options.image_base_dir = self.options.input_path
         p_options.num_images_to_sample = \
             self.options.preview_sample_size
@@ -417,9 +518,16 @@ class BatchJob:
         self.enumerate_images()
         self.run_detector()
         self.validate()
+        if self.options.preview_each_stage:
+            self.build_preview(stage='pre_rde')
         self.run_rde()
         self.validate()
+        if self.options.preview_each_stage and self.options.run_rde:
+            self.build_preview(stage='post_rde')
         self.run_classifier()
+        if self.options.preview_each_stage and \
+                self.options.classifier_model is not None:
+            self.build_preview(stage='post_classification')
         self.build_preview()
         self.build_report()
         print('Job {} complete; final results: {}'.format(

@@ -75,15 +75,62 @@ def reference_scale_coords(img1_shape, coords, img0_shape):
     return coords
 
 
+def reference_scale_img(x, ratio, gs):
+    """
+    yolov5's scale_img: bilinear-interpolate a CHW float tensor batch
+    to (int(h*ratio), int(w*ratio)), then pad bottom/right up to the
+    next [gs] multiple with gray 0.447 (the reference TTA's per-pass
+    input transform).
+    """
+
+    import math
+    import torch.nn.functional as F
+
+    if ratio == 1.0:
+        return x
+    h, w = x.shape[2:]
+    sh, sw = int(h * ratio), int(w * ratio)
+    x = F.interpolate(x, size=(sh, sw), mode='bilinear',
+                      align_corners=False)
+    ph = math.ceil(sh / gs) * gs
+    pw = math.ceil(sw / gs) * gs
+    return F.pad(x, (0, pw - sw, 0, ph - sh), value=0.447)
+
+
+def reference_forward_augment(model, x, gs):
+    """
+    yolov5's Model.forward_augment (the behavior behind the
+    reference's augment=True, pytorch_detector.py:1313): passes
+    (scale, flip-dim) = (1, None), (0.83, 3), (0.67, None); each pass
+    optionally hflips, scale_imgs, forwards, then de-scales by the
+    nominal scale and de-flips against the original canvas width
+    (_descale_pred). Returns the concatenated predictions.
+    """
+
+    img_w = x.shape[3]
+    ys = []
+    for s, flip_dim in ((1.0, None), (0.83, 3), (0.67, None)):
+        xi = reference_scale_img(
+            x.flip(flip_dim) if flip_dim is not None else x, s, gs)
+        with torch.no_grad():
+            yi = model(xi)
+        yi[..., :4] /= s
+        if flip_dim == 3:
+            yi[..., 0] = img_w - yi[..., 0]
+        ys.append(yi)
+    return torch.cat(ys, 1)
+
+
 def reference_detect_one_image(model, img_original, image_size,
                                stride=32, detection_threshold=0.005,
-                               letterbox_auto=True):
+                               letterbox_auto=True, augment=False):
     """
     The reference classic-mode pipeline on one RGB HWC uint8 image.
     [letterbox_auto]=True is the reference's behavior (minimal
     stride-multiple rectangle); False letterboxes to the full square
     canvas (the TPU framework's static-shape choice) so the two canvas
-    policies can be compared.
+    policies can be compared. [augment] runs the reference's TTA
+    recipe (reference_forward_augment).
 
     Returns a list of MD-format detection dicts.
     """
@@ -96,8 +143,11 @@ def reference_detect_one_image(model, img_original, image_size,
 
     x = torch.tensor(
         canvas.transpose(2, 0, 1)[None].astype(np.float32) / 255.0)
-    with torch.no_grad():
-        pred = model(x).numpy()
+    if augment:
+        pred = reference_forward_augment(model, x, gs=stride).numpy()
+    else:
+        with torch.no_grad():
+            pred = model(x).numpy()
 
     det_list = reference_nms(pred, conf_thres=detection_threshold,
                              iou_thres=0.45, max_det=300)

@@ -370,9 +370,13 @@ def test_augmented_fused_matches_unfused(tmp_path):
         'class_names': ['animal', 'person', 'vehicle'],
         'image_size': 128, 'anchors': cfg.anchors.tolist()})
 
-    fused = TPUDetector(path)
+    # Large pre_nms_topk so neither path truncates: random weights put
+    # >512 TTA candidates above the filter, and under truncation the
+    # per-pass (fused) and global (unfused) top-k keep legitimately
+    # different tails
+    fused = TPUDetector(path, detector_options={'pre_nms_topk': 4096})
     unfused = TPUDetector(path, detector_options={
-        'fused_decode': False, 'pre_nms_topk': 513})
+        'fused_decode': False, 'pre_nms_topk': 4097})
     assert fused._fused_decode and not unfused._fused_decode
 
     rng = np.random.RandomState(5)
