@@ -25,6 +25,8 @@ crashes or is rejected:
 Keep this kernel for newer Mosaic stacks; the production path stays on
 the XLA folded conv (13.3 ms at b64 @1280, vs this kernel's ~6-8 ms
 projected). See experiments/exp_pallas_l0.py and NEXT.md.
+Retried 2026-08-17 (round 3): unchanged — full-array DMA compile still
+crashes the remote compile helper (HTTP 500, subprocess exit 1).
 
 This kernel:
   1. DMAs raw u8 row bands straight from HBM (one band per grid step),

@@ -255,3 +255,56 @@ def test_merge_label_only_uses_offset_categories(world,
            if im['file'] == 'camtrap/loc0/im_0.jpg'][0]['detections'][0]
     assert det['classifications'] == [['1000000', 1.0]]
     assert merged['classification_categories']['1000000'] == 'cervid'
+
+
+def test_run_classifier_over_crops(world, tmp_path_factory):
+    """run_classifier: crops folder + checkpoint -> classifications
+    merged into the detections file + per-crop CSV (reference
+    classification/run_classifier.py)."""
+
+    out = tmp_path_factory.mktemp('run_clf')
+
+    from megadetector_tpu.classification.crop_detections import \
+        crop_detections
+    crops_dir = str(out / 'crops')
+    crop_detections(world['detections'], crops_dir,
+                    world['images_dir'], threshold=0.8,
+                    detector_version='5a.0.0')
+
+    import jax
+    import numpy as np
+    from megadetector_tpu.models import efficientnet
+    from megadetector_tpu.models.convert_weights import save_checkpoint
+    config = efficientnet.EfficientNetConfig(
+        'efficientnetv2_s', num_classes=3, image_size=64)
+    ckpt = str(out / 'clf.npz')
+    save_checkpoint(
+        jax.tree_util.tree_map(np.asarray,
+                               efficientnet.init_params(config, seed=1)),
+        ckpt, {'arch': 'efficientnetv2_s', 'num_classes': 3,
+               'class_names': ['deer', 'bear', 'other'],
+               'image_size': 64})
+
+    from megadetector_tpu.classification.run_classifier import \
+        run_classifier
+    merged_path = str(out / 'merged.json')
+    csv_path = str(out / 'confs.csv')
+    merged = run_classifier(world['detections'], crops_dir, ckpt,
+                            output_json_path=merged_path,
+                            output_csv_path=csv_path, batch_size=4)
+
+    assert merged['classification_categories'] == {
+        '0': 'deer', '1': 'bear', '2': 'other'}
+    n_cls = sum(1 for im in merged['images']
+                for d in im.get('detections') or []
+                if d.get('classifications'))
+    assert n_cls == 8  # one above-threshold crop per image
+    for im in merged['images']:
+        for d in im.get('detections') or []:
+            for pair in d.get('classifications', []):
+                assert isinstance(pair[0], str)
+            confs = [p[1] for p in d.get('classifications', [])]
+            assert confs == sorted(confs, reverse=True)
+    header = open(csv_path).readline().strip()
+    assert header == 'path,deer,bear,other'
+    assert len(open(csv_path).readlines()) == 9

@@ -88,7 +88,10 @@ def test_overfit_single_batch(cfg):
     assert min(losses[1:]) < losses[0]
 
 
+@pytest.mark.slow
 def test_sharded_detector_train_step(cfg):
+    # Also exercised every round by the driver's dryrun_multichip
+    # (__graft_entry__.py), which is the recorded multichip evidence
     import optax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

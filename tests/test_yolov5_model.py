@@ -58,6 +58,7 @@ def test_config_shapes(small_config):
     assert small_config.strides == (8, 16, 32)
 
 
+@pytest.mark.slow
 def test_param_count_l6():
     cfg = yolov5.YoloV5Config('yolov5l6', num_classes=3)
     params = yolov5.init_params(cfg)
