@@ -142,3 +142,27 @@ def test_map_new_dataset(tmp_path):
     assert rows[1]['scientific_name'] == ''
     back = read_taxonomy_csv(out_csv)
     assert len(back) == 2
+
+
+def test_retrieve_sample_image_injectable(tmp_path):
+    """The sample-image retriever works offline through injected
+    search/fetch transports (egress-free test of the full flow)."""
+
+    from megadetector_tpu.taxonomy_mapping.retrieve_sample_image import \
+        download_images
+
+    def fake_search(query, limit):
+        assert query == 'white-tailed+deer'
+        return ['http://x/a.jpg', 'http://x/b.png', 'http://x/bad.jpg']
+
+    def fake_fetch(url):
+        if 'bad' in url:
+            raise IOError('boom')
+        return b'IMAGEDATA' + url.encode()
+
+    out_dir = str(tmp_path / 'samples')
+    paths = download_images('white-tailed deer', out_dir, limit=3,
+                            search_fn=fake_search, fetch_fn=fake_fetch)
+    assert len(paths) == 2
+    assert paths[0].endswith('.jpg') and paths[1].endswith('.png')
+    assert open(paths[0], 'rb').read().startswith(b'IMAGEDATA')
