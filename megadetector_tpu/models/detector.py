@@ -813,7 +813,9 @@ class TPUDetector:
                      jnp.float32(nms_iou))
         out = jax.device_get(out)
 
-        n_cand = out.get('n_candidates', None)
+        # TTA counts the same objects once per augmentation pass, so the
+        # overflow indicator only applies to single-pass runs
+        n_cand = None if augment else out.get('n_candidates', None)
 
         for slot, (idx, info) in enumerate(infos):
             if idx is None:

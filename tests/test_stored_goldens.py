@@ -227,3 +227,26 @@ def test_auto_canvas_device_matches_stored_golden(tmp_path_factory):
         tmp_path_factory, 'stub_auto_dev', {'preprocess_mode': 'device'})
     got = _run_pipeline(detector)
     _check_against_golden(got, AUTO_DEVICE_GOLDEN_FILE)
+
+
+#%% TTA (augment) golden
+#
+# The TTA recipe is pinned against a torch implementation of yolov5's
+# forward_augment in tests/test_tta_parity.py; this golden additionally
+# pins it across toolchain updates (resize/pad numerics, merge order).
+
+TTA_GOLDEN_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), 'data',
+    'stub_golden_results_tta.json')
+
+
+def test_tta_matches_stored_golden(tmp_path_factory):
+    detector = _make_auto_detector(tmp_path_factory, 'stub_tta',
+                                   {'pre_nms_topk': 640})
+    results = []
+    for i, img in enumerate(_structured_images(SIZES)):
+        r = detector.generate_detections_one_image(
+            img, image_id='golden_{:02d}.jpg'.format(i),
+            detection_threshold=0.005, augment=True)
+        results.append(r)
+    _check_against_golden({'images': results}, TTA_GOLDEN_FILE)
