@@ -9,6 +9,19 @@ does preprocess_mode=device hold the headline rate?
 Staged input: 1536x2048 raw canvases (typical camera-trap source size)
 -> staging rect (1536, 2048) at multiple 256. One TPU process; fenced
 transfers; pipelined dispatch (NEXT.md measurement-host rules).
+
+RESULTS (2026-08-17, v5e-1, fresh compiles):
+    device-preprocess int8 batch 32: 341.8 img/s (2.93 ms/img)
+    device-preprocess int8 batch 64: 362.8 img/s (2.76 ms/img)
+vs the post-letterbox step (bench.py) at 423.5 img/s b64 / 439.5 b128:
+the in-program letterbox costs ~0.4 ms/img — dominated by reading the
+9.4 MB/img raw staging canvas from HBM (2.5x the 960x1280 canvas's
+3.7 MB) plus the interpolation matmuls. Interpretation: host-letterbox
+mode keeps the highest device rate when loader CPUs are plentiful;
+device mode trades ~15% device throughput for a near-zero host. Untried
+combination: native loader dct_scale_target decode (~canvas-sized
+staging) + device letterbox would cut the staging reads ~4x and should
+recover most of the gap.
 """
 
 import sys
