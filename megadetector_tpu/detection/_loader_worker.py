@@ -62,6 +62,23 @@ def load_and_letterbox(args):
         # EXIF orientation, or decode error — the Python path decides
         # whether it is a real failure)
 
+    if use_native_loader and preprocess_mode == 'device' and \
+            'classic' in compatibility_mode and \
+            im_file.lower().endswith(('.jpg', '.jpeg')):
+        # Device-preprocess staging via native DCT-scaled decode: the
+        # JPEG decodes directly near the inference size (libjpeg
+        # scale_num/8, always >= image_size on the long side), so the
+        # staging canvas the TPU letterbox reads shrinks ~4x vs
+        # full-resolution staging (measured gap analysis:
+        # experiments/exp_device_preprocess_rect.py). Normalized output
+        # coordinates are scale-invariant, so scaling_shape tracks the
+        # scaled image. Perf mode: DCT-scaled decode deviates from
+        # full-resolution-resize parity.
+        info = _native_load_device(im_file, image_size, stride,
+                                   canvas_mode)
+        if info is not None:
+            return im_file, info
+
     try:
         image = load_image(im_file)
         img_original = np.asarray(image)
@@ -120,6 +137,42 @@ def load_and_letterbox(args):
         return im_file, info
     except Exception:
         return im_file, FAILURE_IMAGE_OPEN
+
+
+def _native_load_device(im_file, image_size, stride=64,
+                        canvas_mode='square'):
+    """
+    Fused native DCT-scaled decode (no letterbox) for device-preprocess
+    staging; returns an info dict or None for the PIL fallback.
+    """
+
+    from megadetector_tpu import native
+
+    if not native.jpeg_loader_available():
+        return None
+    try:
+        with open(im_file, 'rb') as f:
+            data = f.read()
+        img = native.decode_jpeg_scaled(data,
+                                        dct_scale_target=image_size)
+    except Exception:
+        return None
+
+    if canvas_mode == 'auto':
+        target = _auto_target_shape(img.shape[:2], image_size, stride)
+    else:
+        target = (image_size, image_size)
+    return {
+        'file': im_file,
+        'scaling_shape': img.shape,
+        'img_original_pil': None,
+        'img_processed': None,
+        'img_original': img,
+        'target_shape': target,
+        'scale_target': image_size,
+        'letterbox_ratio': None,
+        'letterbox_pad': None,
+    }
 
 
 def _native_load(im_file, image_size, stride=64, canvas_mode='square'):

@@ -184,6 +184,12 @@ def _load_jpeg():
             ctypes.POINTER(ctypes.c_int32)]
         lib.decode_jpeg_letterbox_batch_rect.restype = None
 
+        lib.decode_jpeg_scaled.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        lib.decode_jpeg_scaled.restype = ctypes.c_int
+
         _JPEG_LIB = lib
     except Exception:
         _JPEG_BUILD_FAILED = True
@@ -235,6 +241,61 @@ def decode_jpeg_letterbox(jpeg_bytes, canvas, pad_value=114,
     if rc != JL_OK:
         raise ValueError('native JPEG decode failed (code {})'.format(rc))
     return out, (int(dims[0]), int(dims[1]))
+
+
+def scaled_decode_dims(width, height, dct_scale_target):
+    """
+    The post-decode dims libjpeg produces for a JPEG of (width, height)
+    at the smallest scale_num/8 whose long side covers
+    [dct_scale_target] (0 = full resolution): ceil(dim * num / 8).
+    """
+
+    if dct_scale_target <= 0:
+        return height, width
+    long_side = max(width, height)
+    num = 8
+    for n in range(1, 9):
+        if long_side * n // 8 >= dct_scale_target:
+            num = n
+            break
+    return (height * num + 7) // 8, (width * num + 7) // 8
+
+
+def decode_jpeg_scaled(jpeg_bytes, dct_scale_target=0):
+    """
+    Decode one JPEG (bytes) at a DCT scale covering
+    [dct_scale_target] on the long side (0 = full resolution), with
+    EXIF orientation (3/6/8) applied — no letterbox. Returns an HWC
+    uint8 array of the post-rotation scaled image. Raises ValueError
+    on failure (caller falls back to the Python path). Feeds the
+    device-preprocess staging path, where the letterbox runs on the
+    TPU.
+    """
+
+    import io
+    from PIL import Image
+
+    lib = _load_jpeg()
+    assert lib is not None, 'Native JPEG loader unavailable'
+    # Header-only dims (no decode) size the output buffer; C verifies
+    with Image.open(io.BytesIO(jpeg_bytes)) as pim:
+        w0, h0 = pim.size
+    h, w = scaled_decode_dims(w0, h0, dct_scale_target)
+    # Post-rotation worst case swaps dims
+    side_h, side_w = max(h, w), max(h, w)
+    buf = np.frombuffer(jpeg_bytes, dtype=np.uint8)
+    out = np.zeros((side_h, side_w, 3), dtype=np.uint8)
+    dims = np.zeros(2, dtype=np.int32)
+    rc = lib.decode_jpeg_scaled(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_long(buf.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        side_h, side_w, int(dct_scale_target),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != JL_OK:
+        raise ValueError('native JPEG decode failed (code {})'.format(rc))
+    fh, fw = int(dims[0]), int(dims[1])
+    return np.ascontiguousarray(out[:fh, :fw])
 
 
 def decode_jpeg_letterbox_batch(jpeg_buffers, canvas, pad_value=114,

@@ -294,6 +294,89 @@ int decode_jpeg_letterbox(const uint8_t* buf, long len,
                                       out_dims);
 }
 
+// Decode-only variant (no letterbox): decode at the DCT scale whose
+// long side covers dct_scale_target (0 = full resolution), apply EXIF
+// rotation, and write the post-rotation pixels into the top-left of
+// dst [buf_h, buf_w, 3] (row stride buf_w*3; remainder untouched).
+// out_dims receives the post-rotation (h, w). Feeds the device-
+// preprocess staging path, where the letterbox runs on the TPU.
+int decode_jpeg_scaled(const uint8_t* buf, long len,
+                       uint8_t* dst, int buf_h, int buf_w,
+                       int dct_scale_target, int* out_dims) {
+    int orientation = parse_exif_orientation(buf, (size_t)len);
+    if (orientation == 2 || orientation == 4 || orientation == 5 ||
+        orientation == 7) {
+        return JL_UNSUPPORTED_ORIENTATION;
+    }
+
+    std::vector<uint8_t> pixels;
+    std::vector<uint8_t> rotated;
+
+    jpeg_decompress_struct cinfo;
+    ErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = error_exit_handler;
+    jerr.pub.output_message = output_message_silent;
+    if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_decompress(&cinfo);
+        return JL_DECODE_ERROR;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+
+    if (dct_scale_target > 0) {
+        int long_side = (int)std::max(cinfo.image_width,
+                                      cinfo.image_height);
+        for (int num = 1; num <= 8; ++num) {
+            if ((long)long_side * num / 8 >= dct_scale_target) {
+                cinfo.scale_num = num;
+                cinfo.scale_denom = 8;
+                break;
+            }
+        }
+    }
+
+    jpeg_start_decompress(&cinfo);
+    if (cinfo.output_components != 3) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return JL_NOT_RGB;
+    }
+    const int w = cinfo.output_width;
+    const int h = cinfo.output_height;
+    pixels.resize((size_t)h * w * 3);
+    while ((int)cinfo.output_scanline < h) {
+        uint8_t* row = pixels.data() +
+            (size_t)cinfo.output_scanline * w * 3;
+        JSAMPROW rows[1] = {row};
+        jpeg_read_scanlines(&cinfo, rows, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+
+    const uint8_t* final_pixels = pixels.data();
+    int fh = h, fw = w;
+    if (orientation == 3 || orientation == 6 || orientation == 8) {
+        rotate_rgb(pixels.data(), h, w, orientation, &rotated, &fh, &fw);
+        final_pixels = rotated.data();
+    }
+    if (fh > buf_h || fw > buf_w) {
+        return JL_DECODE_ERROR;  // caller sized the buffer too small
+    }
+    for (int y = 0; y < fh; ++y) {
+        std::memcpy(dst + (size_t)y * buf_w * 3,
+                    final_pixels + (size_t)y * fw * 3,
+                    (size_t)fw * 3);
+    }
+    if (out_dims != nullptr) {
+        out_dims[0] = fh;
+        out_dims[1] = fw;
+    }
+    return JL_OK;
+}
+
 // Batch variant: decode n JPEGs in parallel straight into the staging
 // buffer dst [n, canvas_h, canvas_w, 3]. bufs/lens address the encoded
 // images; per-image status lands in errs[n]; per-image post-rotation

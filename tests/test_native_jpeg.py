@@ -189,3 +189,89 @@ def test_batch_driver_native_loader_end_to_end(tmp_path):
         assert tuple(nat['letterbox_pad']) == pytest.approx(
             tuple(ref['letterbox_pad']))
         assert tuple(nat['scaling_shape']) == tuple(ref['scaling_shape'])
+
+
+def test_decode_jpeg_scaled_full_resolution():
+    """decode_jpeg_scaled at target 0 == PIL full decode (modulo codec
+    rounding)."""
+
+    arr = _smooth_image(240, 320)
+    data = _jpeg_bytes(arr)
+    out = native.decode_jpeg_scaled(data, dct_scale_target=0)
+    assert out.shape == (240, 320, 3)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert('RGB'))
+    diff = np.abs(out.astype(int) - pil.astype(int))
+    assert diff.max() <= 2
+
+
+def test_decode_jpeg_scaled_dct():
+    """DCT-scaled decode lands at the predicted ceil(dim*num/8) size,
+    with the long side covering the target."""
+
+    arr = _smooth_image(1200, 1600, seed=3)
+    data = _jpeg_bytes(arr)
+    out = native.decode_jpeg_scaled(data, dct_scale_target=640)
+    h, w = native.scaled_decode_dims(1600, 1200, 640)
+    assert out.shape == (h, w, 3)
+    assert max(h, w) >= 640
+    assert max(h, w) < 1600  # actually scaled down
+    # Content matches a box-downsampled original loosely
+    import cv2
+    ref = cv2.resize(arr, (w, h), interpolation=cv2.INTER_AREA)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.mean() < 6.0
+
+
+def test_decode_jpeg_scaled_rotation():
+    arr = _smooth_image(120, 200, seed=5)
+    data = _jpeg_bytes(arr, exif_orientation=6)
+    out = native.decode_jpeg_scaled(data)
+    assert out.shape == (200, 120, 3)  # dims swapped by rotation
+
+
+def test_device_mode_native_loader(tmp_path):
+    """Device-preprocess staging via native DCT-scaled decode: the
+    loader info feeds the standard device path, and detections agree
+    loosely with the PIL device path (DCT decode is a documented perf
+    deviation)."""
+
+    from megadetector_tpu.detection._loader_worker import \
+        load_and_letterbox
+    from megadetector_tpu.models import yolov5
+    from megadetector_tpu.models.convert_weights import save_checkpoint
+    from megadetector_tpu.models.detector import TPUDetector
+
+    rng = np.random.RandomState(2)
+    arr = _smooth_image(600, 800, seed=2)
+    fn = str(tmp_path / 'big.jpg')
+    Image.fromarray(arr).save(fn, quality=95)
+
+    _, info = load_and_letterbox(
+        (fn, 128, 32, 'classic', 'device', None, True, 'auto'))
+    assert not isinstance(info, str)
+    assert info['img_processed'] is None
+    # DCT-scaled decode landed near the inference size, not at 600x800
+    assert max(info['img_original'].shape[:2]) < 600
+    assert max(info['img_original'].shape[:2]) >= 128
+    assert info['target_shape'][0] != info['target_shape'][1]  # 4:3 rect
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    path = str(tmp_path / 'm.npz')
+    save_checkpoint(yolov5.init_params(cfg, seed=9), path, {
+        'arch': 'yolov5n', 'model_type': 'yolov5', 'num_classes': 3,
+        'class_names': ['animal', 'person', 'vehicle'],
+        'image_size': 128, 'anchors': cfg.anchors.tolist()})
+    det = TPUDetector(path, detector_options={
+        'preprocess_mode': 'device'})
+
+    r_native = det.generate_detections_one_batch(
+        [info], [fn], detection_threshold=0.2)[0]
+    r_pil = det.generate_detections_one_image(
+        np.asarray(Image.open(fn).convert('RGB')), fn,
+        detection_threshold=0.2)
+    assert r_native['detections'] is not None
+    assert r_pil['detections'] is not None
+    # Loose agreement: top-confidence within 0.05
+    top_n = max((d['conf'] for d in r_native['detections']), default=0)
+    top_p = max((d['conf'] for d in r_pil['detections']), default=0)
+    assert abs(top_n - top_p) < 0.05
