@@ -18,10 +18,17 @@ the in-program letterbox costs ~0.4 ms/img — dominated by reading the
 9.4 MB/img raw staging canvas from HBM (2.5x the 960x1280 canvas's
 3.7 MB) plus the interpolation matmuls. Interpretation: host-letterbox
 mode keeps the highest device rate when loader CPUs are plentiful;
-device mode trades ~15% device throughput for a near-zero host. Untried
-combination: native loader dct_scale_target decode (~canvas-sized
-staging) + device letterbox would cut the staging reads ~4x and should
-recover most of the gap.
+device mode trades ~15% device throughput for a near-zero host.
+
+FOLLOW-UP (same day): with DCT-scaled staging — the native loader's
+decode_jpeg_scaled lands 2048x1536 sources at exactly 1280x960, staged
+(1024, 1280) — the full device path recovers most of the gap:
+    device-preprocess (dct staging) int8 batch 64:  379.7 img/s
+    device-preprocess (dct staging) int8 batch 128: 408.0 img/s
+i.e. 93% of the post-letterbox 439.5 img/s with the host doing only
+scaled JPEG decode. This is the production serving configuration on
+CPU-poor TPU hosts: --use_native_loader +
+--detector_options preprocess_mode=device.
 """
 
 import sys

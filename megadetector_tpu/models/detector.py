@@ -101,6 +101,13 @@ class TPUDetector:
             shape-grouped batches, the reference's behavior) or 'square'
             (one full-canvas program for all aspect ratios)
         max_canvases: compile-guard for 'auto' mode (default 16)
+        pre_nms_topk: candidate capacity of the fixed-shape selection
+            (default 512, covers normal scenes)
+        auto_escalate_topk: re-run batches whose above-floor candidate
+            count exceeds the capacity through a bigger program
+            (default true; matches the reference's uncapped nms())
+        max_pre_nms_topk: escalation ceiling (default 8192); beyond it
+            affected images get a 'pre_nms_truncation' field
         max_batch_size: cap on compiled batch size
         mesh: optional jax.sharding.Mesh for data-parallel inference
         batch_axis: mesh axis name for the batch dimension (default 'data')
@@ -142,10 +149,20 @@ class TPUDetector:
         self.pre_nms_topk = int(options.get('pre_nms_topk', 512))
         self.max_det = int(options.get('max_det', 300))
         self._warned_low_threshold_topk = False
-        # Images whose above-floor candidate count exceeded pre_nms_topk
-        # (i.e. the fixed-shape selection truncated detections the
-        # reference's uncapped nms() would keep); each such image result
-        # carries a 'pre_nms_truncation' field with the true count
+        # When the above-floor candidate count exceeds pre_nms_topk,
+        # the batch re-runs through a program with the next
+        # power-of-two candidate capacity (up to max_pre_nms_topk), so
+        # the 0.005-floor contract holds like the reference's uncapped
+        # nms() — the fixed default stays fast for the normal case and
+        # crowded scenes pay one extra compile per (shape, capacity).
+        self.auto_escalate_topk = _to_bool(
+            options.get('auto_escalate_topk', True))
+        self.max_pre_nms_topk = int(options.get('max_pre_nms_topk',
+                                                8192))
+        # Images whose above-floor candidate count exceeded the largest
+        # capacity run (only possible beyond max_pre_nms_topk, or with
+        # auto_escalate_topk off); each such image result carries a
+        # 'pre_nms_truncation' field with the true count
         self.n_truncated_images = 0
         self._fused_decode = False  # set per-architecture in _load_model
 
@@ -307,14 +324,15 @@ class TPUDetector:
 
     #%% Compiled program management
 
-    def _get_compiled(self, batch_size, height, width):
-        key = (batch_size, height, width)
+    def _get_compiled(self, batch_size, height, width,
+                      pre_nms_topk=None):
+        pre_nms_topk = pre_nms_topk or self.pre_nms_topk
+        key = (batch_size, height, width, pre_nms_topk)
         if key in self._compiled:
             return self._compiled[key]
 
         config = self.config
         dtype = self.compute_dtype
-        pre_nms_topk = self.pre_nms_topk
         max_det = self.max_det
         apply_fn = self._apply_fn
 
@@ -460,7 +478,8 @@ class TPUDetector:
         return fn
 
     def _get_compiled_device_preprocess(self, batch_size, staging_hw,
-                                        canvas_hw, scale_target):
+                                        canvas_hw, scale_target,
+                                        pre_nms_topk=None):
         """Compiled program: staged uint8 -> letterbox -> forward -> NMS.
 
         staging_hw / canvas_hw are (h, w) tuples; scale_target is the
@@ -469,9 +488,11 @@ class TPUDetector:
         reproduce the host letterbox(auto=True) geometry exactly.
         """
 
+        pre_nms_topk = pre_nms_topk or self.pre_nms_topk
         staging_hw = tuple(int(v) for v in staging_hw)
         canvas_hw = tuple(int(v) for v in canvas_hw)
-        key = ('dev', batch_size, staging_hw, canvas_hw, scale_target)
+        key = ('dev', batch_size, staging_hw, canvas_hw, scale_target,
+               pre_nms_topk)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -479,7 +500,6 @@ class TPUDetector:
 
         config = self.config
         dtype = self.compute_dtype
-        pre_nms_topk = self.pre_nms_topk
         max_det = self.max_det
         apply_fn = self._apply_fn
 
@@ -755,6 +775,7 @@ class TPUDetector:
         # who need the deep tail can raise pre_nms_topk via
         # detector_options.
         if detection_threshold < 0.005 and self.pre_nms_topk < 2048 and \
+                not self.auto_escalate_topk and \
                 not self._warned_low_threshold_topk:
             print('Warning: detection_threshold {} is very low but '
                   'pre_nms_topk is {}; detections beyond the top {} '
@@ -791,12 +812,14 @@ class TPUDetector:
             staged, sizes = stage_images(
                 raw_imgs, multiple=self.staging_multiple)
             h, w = canvas
-            fn = self._get_compiled_device_preprocess(
-                staged.shape[0], staged.shape[1:3], canvas,
-                scale_target)
-            out = fn(self.params, staged, sizes,
-                     jnp.float32(detection_threshold),
-                     jnp.float32(nms_iou))
+
+            def run_program(topk=None):
+                fn = self._get_compiled_device_preprocess(
+                    staged.shape[0], staged.shape[1:3], canvas,
+                    scale_target, pre_nms_topk=topk)
+                return fn(self.params, staged, sizes,
+                          jnp.float32(detection_threshold),
+                          jnp.float32(nms_iou))
         else:
             imgs = [info['img_processed'] for _, info in infos]
             h, w = imgs[0].shape[:2]
@@ -805,13 +828,48 @@ class TPUDetector:
                     'Heterogeneous canvas in one batch'
             batch = np.stack(imgs).astype(np.uint8)
             if augment:
-                fn = self._get_compiled_augment(batch.shape[0], h, w)
+                fn_aug = self._get_compiled_augment(
+                    batch.shape[0], h, w)
+
+                def run_program(topk=None):
+                    return fn_aug(self.params, batch,
+                                  jnp.float32(detection_threshold),
+                                  jnp.float32(nms_iou))
             else:
-                fn = self._get_compiled(batch.shape[0], h, w)
-            out = fn(self.params, batch,
-                     jnp.float32(detection_threshold),
-                     jnp.float32(nms_iou))
-        out = jax.device_get(out)
+                def run_program(topk=None):
+                    fn = self._get_compiled(batch.shape[0], h, w,
+                                            pre_nms_topk=topk)
+                    return fn(self.params, batch,
+                              jnp.float32(detection_threshold),
+                              jnp.float32(nms_iou))
+
+        out = jax.device_get(run_program())
+
+        # Candidate-capacity escalation: when more candidates pass the
+        # floor than the fixed-shape selection can hold, re-run through
+        # a program with the next power-of-two capacity so nothing is
+        # dropped (the reference's nms() is uncapped,
+        # pytorch_detector.py:502-610). Bounded by max_pre_nms_topk.
+        topk = self.pre_nms_topk
+        if not augment and self.auto_escalate_topk:
+            while True:
+                n_cand_now = out.get('n_candidates')
+                if n_cand_now is None:
+                    break
+                needed = max(
+                    (int(n_cand_now[s])
+                     for s, (idx, _) in enumerate(infos)
+                     if idx is not None), default=0)
+                if needed <= topk or topk >= self.max_pre_nms_topk:
+                    break
+                new_topk = topk
+                while new_topk < needed:
+                    new_topk *= 2
+                new_topk = min(new_topk, self.max_pre_nms_topk)
+                if new_topk <= topk:
+                    break
+                topk = new_topk
+                out = jax.device_get(run_program(topk))
 
         # TTA counts the same objects once per augmentation pass, so the
         # overflow indicator only applies to single-pass runs
@@ -896,23 +954,22 @@ class TPUDetector:
                 'max_detection_conf': max_conf,
             }
 
-            # Guarantee the 0.005-floor contract is observable: when
-            # more candidates passed the floor than the fixed-shape
-            # selection kept, the tail was truncated relative to the
+            # Guarantee the 0.005-floor contract is observable: after
+            # any capacity escalation, a count still above the final
+            # capacity means the tail was truncated relative to the
             # reference's uncapped nms() (run_detector.py:251). Flag
-            # the image and say so once per run.
-            if n_cand is not None and \
-                    int(n_cand[slot]) > self.pre_nms_topk:
+            # the image and say so (first few occurrences).
+            if n_cand is not None and int(n_cand[slot]) > topk:
                 results[idx]['pre_nms_truncation'] = int(n_cand[slot])
                 self.n_truncated_images += 1
                 if self.n_truncated_images <= 3:
                     print('Warning: image {} had {} candidates above '
-                          'the confidence floor but pre_nms_topk={}; '
-                          'lowest-confidence detections were dropped '
-                          '(raise the pre_nms_topk detector option to '
-                          'keep them)'.format(
-                              info['file'], int(n_cand[slot]),
-                              self.pre_nms_topk))
+                          'the confidence floor but the candidate '
+                          'capacity is {}; lowest-confidence '
+                          'detections were dropped (raise the '
+                          'max_pre_nms_topk detector option to keep '
+                          'them)'.format(
+                              info['file'], int(n_cand[slot]), topk))
 
 
 def _to_bool(v):

@@ -1,10 +1,13 @@
 """
 The 0.005 output-floor contract (reference run_detector.py:251): the
-fixed-shape candidate selection truncates at pre_nms_topk where the
-reference's nms() is uncapped (pytorch_detector.py:502-610). These tests
-pin the overflow indicator: when more candidates pass the floor than the
-selection keeps, the affected image results carry a 'pre_nms_truncation'
-field with the true count and the detector counts the event.
+reference's nms() is uncapped (pytorch_detector.py:502-610), while the
+fixed-shape candidate selection holds pre_nms_topk candidates. These
+tests pin the capacity-escalation behavior: when more candidates pass
+the floor than the selection holds, the batch re-runs through a
+program with the next power-of-two capacity (up to max_pre_nms_topk),
+so nothing is dropped; only beyond the cap (or with escalation
+disabled) do affected images get a 'pre_nms_truncation' field and a
+warning.
 """
 
 import numpy as np
@@ -27,63 +30,78 @@ def checkpoint(tmp_path_factory):
     return path
 
 
-def test_overflow_is_flagged_beyond_512(checkpoint, capsys):
-    """A random-weight model at a 256 canvas produces ~4k candidates
-    above the 0.005 floor — far beyond the default pre_nms_topk of 512 —
-    so the truncation indicator must fire with the true count."""
+@pytest.fixture(scope='module')
+def crowded_image():
+    """A random-weight model at a 256 canvas produces ~1-4k candidates
+    above the 0.005 floor — far beyond the default pre_nms_topk of
+    512."""
+
+    rng = np.random.RandomState(0)
+    return rng.randint(0, 255, (256, 256, 3), dtype=np.uint8)
+
+
+def test_escalation_keeps_the_tail(checkpoint, crowded_image):
+    """Default behavior: capacity escalates until every above-floor
+    candidate is held — identical output to a detector built with a
+    big capacity from the start, and no truncation flag."""
 
     det = TPUDetector(checkpoint)
-    assert det.pre_nms_topk == 512
+    assert det.pre_nms_topk == 512 and det.auto_escalate_topk
 
-    rng = np.random.RandomState(0)
-    img = rng.randint(0, 255, (256, 256, 3), dtype=np.uint8)
-    r = det.generate_detections_one_image(img, 'crowded.jpg',
-                                          detection_threshold=0.005)
-
+    r = det.generate_detections_one_image(
+        crowded_image, 'crowded.jpg', detection_threshold=0.005)
     assert r['detections'] is not None
-    assert 'pre_nms_truncation' in r, \
-        'truncation beyond pre_nms_topk was not flagged'
-    assert r['pre_nms_truncation'] > 512
-    assert det.n_truncated_images == 1
-    assert 'pre_nms_topk' in capsys.readouterr().out
-
-
-def test_no_flag_when_topk_suffices(checkpoint):
-    """With pre_nms_topk above the candidate count, no flag and no
-    counter increment."""
-
-    det = TPUDetector(checkpoint,
-                      detector_options={'pre_nms_topk': 8192})
-    rng = np.random.RandomState(0)
-    img = rng.randint(0, 255, (256, 256, 3), dtype=np.uint8)
-    r = det.generate_detections_one_image(img, 'ok.jpg',
-                                          detection_threshold=0.005)
     assert 'pre_nms_truncation' not in r
     assert det.n_truncated_images == 0
 
+    big = TPUDetector(checkpoint,
+                      detector_options={'pre_nms_topk': 8192,
+                                        'auto_escalate_topk': 'false'})
+    r_big = big.generate_detections_one_image(
+        crowded_image, 'crowded.jpg', detection_threshold=0.005)
+    assert r['detections'] == r_big['detections']
+
+
+def test_flag_when_escalation_capped(checkpoint, crowded_image, capsys):
+    """Beyond max_pre_nms_topk the tail is genuinely dropped and the
+    image is flagged with the true count."""
+
+    det = TPUDetector(checkpoint,
+                      detector_options={'max_pre_nms_topk': 512})
+    r = det.generate_detections_one_image(
+        crowded_image, 'capped.jpg', detection_threshold=0.005)
+    assert r.get('pre_nms_truncation', 0) > 512
+    assert det.n_truncated_images == 1
+    assert 'candidate' in capsys.readouterr().out
+
+
+def test_flag_when_escalation_disabled(checkpoint, crowded_image):
+    det = TPUDetector(checkpoint,
+                      detector_options={'auto_escalate_topk': 'false'})
+    r = det.generate_detections_one_image(
+        crowded_image, 'noesc.jpg', detection_threshold=0.005)
+    assert r.get('pre_nms_truncation', 0) > 512
+    assert det.n_truncated_images == 1
+
 
 def test_no_flag_at_typical_threshold(checkpoint):
-    """At a typical 0.2 threshold the candidate count is far smaller;
-    the indicator counts only candidates above the requested floor, so
-    a threshold that 512 easily covers must not flag. (Uses a blank
-    image: random-weight logits still clear 0.005 everywhere but rarely
-    0.97+; the count at 0.97 is zero.)"""
+    """At a high threshold the candidate count is tiny; no escalation,
+    no flag (the count respects the requested floor)."""
 
-    det = TPUDetector(checkpoint)
+    det = TPUDetector(checkpoint,
+                      detector_options={'auto_escalate_topk': 'false'})
     img = np.full((256, 256, 3), 114, dtype=np.uint8)
     r = det.generate_detections_one_image(img, 'quiet.jpg',
                                           detection_threshold=0.97)
     assert 'pre_nms_truncation' not in r
 
 
-def test_unfused_path_also_counts(checkpoint):
-    """The unfused decode path (batched_nms) reports the same
-    indicator."""
+def test_unfused_path_also_escalates(checkpoint, crowded_image):
+    """The unfused decode path (batched_nms) escalates identically."""
 
     det = TPUDetector(checkpoint,
                       detector_options={'fused_decode': 'false'})
-    rng = np.random.RandomState(0)
-    img = rng.randint(0, 255, (256, 256, 3), dtype=np.uint8)
-    r = det.generate_detections_one_image(img, 'crowded2.jpg',
-                                          detection_threshold=0.005)
-    assert r.get('pre_nms_truncation', 0) > 512
+    r = det.generate_detections_one_image(
+        crowded_image, 'crowded2.jpg', detection_threshold=0.005)
+    assert 'pre_nms_truncation' not in r
+    assert det.n_truncated_images == 0
