@@ -45,17 +45,21 @@ def crop_filename(image_file, crop_index, detector_version=None):
 
 def parse_crop_filename(crop_path):
     """Inverse of crop_filename: returns (image_file, crop_index) or
-    None when the path does not follow the convention."""
+    None when the path does not follow the convention. Reads ALL index
+    digits — '{:0>2d}' zero-pads but does not truncate, so images with
+    100+ detections produce 3-digit indices that must round-trip."""
+
+    import re
 
     marker = '___crop'
     idx = crop_path.rfind(marker)
     if idx < 0:
         return None
     tail = crop_path[idx + len(marker):]
-    digits = tail[:2]
-    if not digits.isdigit():
+    m = re.match(r'(\d+)', tail)
+    if m is None:
         return None
-    return crop_path[:idx], int(digits)
+    return crop_path[:idx], int(m.group(1))
 
 
 def crop_image_array(img, bbox_norm, square_crop=False):
@@ -137,8 +141,11 @@ def crop_detections(detections_json_path,
         detector_version = v.rsplit('.pt', 1)[0].rsplit('.npz', 1)[0] \
             if v else 'unknown'
 
+    import threading
+
     failed = []
     n_saved = 0
+    count_lock = threading.Lock()
 
     def process_one(im):
         nonlocal n_saved
@@ -158,7 +165,8 @@ def crop_detections(detections_json_path,
         try:
             img = np.asarray(vis_utils.load_image(src))
         except Exception:
-            failed.append(im['file'])
+            with count_lock:
+                failed.append(im['file'])
             return
         for i_det, det in to_crop:
             crop = crop_image_array(img, det['bbox'],
@@ -172,7 +180,8 @@ def crop_detections(detections_json_path,
             from PIL import Image
             Image.fromarray(crop).convert('RGB').save(out_path,
                                                       quality=95)
-            n_saved += 1
+            with count_lock:
+                n_saved += 1
 
     images = data['images']
     if threads > 1:

@@ -117,10 +117,12 @@ def build_queried_images(label_to_inclusions, image_source):
     classification label is emitted with that label attached.
     """
 
-    pair_to_label = {}
+    # A pair may fall under several labels when allow_multilabel was
+    # used; every matching label attaches to the image
+    pair_to_labels = {}
     for label, pairs in label_to_inclusions.items():
         for pair in pairs:
-            pair_to_label[pair] = label
+            pair_to_labels.setdefault(pair, []).append(label)
 
     output_js = {}
     for img_path, info in image_source.items():
@@ -128,13 +130,13 @@ def build_queried_images(label_to_inclusions, image_source):
                            img_path.split('/', 1)[0]
                            if '/' in img_path else '')
         cls = info.get('class', '')
-        label = pair_to_label.get((dataset, cls))
-        if label is None:
+        labels = pair_to_labels.get((dataset, cls))
+        if not labels:
             continue
         entry = dict(info)
         entry['dataset'] = dataset
         entry.setdefault('location', 'unknown')
-        entry['label'] = [label]
+        entry['label'] = sorted(labels)
         output_js[img_path] = entry
     return output_js
 

@@ -13,33 +13,45 @@ import numpy as np
 FAILURE_IMAGE_OPEN = 'image access failure'
 
 
-def _auto_target_shape(shape_hw, image_size, stride, scaleup=True):
-    """Minimal stride-multiple canvas for letterbox(auto=True); mirrors
-    TPUDetector._auto_target_shape / ops/boxes.letterbox rounding."""
+# Per-process view of the detector's max_canvases compile-guard: each
+# worker process tracks the auto canvases it has emitted per
+# (image_size, stride) and falls back to the square canvas beyond the
+# cap, bounding total compiled shapes at ~n_processes * cap worst case
+_SEEN_AUTO_CANVASES = {}
 
-    h, w = int(shape_hw[0]), int(shape_hw[1])
-    r = min(image_size / h, image_size / w)
-    if not scaleup:
-        r = min(r, 1.0)
-    new_w = int(round(w * r))
-    new_h = int(round(h * r))
-    dh = (image_size - new_h) % stride
-    dw = (image_size - new_w) % stride
-    return (new_h + dh, new_w + dw)
+
+def _auto_target_shape(shape_hw, image_size, stride, scaleup=True,
+                       max_canvases=None):
+    """Minimal stride-multiple canvas (single source of truth:
+    ops/boxes.auto_target_shape), with the per-process compile-guard."""
+
+    from megadetector_tpu.ops.boxes import auto_target_shape
+    t = auto_target_shape(shape_hw, image_size, stride=stride,
+                          scaleup=scaleup)
+    if max_canvases is None:
+        return t
+    seen = _SEEN_AUTO_CANVASES.setdefault((image_size, stride), set())
+    if t == (image_size, image_size) or t in seen:
+        return t
+    if len(seen) >= max_canvases:
+        return (image_size, image_size)
+    seen.add(t)
+    return t
 
 
 def load_and_letterbox(args):
     """
     Worker entry: (im_file, image_size, stride, compatibility_mode,
     preprocess_mode[, max_staging_side[, use_native_loader[,
-    canvas_mode]]]) -> (im_file, info dict or failure string). The info
-    dict matches TPUDetector.preprocess_image()'s contract.
+    canvas_mode[, max_canvases]]]]) -> (im_file, info dict or failure
+    string). The info dict matches TPUDetector.preprocess_image()'s
+    contract.
 
     canvas_mode 'auto' letterboxes onto the minimal stride-multiple
     rectangle (the reference's behavior); 'square' (default) onto the
-    full square canvas. The detector's max_canvases compile-guard is
-    per-process here; shape grouping downstream handles whatever
-    arrives.
+    full square canvas. max_canvases applies the detector's
+    compile-guard per worker process (square fallback beyond the cap);
+    shape grouping downstream handles whatever arrives.
     """
 
     (im_file, image_size, stride, compatibility_mode,
@@ -47,6 +59,7 @@ def load_and_letterbox(args):
     max_staging_side = args[5] if len(args) > 5 else None
     use_native_loader = bool(args[6]) if len(args) > 6 else False
     canvas_mode = args[7] if len(args) > 7 else 'square'
+    max_canvases = args[8] if len(args) > 8 else None
 
     from megadetector_tpu.visualization.visualization_utils import \
         load_image
@@ -55,7 +68,8 @@ def load_and_letterbox(args):
     if use_native_loader and preprocess_mode == 'host' and \
             'classic' in compatibility_mode and \
             im_file.lower().endswith(('.jpg', '.jpeg')):
-        info = _native_load(im_file, image_size, stride, canvas_mode)
+        info = _native_load(im_file, image_size, stride, canvas_mode,
+                            max_canvases)
         if info is not None:
             return im_file, info
         # else fall through to the PIL/cv2 path (non-RGB JPEG, mirrored
@@ -75,7 +89,7 @@ def load_and_letterbox(args):
         # scaled image. Perf mode: DCT-scaled decode deviates from
         # full-resolution-resize parity.
         info = _native_load_device(im_file, image_size, stride,
-                                   canvas_mode)
+                                   canvas_mode, max_canvases)
         if info is not None:
             return im_file, info
 
@@ -106,7 +120,8 @@ def load_and_letterbox(args):
                 info['scaling_shape'] = img_original.shape
             if auto:
                 target = _auto_target_shape(
-                    img_original.shape[:2], image_size, stride)
+                    img_original.shape[:2], image_size, stride,
+                    max_canvases=max_canvases)
             else:
                 target = (image_size, image_size)
             info['img_processed'] = None
@@ -118,6 +133,13 @@ def load_and_letterbox(args):
             return im_file, info
 
         if 'classic' in compatibility_mode:
+            if auto and max_canvases is not None:
+                t = _auto_target_shape(img_original.shape[:2],
+                                       image_size, stride,
+                                       max_canvases=max_canvases)
+                auto = (t != (image_size, image_size)) or \
+                    _auto_target_shape(img_original.shape[:2],
+                                       image_size, stride) == t
             img, ratio, pad = box_ops.letterbox(
                 img_original, new_shape=(image_size, image_size),
                 stride=stride, auto=auto, scaleup=True)
@@ -125,6 +147,15 @@ def load_and_letterbox(args):
             use_ceil = 'use_ceil_for_resize' in compatibility_mode
             img_original, _ = box_ops.resize_long_side(
                 img_original, image_size, use_ceil=use_ceil)
+            if auto and max_canvases is not None:
+                t = _auto_target_shape(img_original.shape[:2],
+                                       image_size, stride,
+                                       scaleup=False,
+                                       max_canvases=max_canvases)
+                auto = (t != (image_size, image_size)) or \
+                    _auto_target_shape(img_original.shape[:2],
+                                       image_size, stride,
+                                       scaleup=False) == t
             img, ratio, pad = box_ops.letterbox(
                 img_original, new_shape=(image_size, image_size),
                 stride=stride, auto=auto, scaleup=False)
@@ -140,7 +171,7 @@ def load_and_letterbox(args):
 
 
 def _native_load_device(im_file, image_size, stride=64,
-                        canvas_mode='square'):
+                        canvas_mode='square', max_canvases=None):
     """
     Fused native DCT-scaled decode (no letterbox) for device-preprocess
     staging; returns an info dict or None for the PIL fallback.
@@ -159,7 +190,8 @@ def _native_load_device(im_file, image_size, stride=64,
         return None
 
     if canvas_mode == 'auto':
-        target = _auto_target_shape(img.shape[:2], image_size, stride)
+        target = _auto_target_shape(img.shape[:2], image_size, stride,
+                                    max_canvases=max_canvases)
     else:
         target = (image_size, image_size)
     return {
@@ -175,7 +207,8 @@ def _native_load_device(im_file, image_size, stride=64,
     }
 
 
-def _native_load(im_file, image_size, stride=64, canvas_mode='square'):
+def _native_load(im_file, image_size, stride=64, canvas_mode='square',
+                 max_canvases=None):
     """
     Fused native decode + EXIF rotation + letterbox (C++/libjpeg; see
     native/jpeg_loader.cpp). Returns an info dict, or None to fall back
@@ -208,19 +241,22 @@ def _native_load(im_file, image_size, stride=64, canvas_mode='square'):
                     orientation = 1
             if orientation in (6, 8):
                 h0, w0 = w0, h0  # post-rotation dims
-            canvas_hw = _auto_target_shape((h0, w0), image_size, stride)
+            canvas_hw = _auto_target_shape((h0, w0), image_size, stride,
+                                           max_canvases=max_canvases)
 
         canvas, (h, w) = native.decode_jpeg_letterbox(
-            data, canvas_hw, pad_value=114)
+            data, canvas_hw, pad_value=114,
+            scale_target=int(image_size))
     except Exception:
         return None
 
-    # Mirror ops/boxes.letterbox geometry bookkeeping (auto=False,
-    # scaleup=True) with the C++ kernel's floor(x+0.5) rounding
+    # Mirror ops/boxes.letterbox geometry bookkeeping: the C++ kernel
+    # now derives the ratio from the square scale target and rounds
+    # half-to-even, exactly like letterbox(auto=True)
     ch, cw = canvas.shape[:2]
-    r = min(ch / h, cw / w)
-    new_w = int(np.floor(w * r + 0.5))
-    new_h = int(np.floor(h * r + 0.5))
+    r = min(image_size / h, image_size / w)
+    new_w = min(int(round(w * r)), cw)
+    new_h = min(int(round(h * r)), ch)
     dw = (cw - new_w) / 2.0
     dh = (ch - new_h) / 2.0
     return {

@@ -279,7 +279,8 @@ def load_and_run_detector_batch(model_file,
              getattr(detector, 'preprocess_mode', 'host'),
              getattr(detector, 'max_staging_side', None),
              use_native_loader,
-             getattr(detector, 'canvas_mode', 'square'))
+             getattr(detector, 'canvas_mode', 'square'),
+             getattr(detector, 'max_canvases', None))
             for fn in images_to_process]
 
         def pump():
@@ -315,7 +316,8 @@ def load_and_run_detector_batch(model_file,
                            getattr(detector, 'preprocess_mode', 'host'),
                            getattr(detector, 'max_staging_side', None),
                            True,
-                           getattr(detector, 'canvas_mode', 'square'))
+                           getattr(detector, 'canvas_mode', 'square'),
+                           getattr(detector, 'max_canvases', None))
 
         def loader(worker_idx):
             for i in range(worker_idx, n_images, loader_workers):

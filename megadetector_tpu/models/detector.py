@@ -391,18 +391,18 @@ class TPUDetector:
         (int(H*s), int(W*s)), pads bottom/right up to the next stride
         multiple with gray 0.447 (yolov5 scale_img), runs the network,
         de-scales predictions by the nominal s and de-flips against the
-        original canvas width (yolov5 _descale_pred). All passes'
-        predictions merge before one NMS, like the reference's
-        concatenated TTA output entering its uncapped nms().
-        Cross-checked against a torch implementation of the same recipe
-        in tests/test_tta_parity.py.
+        original canvas width (yolov5 _descale_pred), then clips the
+        augmented tails — the coarsest detect level of the unscaled
+        pass and the finest level of the most-scaled pass
+        (yolov5 _clip_augmented). All passes' predictions merge before
+        one NMS, like the reference's concatenated TTA output entering
+        its uncapped nms(). Cross-checked against a torch
+        implementation of the same recipe in tests/test_tta_parity.py.
         """
 
         key = ('aug', batch_size, height, width)
         if key in self._compiled:
             return self._compiled[key]
-
-        import math
 
         config = self.config
         dtype = self.compute_dtype
@@ -410,68 +410,52 @@ class TPUDetector:
         max_det = self.max_det
         apply_fn = self._apply_fn
         stride = int(self.letterbox_stride)
+        nl = int(getattr(self, '_tta_nl', len(config.strides)))
 
-        # (scale, flip, scaled_h, scaled_w, padded_h, padded_w)
-        passes = [(1.0, False, height, width, height, width)]
-        for s, flip in ((0.83, True), (0.67, False)):
-            sh, sw = int(height * s), int(width * s)
-            ph = int(math.ceil(sh / stride) * stride)
-            pw = int(math.ceil(sw / stride) * stride)
-            passes.append((s, flip, sh, sw, ph, pw))
-
+        passes = tta_passes(height, width, stride)
         fused = self._fused_decode
 
         def program(params, images_u8, conf_thres, iou_thres):
             x = images_u8.astype(dtype) / dtype(255.0)
-            preds = []
+            if not fused:
+                pred = tta_concatenated_predictions(
+                    config, apply_fn, params, x, height, width,
+                    stride, dtype, nl=nl)
+                return batched_nms(pred, conf_thres, iou_thres,
+                                   max_det=max_det,
+                                   pre_nms_topk=pre_nms_topk)
+
             fused_cands = []
-            for (s, flip, sh, sw, ph, pw) in passes:
-                xi = x[:, :, ::-1, :] if flip else x
-                if (sh, sw) != (height, width):
-                    # antialias=False: torch F.interpolate (the
-                    # reference's scale_img) does not antialias on
-                    # downscale
-                    xi = jax.image.resize(
-                        xi, (x.shape[0], sh, sw, x.shape[3]),
-                        method='bilinear',
-                        antialias=False).astype(dtype)
-                if (ph, pw) != (sh, sw):
-                    xi = jnp.pad(
-                        xi, ((0, 0), (0, ph - sh), (0, pw - sw),
-                             (0, 0)),
-                        constant_values=dtype(0.447))
-                if fused:
-                    heads = apply_fn(config, params, xi, dtype=dtype,
-                                     decode=False)
-                    c = select_topk_candidates(
-                        heads, config.anchors, config.strides,
-                        config.num_classes, conf_thres, pre_nms_topk)
-                    bx = c['boxes_cxcywh'] / jnp.float32(s)
-                    if flip:
-                        cx = width - bx[..., 0]
-                        bx = jnp.stack(
-                            [cx, bx[..., 1], bx[..., 2], bx[..., 3]],
-                            axis=-1)
-                    fused_cands.append(dict(c, boxes_cxcywh=bx))
-                    continue
-                p = apply_fn(config, params, xi, dtype=dtype)
-                boxes = p[..., :4] / jnp.float32(s)
+            for i_pass, (s, flip, sh, sw, ph, pw) in enumerate(passes):
+                xi = _tta_transform_input(x, height, width, s, flip,
+                                          sh, sw, ph, pw, dtype)
+                heads = apply_fn(config, params, xi, dtype=dtype,
+                                 decode=False)
+                # _clip_augmented at the head level: skip the coarsest
+                # level on the unscaled pass, the finest level on the
+                # most-scaled pass
+                lvl_slice = slice(None)
+                if nl > 1:
+                    if i_pass == 0:
+                        lvl_slice = slice(0, nl - 1)
+                    elif i_pass == len(passes) - 1:
+                        lvl_slice = slice(1, None)
+                c = select_topk_candidates(
+                    heads[lvl_slice], config.anchors[lvl_slice],
+                    config.strides[lvl_slice],
+                    config.num_classes, conf_thres, pre_nms_topk)
+                bx = c['boxes_cxcywh'] / jnp.float32(s)
                 if flip:
-                    cx = width - boxes[..., 0]
-                    boxes = jnp.concatenate(
-                        [cx[..., None], boxes[..., 1:]], axis=-1)
-                preds.append(jnp.concatenate([boxes, p[..., 4:]],
-                                             axis=-1))
-            if fused:
-                from megadetector_tpu.ops.decode import merge_candidates
-                cands = merge_candidates(fused_cands, pre_nms_topk)
-                return nms_on_candidates(
-                    cands, iou_thres, max_det=max_det,
-                    class_agnostic=(config.num_classes == 1))
-            pred = jnp.concatenate(preds, axis=1)
-            return batched_nms(pred, conf_thres, iou_thres,
-                               max_det=max_det,
-                               pre_nms_topk=pre_nms_topk)
+                    cx = width - bx[..., 0]
+                    bx = jnp.stack(
+                        [cx, bx[..., 1], bx[..., 2], bx[..., 3]],
+                        axis=-1)
+                fused_cands.append(dict(c, boxes_cxcywh=bx))
+            from megadetector_tpu.ops.decode import merge_candidates
+            cands = merge_candidates(fused_cands, pre_nms_topk)
+            return nms_on_candidates(
+                cands, iou_thres, max_det=max_det,
+                class_agnostic=(config.num_classes == 1))
 
         fn = jax.jit(program)
         self._compiled[key] = fn
@@ -540,22 +524,12 @@ class TPUDetector:
     #%% Preprocessing
 
     def _auto_target_shape(self, shape_hw, image_size, scaleup=True):
-        """
-        The minimal stride-multiple canvas letterbox(auto=True) produces
-        for an image of [shape_hw] at square target [image_size]
-        (mirrors ops/boxes.letterbox's rounding exactly).
-        """
+        """The minimal stride-multiple canvas for this detector's
+        stride (single source of truth: ops/boxes.auto_target_shape)."""
 
-        h, w = int(shape_hw[0]), int(shape_hw[1])
-        r = min(image_size / h, image_size / w)
-        if not scaleup:
-            r = min(r, 1.0)
-        new_w = int(round(w * r))
-        new_h = int(round(h * r))
-        stride = self.letterbox_stride
-        dh = (image_size - new_h) % stride
-        dw = (image_size - new_w) % stride
-        return (new_h + dh, new_w + dw)
+        return box_ops.auto_target_shape(
+            shape_hw, image_size, stride=self.letterbox_stride,
+            scaleup=scaleup)
 
     def _use_auto_canvas(self, shape_hw, image_size, scaleup=True):
         """
@@ -774,8 +748,11 @@ class TPUDetector:
         # dropping the lowest-confidence detections. Warn once; callers
         # who need the deep tail can raise pre_nms_topk via
         # detector_options.
+        # Escalation covers standard runs; TTA programs have a fixed
+        # per-pass capacity (and disabled escalation), so the
+        # low-threshold truncation warning stays live for augment runs
         if detection_threshold < 0.005 and self.pre_nms_topk < 2048 and \
-                not self.auto_escalate_topk and \
+                (augment or not self.auto_escalate_topk) and \
                 not self._warned_low_threshold_topk:
             print('Warning: detection_threshold {} is very low but '
                   'pre_nms_topk is {}; detections beyond the top {} '
@@ -970,6 +947,84 @@ class TPUDetector:
                           'max_pre_nms_topk detector option to keep '
                           'them)'.format(
                               info['file'], int(n_cand[slot]), topk))
+
+
+def tta_passes(height, width, stride):
+    """The reference TTA pass table (scale, flip, scaled_h, scaled_w,
+    padded_h, padded_w): (1, no), (0.83, hflip), (0.67, no), scaled
+    dims int()-floored and padded up to the next stride multiple
+    (yolov5 forward_augment + scale_img)."""
+
+    import math
+
+    passes = [(1.0, False, height, width, height, width)]
+    for s, flip in ((0.83, True), (0.67, False)):
+        sh, sw = int(height * s), int(width * s)
+        ph = int(math.ceil(sh / stride) * stride)
+        pw = int(math.ceil(sw / stride) * stride)
+        passes.append((s, flip, sh, sw, ph, pw))
+    return passes
+
+
+def _tta_transform_input(x, height, width, s, flip, sh, sw, ph, pw,
+                         dtype):
+    """One TTA pass's input transform: flip the ORIGINAL canvas, then
+    bilinear-resize (no antialiasing — torch F.interpolate semantics),
+    then pad bottom/right with gray 0.447 (yolov5 scale_img)."""
+
+    xi = x[:, :, ::-1, :] if flip else x
+    if (sh, sw) != (height, width):
+        xi = jax.image.resize(
+            xi, (x.shape[0], sh, sw, x.shape[3]),
+            method='bilinear', antialias=False).astype(dtype)
+    if (ph, pw) != (sh, sw):
+        xi = jnp.pad(xi, ((0, 0), (0, ph - sh), (0, pw - sw), (0, 0)),
+                     constant_values=dtype(0.447))
+    return xi
+
+
+def tta_concatenated_predictions(config, apply_fn, params, x, height,
+                                 width, stride, dtype, nl=None):
+    """
+    The full reference TTA prediction assembly on decoded outputs:
+    per-pass input transform, forward, de-scale by the nominal scale,
+    de-flip against the original canvas width (yolov5 _descale_pred),
+    clip the augmented tails (yolov5 _clip_augmented with its default
+    exclude-layer count of 1: drop the coarsest detect level's rows
+    from the unscaled pass and the finest level's rows from the
+    most-scaled pass; levels are concatenated finest-first, so those
+    are the tail/head row blocks), concatenate. [nl] is the number of
+    detect levels (default from config.strides; pass 1 for single-level
+    stand-ins, which disables clipping). Returns [B, A_total, 5+C].
+
+    Module-level so tests can compare these raw predictions against an
+    independent torch implementation without NMS ambiguity.
+    """
+
+    if nl is None:
+        nl = len(config.strides)
+    passes = tta_passes(height, width, stride)
+    g = sum(4 ** k for k in range(nl))
+
+    preds = []
+    for i_pass, (s, flip, sh, sw, ph, pw) in enumerate(passes):
+        xi = _tta_transform_input(x, height, width, s, flip, sh, sw,
+                                  ph, pw, dtype)
+        p = apply_fn(config, params, xi, dtype=dtype)
+        boxes = p[..., :4] / jnp.float32(s)
+        if flip:
+            cx = width - boxes[..., 0]
+            boxes = jnp.concatenate([cx[..., None], boxes[..., 1:]],
+                                    axis=-1)
+        p = jnp.concatenate([boxes, p[..., 4:]], axis=-1)
+        if nl > 1:
+            a = p.shape[1]
+            if i_pass == 0:
+                p = p[:, : a - a // g]
+            elif i_pass == len(passes) - 1:
+                p = p[:, (a // g) * (4 ** (nl - 1)):]
+        preds.append(p)
+    return jnp.concatenate(preds, axis=1)
 
 
 def _to_bool(v):

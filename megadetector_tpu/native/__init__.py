@@ -171,7 +171,7 @@ def _load_jpeg():
         lib.decode_jpeg_letterbox_rect.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint8,
+            ctypes.c_uint8, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
         lib.decode_jpeg_letterbox_rect.restype = ctypes.c_int
 
@@ -179,7 +179,7 @@ def _load_jpeg():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_long), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint8,
+            ctypes.c_uint8, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
         lib.decode_jpeg_letterbox_batch_rect.restype = None
@@ -209,7 +209,7 @@ def _canvas_hw(canvas):
 
 
 def decode_jpeg_letterbox(jpeg_bytes, canvas, pad_value=114,
-                          dct_scale_target=0):
+                          dct_scale_target=0, scale_target=0):
     """
     Decode one JPEG (bytes), apply EXIF orientation (3/6/8), letterbox
     into a [canvas_h, canvas_w, 3] uint8 canvas (canvas: int for a
@@ -224,6 +224,11 @@ def decode_jpeg_letterbox(jpeg_bytes, canvas, pad_value=114,
     scale_num/8 that still covers that long side — a large speedup on
     multi-megapixel camera-trap images, at a documented deviation from
     full-resolution-resize parity (performance mode only).
+
+    scale_target > 0 derives the letterbox ratio from that square size
+    instead of the rect canvas — pass the model's image_size with a
+    minimal stride-rectangle canvas to reproduce letterbox(auto=True)
+    geometry exactly.
     """
 
     lib = _load_jpeg()
@@ -236,7 +241,8 @@ def decode_jpeg_letterbox(jpeg_bytes, canvas, pad_value=114,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_long(buf.size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        canvas_h, canvas_w, int(pad_value), int(dct_scale_target),
+        canvas_h, canvas_w, int(pad_value), int(scale_target),
+        int(dct_scale_target),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if rc != JL_OK:
         raise ValueError('native JPEG decode failed (code {})'.format(rc))
@@ -299,7 +305,8 @@ def decode_jpeg_scaled(jpeg_bytes, dct_scale_target=0):
 
 
 def decode_jpeg_letterbox_batch(jpeg_buffers, canvas, pad_value=114,
-                                dct_scale_target=0, out=None):
+                                dct_scale_target=0, scale_target=0,
+                                out=None):
     """
     Decode a batch of JPEGs in parallel (OpenMP) straight into a staging
     array [n, canvas_h, canvas_w, 3] (pass [out] to reuse a pinned
@@ -328,7 +335,8 @@ def decode_jpeg_letterbox_batch(jpeg_buffers, canvas, pad_value=114,
     lib.decode_jpeg_letterbox_batch_rect(
         ptrs, lens, n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        canvas_h, canvas_w, int(pad_value), int(dct_scale_target),
+        canvas_h, canvas_w, int(pad_value), int(scale_target),
+        int(dct_scale_target),
         dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         errs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out, dims, errs

@@ -146,10 +146,22 @@ void rotate_rgb(const uint8_t* src, int h, int w, int orientation,
 
 void letterbox_into(const uint8_t* src, int h, int w,
                     uint8_t* dst, int out_h, int out_w,
-                    uint8_t pad_value) {
-    const float r = std::min((float)out_h / h, (float)out_w / w);
-    const int new_w = (int)std::floor(w * r + 0.5f);
-    const int new_h = (int)std::floor(h * r + 0.5f);
+                    uint8_t pad_value, int scale_target) {
+    // The scale ratio derives from the SQUARE scale target when given
+    // (the reference's letterbox(auto=True) computes r before padding
+    // to the stride rectangle); deriving it from the rect canvas can
+    // differ sub-pixel when round() shrank the non-binding side.
+    const float t_h = scale_target > 0 ? (float)scale_target
+                                       : (float)out_h;
+    const float t_w = scale_target > 0 ? (float)scale_target
+                                       : (float)out_w;
+    const float r = std::min(t_h / h, t_w / w);
+    // lrintf = round-half-to-even (default FP mode), matching Python's
+    // int(round()) in ops/boxes.letterbox at exact .5 ties
+    int new_w = (int)lrintf(w * r);
+    int new_h = (int)lrintf(h * r);
+    if (new_w > out_w) new_w = out_w;
+    if (new_h > out_h) new_h = out_h;
     const int left =
         (int)std::floor((out_w - new_w) / 2.0f - 0.1f + 0.5f);
     const int top =
@@ -210,7 +222,7 @@ enum {
 // mode; 0 = always full resolution).
 int decode_jpeg_letterbox_rect(const uint8_t* buf, long len,
                                uint8_t* dst, int canvas_h, int canvas_w,
-                               uint8_t pad_value,
+                               uint8_t pad_value, int scale_target,
                                int dct_scale_target, int* out_dims) {
     int orientation = parse_exif_orientation(buf, (size_t)len);
     if (orientation == 2 || orientation == 4 || orientation == 5 ||
@@ -277,7 +289,7 @@ int decode_jpeg_letterbox_rect(const uint8_t* buf, long len,
     }
 
     letterbox_into(final_pixels, fh, fw, dst, canvas_h, canvas_w,
-                   pad_value);
+                   pad_value, scale_target);
     if (out_dims != nullptr) {
         out_dims[0] = fh;
         out_dims[1] = fw;
@@ -290,7 +302,7 @@ int decode_jpeg_letterbox(const uint8_t* buf, long len,
                           uint8_t* dst, int canvas, uint8_t pad_value,
                           int dct_scale_target, int* out_dims) {
     return decode_jpeg_letterbox_rect(buf, len, dst, canvas, canvas,
-                                      pad_value, dct_scale_target,
+                                      pad_value, 0, dct_scale_target,
                                       out_dims);
 }
 
@@ -384,14 +396,14 @@ int decode_jpeg_scaled(const uint8_t* buf, long len,
 void decode_jpeg_letterbox_batch_rect(
         const uint8_t** bufs, const long* lens,
         int n, uint8_t* dst, int canvas_h, int canvas_w,
-        uint8_t pad_value, int dct_scale_target,
+        uint8_t pad_value, int scale_target, int dct_scale_target,
         int* out_dims, int* errs) {
     const size_t slot = (size_t)canvas_h * canvas_w * 3;
     #pragma omp parallel for schedule(dynamic)
     for (int i = 0; i < n; ++i) {
         errs[i] = decode_jpeg_letterbox_rect(
             bufs[i], lens[i], dst + (size_t)i * slot, canvas_h,
-            canvas_w, pad_value, dct_scale_target,
+            canvas_w, pad_value, scale_target, dct_scale_target,
             out_dims + (size_t)i * 2);
     }
 }
@@ -401,7 +413,7 @@ void decode_jpeg_letterbox_batch(const uint8_t** bufs, const long* lens,
                                  uint8_t pad_value, int dct_scale_target,
                                  int* out_dims, int* errs) {
     decode_jpeg_letterbox_batch_rect(bufs, lens, n, dst, canvas, canvas,
-                                     pad_value, dct_scale_target,
+                                     pad_value, 0, dct_scale_target,
                                      out_dims, errs);
 }
 

@@ -32,8 +32,9 @@ void letterbox_u8_rect(const uint8_t* src, int h, int w,
                        uint8_t pad_value) {
 
     const float r = std::min((float)out_h / h, (float)out_w / w);
-    const int new_w = (int)std::floor(w * r + 0.5f);
-    const int new_h = (int)std::floor(h * r + 0.5f);
+    // lrintf = round-half-to-even, matching Python's int(round())
+    const int new_w = (int)lrintf(w * r);
+    const int new_h = (int)lrintf(h * r);
     const int left = (int)std::floor((out_w - new_w) / 2.0f - 0.1f + 0.5f);
     const int top = (int)std::floor((out_h - new_h) / 2.0f - 0.1f + 0.5f);
 

@@ -25,6 +25,28 @@ except ImportError:  # pragma: no cover - cv2 is expected to be present
     cv2 = None
 
 
+def auto_target_shape(shape_hw, image_size, stride=64, scaleup=True):
+    """
+    The minimal stride-multiple canvas letterbox(auto=True) produces
+    for an image of [shape_hw] at square target [image_size]. The ONE
+    place this geometry lives (detector preprocessing, the loader
+    worker, and the device-preprocess path all call it): rounding is
+    int(round()) — Python banker's rounding — exactly like letterbox's
+    new_unpad computation below, so predicted canvases always match
+    what letterbox actually produces.
+    """
+
+    h, w = int(shape_hw[0]), int(shape_hw[1])
+    r = min(image_size / h, image_size / w)
+    if not scaleup:
+        r = min(r, 1.0)
+    new_w = int(round(w * r))
+    new_h = int(round(h * r))
+    dh = (image_size - new_h) % stride
+    dw = (image_size - new_w) % stride
+    return (new_h + dh, new_w + dw)
+
+
 def letterbox(im, new_shape=(1280, 1280), color=(114, 114, 114), auto=True,
               scale_fill=False, scaleup=True, stride=64):
     """

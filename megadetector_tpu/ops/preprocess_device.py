@@ -108,8 +108,12 @@ def _letterbox_one_matmul(image_u8, height, width, out_size,
     w = width.astype(jnp.float32)
 
     r = jnp.minimum(t / h, t / w)
-    new_w = _round_half_away(w * r)
-    new_h = _round_half_away(h * r)
+    # jnp.round = round-half-to-even, matching Python's int(round())
+    # in letterbox/auto_target_shape — at an exact .5 tie a half-away
+    # round would scale content one row past the minimal auto canvas
+    new_w = jnp.round(w * r)
+    new_h = jnp.round(h * r)
+    # The -0.1 offset makes these tie-free; keep floor(x+0.5)
     left = _round_half_away((s_w - new_w) / 2.0 - 0.1)
     top = _round_half_away((s_h - new_h) / 2.0 - 0.1)
 
@@ -148,10 +152,10 @@ def _letterbox_one_gather(image_u8, height, width, out_size,
     w = width.astype(jnp.float32)
 
     r = jnp.minimum(t / h, t / w)
-    new_w = _round_half_away(w * r)
-    new_h = _round_half_away(h * r)
+    new_w = jnp.round(w * r)  # half-to-even, see the matmul variant
+    new_h = jnp.round(h * r)
     # letterbox splits the pad as dw/2 with round(x -/+ 0.1): the left/top
-    # side gets round(pad/2 - 0.1)
+    # side gets round(pad/2 - 0.1); the -0.1 offset makes these tie-free
     left = _round_half_away((s_w - new_w) / 2.0 - 0.1)
     top = _round_half_away((s_h - new_h) / 2.0 - 0.1)
 

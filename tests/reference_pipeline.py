@@ -97,15 +97,26 @@ def reference_scale_img(x, ratio, gs):
     return F.pad(x, (0, pw - sw, 0, ph - sh), value=0.447)
 
 
-def reference_forward_augment(model, x, gs):
+def reference_forward_augment(model, x, gs, nl=None):
     """
     yolov5's Model.forward_augment (the behavior behind the
     reference's augment=True, pytorch_detector.py:1313): passes
     (scale, flip-dim) = (1, None), (0.83, 3), (0.67, None); each pass
     optionally hflips, scale_imgs, forwards, then de-scales by the
     nominal scale and de-flips against the original canvas width
-    (_descale_pred). Returns the concatenated predictions.
+    (_descale_pred); finally the augmented tails clip
+    (_clip_augmented, exclude-layer count 1): the coarsest detect
+    level's rows drop from the unscaled pass and the finest level's
+    rows from the most-scaled pass. [nl] = number of detect levels
+    (introspected from a TorchYolo mirror; single-level stand-ins pass
+    or infer 1, which disables clipping). Returns the concatenated
+    predictions.
     """
+
+    if nl is None:
+        detect = getattr(model, 'model', [None])[-1] \
+            if hasattr(model, 'model') else None
+        nl = int(getattr(detect, 'nl', 1))
 
     img_w = x.shape[3]
     ys = []
@@ -118,6 +129,13 @@ def reference_forward_augment(model, x, gs):
         if flip_dim == 3:
             yi[..., 0] = img_w - yi[..., 0]
         ys.append(yi)
+
+    if nl > 1:
+        g = sum(4 ** k for k in range(nl))
+        a0 = ys[0].shape[1]
+        ys[0] = ys[0][:, : a0 - a0 // g]
+        a2 = ys[-1].shape[1]
+        ys[-1] = ys[-1][:, (a2 // g) * (4 ** (nl - 1)):]
     return torch.cat(ys, 1)
 
 

@@ -105,4 +105,7 @@ def make_stub_detector(checkpoint_path, detector_options=None):
     # The stub emits decoded predictions directly; the fused
     # head-logit candidate selection only applies to real yolov5 heads
     detector._fused_decode = False
+    # Single-level stand-in: TTA's _clip_augmented (which drops detect
+    # LEVELS) does not apply
+    detector._tta_nl = 1
     return detector

@@ -81,3 +81,78 @@ def test_tta_differs_from_single_pass(stub_pair):
     tta = detector.generate_detections_one_image(
         img, 'p.jpg', detection_threshold=0.005, augment=True)
     assert plain['detections'] != tta['detections']
+
+
+def test_tta_raw_predictions_match_torch_mirror(tmp_path):
+    """
+    Anchor-aligned raw-prediction parity on a REAL 3-level yolov5
+    (exercising _clip_augmented, which the stub's single level cannot):
+    the JAX TTA assembly vs the torch implementation of
+    forward_augment/scale_img/_descale_pred/_clip_augmented, row for
+    row — no NMS ambiguity.
+    """
+
+    import jax.numpy as jnp
+    import torch
+
+    from megadetector_tpu.models.convert_weights import \
+        convert_yolov5_state_dict
+    from megadetector_tpu.models.detector import \
+        tta_concatenated_predictions
+    from reference_pipeline import reference_forward_augment
+    from torch_yolo_ref import make_torch_model
+
+    cfg = yolov5.YoloV5Config('yolov5n', num_classes=3)
+    model = make_torch_model(cfg, seed=4)
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params, _ = convert_yolov5_state_dict(state, cfg)
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+    x_jax = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+    x_torch = torch.tensor(
+        img.transpose(2, 0, 1)[None].astype(np.float32) / 255.0)
+
+    pred_jax = np.asarray(tta_concatenated_predictions(
+        cfg, yolov5.apply, params, x_jax, 96, 128, 32, jnp.float32))
+    pred_torch = reference_forward_augment(model, x_torch,
+                                           gs=32).numpy()
+
+    assert pred_jax.shape == pred_torch.shape
+    # The clip really removed rows: full 3-pass total minus the
+    # unscaled pass's coarsest level and the 0.67 pass's finest level
+    a_full = sum((h // s) * (w // s) * 3
+                 for h, w in ((96, 128), (96, 128), (64, 96))
+                 for s in (8, 16, 32))
+    assert pred_jax.shape[1] < a_full
+
+    # Per-level row-order alignment (JAX flattens [H, W, na], torch
+    # [na, H, W]; see test_yolov5_model._reorder_jax_to_torch). The
+    # clip keeps whole levels, so align level blocks per pass:
+    # pass 0 (96x128) keeps strides (8, 16); pass 1 (96x128, the 0.83
+    # scaled dims pad back to the same canvas) keeps all; pass 2
+    # (64x96) keeps (16, 32).
+    def reorder(pred):
+        na, no = 3, 8
+        blocks = []
+        offset = 0
+        for (h, w), strides in (((96, 128), (8, 16)),
+                                ((96, 128), (8, 16, 32)),
+                                ((64, 96), (16, 32))):
+            for s in strides:
+                ny, nx = h // s, w // s
+                n = ny * nx * na
+                b = pred[:, offset:offset + n].reshape(
+                    pred.shape[0], ny, nx, na, no)
+                blocks.append(np.transpose(b, (0, 3, 1, 2, 4)).reshape(
+                    pred.shape[0], n, no))
+                offset += n
+        assert offset == pred.shape[1]
+        return np.concatenate(blocks, axis=1)
+
+    pred_jax = reorder(pred_jax)
+
+    d_box = np.abs(pred_jax[..., :4] - pred_torch[..., :4])
+    d_score = np.abs(pred_jax[..., 4:] - pred_torch[..., 4:])
+    assert d_box.max() < 0.1, d_box.max()      # canvas pixels
+    assert d_score.max() < 2e-3, d_score.max()
