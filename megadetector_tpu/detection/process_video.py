@@ -225,7 +225,11 @@ def main():
     parser.add_argument('input_video_file',
                         help='video file or folder to process')
     parser.add_argument('--output_json_file', default=None)
-    parser.add_argument('--recursive', action='store_true', default=True)
+    parser.add_argument('--recursive',
+                        action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help='recurse into subfolders (default on; '
+                             'disable with --no-recursive)')
     parser.add_argument('--frame_sample', type=int, default=None,
                         help='process every Nth frame')
     parser.add_argument('--time_sample', type=float, default=None,

@@ -150,22 +150,34 @@ def _classify_detections_for_images(data, image_base, classifier, options):
     crop_q = queue.Queue(maxsize=options.crop_queue_depth)
 
     def producer(worker_idx):
-        for im in work[worker_idx::n_workers]:
-            qualifying = _qualifying_detections(im, options)
-            try:
-                image_np = np.asarray(vis_utils.load_image(
-                    os.path.join(image_base, im['file'])))
-            except Exception:
-                continue
-            for i_det, det in qualifying:
-                crop = extract_crop(image_np, det['bbox'],
-                                    expansion=options.crop_expansion,
-                                    square=options.square_crops)
-                if crop.size == 0:
+        # The sentinel MUST reach the queue even if a crop transform
+        # raises (a dead producer without its sentinel hangs the
+        # consumer forever); per-image/per-crop failures are contained
+        try:
+            for im in work[worker_idx::n_workers]:
+                qualifying = _qualifying_detections(im, options)
+                try:
+                    image_np = np.asarray(vis_utils.load_image(
+                        os.path.join(image_base, im['file'])))
+                except Exception:
                     continue
-                crop = classifier.preprocess_crop(crop)
-                crop_q.put((det, crop))
-        crop_q.put(None)
+                for i_det, det in qualifying:
+                    try:
+                        crop = extract_crop(
+                            image_np, det['bbox'],
+                            expansion=options.crop_expansion,
+                            square=options.square_crops)
+                        if crop.size == 0:
+                            continue
+                        crop = classifier.preprocess_crop(crop)
+                    except Exception as e:
+                        if options.verbose:
+                            print('Crop failure in {}: {}'.format(
+                                im['file'], e))
+                        continue
+                    crop_q.put((det, crop))
+        finally:
+            crop_q.put(None)
 
     threads = []
     for w in range(n_workers):
@@ -214,15 +226,20 @@ def _classify_detections_for_videos(data, video_base, classifier,
                 int(det.get('frame_number', 0)), []).append(det)
 
         def frame_callback(frame_np, frame_id):
-            frame_number = int(frame_id.replace('frame', '')
-                               .replace('.jpg', ''))
+            frame_number = video_utils._filename_to_frame_number(
+                frame_id)
             for det in frame_to_dets.get(frame_number, []):
-                crop = extract_crop(frame_np, det['bbox'],
-                                    expansion=options.crop_expansion,
-                                    square=options.square_crops)
-                if crop.size == 0:
-                    continue
-                crop_q.put((det, classifier.preprocess_crop(crop)))
+                try:
+                    crop = extract_crop(
+                        frame_np, det['bbox'],
+                        expansion=options.crop_expansion,
+                        square=options.square_crops)
+                    if crop.size == 0:
+                        continue
+                    crop_q.put((det, classifier.preprocess_crop(crop)))
+                except Exception as e:
+                    if options.verbose:
+                        print('Video crop failure: {}'.format(e))
 
         video_path = os.path.join(video_base, im['file'])
         try:
@@ -236,9 +253,11 @@ def _classify_detections_for_videos(data, video_base, classifier,
                     im['file'], e))
 
     def producer(worker_idx):
-        for im, qualifying in work[worker_idx::n_workers]:
-            process_video(im, qualifying)
-        crop_q.put(None)
+        try:
+            for im, qualifying in work[worker_idx::n_workers]:
+                process_video(im, qualifying)
+        finally:
+            crop_q.put(None)
 
     threads = []
     for w in range(n_workers):
@@ -303,6 +322,13 @@ def run_md_and_classifier(options):
             video_options.time_sample = options.time_sample
             video_options.json_confidence_threshold = \
                 options.detection_confidence_threshold
+            # Videos must detect with the SAME configuration as images
+            video_options.detector_options = ct_utils.parse_kvp_list(
+                options.detector_options) \
+                if isinstance(options.detector_options, list) \
+                else options.detector_options
+            video_options.image_size = options.image_size
+            video_options.verbose = options.verbose
             process_video_module.process_videos(video_options)
             with open(video_options.output_json_file) as f:
                 video_data = json.load(f)

@@ -76,6 +76,9 @@ def get_patch_boundaries(image_size, patch_size, patch_stride=None):
     assert patch_size[1] <= image_height, \
         'Patch height {} exceeds image height {}'.format(
             patch_size[1], image_height)
+    # A zero stride (tile_overlap >= ~1.0) would loop forever below
+    assert patch_stride[0] > 0 and patch_stride[1] > 0, \
+        'Patch stride must be positive (is tile_overlap < 1.0?)'
 
     def axis_starts(length, patch, stride):
         starts = [0]
@@ -245,9 +248,22 @@ def run_tiled_inference(model_file, image_folder, tiling_folder, output_file,
         os.makedirs(tiling_folder, exist_ok=True)
 
     output_images = []
+    images_since_checkpoint = 0
+
+    # Resume support: skip images already present in a checkpoint
+    already_processed = set()
+    if checkpoint_path is not None and os.path.isfile(checkpoint_path):
+        output_images = run_detector_batch.load_checkpoint(
+            checkpoint_path)
+        already_processed = {im['file'] for im in output_images}
+        print('Resumed {} tiled results from {}'.format(
+            len(output_images), checkpoint_path))
 
     for image_fn_relative in tqdm(image_files_relative,
                                   desc='Tiled inference'):
+
+        if image_fn_relative in already_processed:
+            continue
 
         image_fn_abs = os.path.join(image_folder, image_fn_relative)
         output_im = {'file': image_fn_relative}
@@ -324,6 +340,13 @@ def run_tiled_inference(model_file, image_folder, tiling_folder, output_file,
             output_im['detections'] = detections
         output_images.append(output_im)
 
+        images_since_checkpoint += 1
+        if checkpoint_path is not None and checkpoint_frequency > 0 \
+                and images_since_checkpoint >= checkpoint_frequency:
+            run_detector_batch.write_checkpoint(checkpoint_path,
+                                               output_images)
+            images_since_checkpoint = 0
+
     # --- Cross-tile dedup
     md_results = {'images': output_images}
     in_place_nms(md_results, iou_thres=NMS_IOU_THRESHOLD, verbose=verbose)
@@ -332,6 +355,15 @@ def run_tiled_inference(model_file, image_folder, tiling_folder, output_file,
         md_results['images'], output_file,
         relative_path_base=None,
         detector_file=model_file if isinstance(model_file, str) else None)
+
+    # Success: the checkpoint is no longer needed, and saved tiles are
+    # removed unless the caller asked to keep them
+    if checkpoint_path is not None and os.path.isfile(checkpoint_path):
+        os.remove(checkpoint_path)
+    if remove_tiles and save_tiles and tiling_folder is not None and \
+            os.path.isdir(tiling_folder):
+        import shutil
+        shutil.rmtree(tiling_folder, ignore_errors=True)
 
     return output
 

@@ -156,6 +156,27 @@ def extract_torch_state_dict(checkpoint_path, verbose=False):
     model_obj = None
     extras = {}
     if isinstance(ckpt, dict):
+        # Harvest top-level training-config blocks (RF-DETR stores an
+        # 'args' Namespace / 'model_config' dict carrying resolution
+        # and class names next to the weights)
+        for cfg_key in ('args', 'model_config', 'config'):
+            cfg = ckpt.get(cfg_key)
+            if cfg is None:
+                continue
+            cfg_dict = cfg if isinstance(cfg, dict) else \
+                getattr(cfg, '__dict__', {})
+            clean = {}
+            for k, v in dict(cfg_dict).items():
+                try:
+                    if hasattr(v, 'tolist'):
+                        v = v.tolist()
+                    json.dumps(v)
+                    clean[k] = v
+                except (TypeError, ValueError):
+                    pass
+            if clean:
+                extras['model_config'] = clean
+                break
         for key in ('model', 'ema'):
             if key in ckpt and ckpt[key] is not None:
                 model_obj = ckpt[key]
@@ -493,8 +514,10 @@ def convert_rfdetr_checkpoint(checkpoint_path, output_path=None,
     if image_size is None:
         image_size = int(model_config.get('resolution', 560))
     if class_names is None:
-        class_names = extras.get('class_names',
-                                 model_config.get('class_names'))
+        class_names = extras.get(
+            'class_names',
+            model_config.get('class_names',
+                             model_config.get('names')))
 
     from megadetector_tpu.models.rfdetr import RFDetrConfig
     config = RFDetrConfig(arch, num_classes=num_classes,
@@ -555,9 +578,13 @@ def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
             assert cls_keys, 'Cannot infer class count'
             num_classes = state_dict[cls_keys[0]].shape[0]
         else:
-            # Infer from a detect-head shape: out_channels = na*(5+nc)
+            # Infer from a detect-head conv: out_channels = na*(5+nc).
+            # Only plain '...m.<level>.weight' keys are detect heads —
+            # backbone C3 blocks also contain '.m.' ('.m.0.cv1...'),
+            # so require the key to END at the level index
+            import re
             head_keys = [k for k in state_dict
-                         if k.endswith('.weight') and '.m.' in k]
+                         if re.search(r'\.m\.\d+\.weight$', k)]
             assert len(head_keys) > 0, 'Cannot infer class count'
             out_ch = state_dict[sorted(head_keys)[0]].shape[0]
             num_classes = out_ch // 3 - 5
@@ -615,7 +642,7 @@ def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
 
 def quantize_checkpoint(input_path, output_path,
                         calibration_folder=None,
-                        calibration_image_size=640,
+                        calibration_image_size=None,
                         n_calibration_images=8, verbose=False,
                         mode='chain'):
     """
@@ -643,9 +670,19 @@ def quantize_checkpoint(input_path, output_path,
     params, metadata = load_checkpoint(input_path)
     metadata = metadata or {}
     arch = metadata.get('arch', 'yolov5l6')
+    if not arch.startswith('yolov5'):
+        raise ValueError(
+            'int8-chain quantization currently supports the yolov5 '
+            'family only (checkpoint arch: {}); run this model in '
+            'bf16 instead'.format(arch))
     config = _yolov5.YoloV5Config(
         arch, num_classes=int(metadata.get('num_classes', 3)),
         anchors=metadata.get('anchors'))
+
+    # Calibrate at the SERVING resolution by default: static activation
+    # scales baked at a smaller canvas can clip at the real one
+    if calibration_image_size is None:
+        calibration_image_size = int(metadata.get('image_size', 640))
 
     if mode == 'chain':
         # Fold the early layers BEFORE chain quantization: the folded

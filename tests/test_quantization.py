@@ -321,3 +321,19 @@ def test_quantized_checkpoint_with_device_preprocess(tmp_path):
                                      out_d['detections'],
                                      options=options, image_id='x.jpg')
     assert result['errors'] == [], result['errors']
+
+
+def test_quantize_checkpoint_rejects_non_yolov5(tmp_path):
+    """The CLI advertises --quantize; non-yolov5 checkpoints must fail
+    with a clear message, not an internal config assert."""
+
+    import json
+    import numpy as np
+    from megadetector_tpu.models.convert_weights import (
+        quantize_checkpoint, save_checkpoint)
+
+    path = str(tmp_path / 'v8.npz')
+    save_checkpoint({'dummy': np.zeros((1,), np.float32)}, path,
+                    {'arch': 'yolov8l', 'num_classes': 3})
+    with pytest.raises(ValueError, match='yolov5'):
+        quantize_checkpoint(path, str(tmp_path / 'q.npz'))

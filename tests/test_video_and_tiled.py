@@ -251,3 +251,59 @@ def test_run_tiled_inference_end_to_end(tiny_checkpoint, tmp_path):
             x, y, w, h = det['bbox']
             assert -0.001 <= x and x + w <= 1.001
             assert -0.001 <= y and y + h <= 1.001
+
+
+def test_tiled_stride_validation():
+    """tile_overlap ~1.0 resolves to a zero stride and must be
+    rejected instead of looping forever."""
+
+    from megadetector_tpu.detection.run_tiled_inference import \
+        get_patch_boundaries
+    with pytest.raises(AssertionError, match='stride'):
+        get_patch_boundaries((512, 512), (128, 128), patch_stride=0.0)
+
+
+def test_tiled_checkpoint_resume(tiny_checkpoint, tmp_path):
+    """run_tiled_inference writes checkpoints, resumes past completed
+    images, and deletes the checkpoint on success."""
+
+    import numpy as np
+    from PIL import Image
+    from megadetector_tpu.detection.run_tiled_inference import \
+        run_tiled_inference
+
+    folder = tmp_path / 'imgs'
+    folder.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (200, 260, 3),
+                                    dtype=np.uint8)).save(
+            str(folder / 'im_{}.jpg'.format(i)))
+
+    ckpt = str(tmp_path / 'tiled_checkpoint.json')
+    out_file = str(tmp_path / 'tiled.json')
+    run_tiled_inference(
+        tiny_checkpoint, str(folder), str(tmp_path / 'tiles'), out_file,
+        tile_size_x=128, tile_size_y=128, batch_size=4,
+        checkpoint_path=ckpt, checkpoint_frequency=1,
+        detector_options={'use_mesh': 'false'})
+    assert not os.path.isfile(ckpt)  # deleted on success
+    with open(out_file) as f:
+        done = json.load(f)
+    assert len(done['images']) == 3
+
+    # Simulate a crash: seed a checkpoint with one finished image and
+    # confirm the rerun skips it
+    from megadetector_tpu.detection import run_detector_batch
+    run_detector_batch.write_checkpoint(
+        ckpt, [dict(done['images'][0],
+                    file=done['images'][0]['file'])])
+    out2 = str(tmp_path / 'tiled2.json')
+    run_tiled_inference(
+        tiny_checkpoint, str(folder), str(tmp_path / 'tiles'), out2,
+        tile_size_x=128, tile_size_y=128, batch_size=4,
+        checkpoint_path=ckpt, checkpoint_frequency=1,
+        detector_options={'use_mesh': 'false'})
+    with open(out2) as f:
+        resumed = json.load(f)
+    assert len(resumed['images']) == 3
