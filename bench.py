@@ -31,7 +31,7 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 17.6  # MDv5 on RTX 4090, reference megadetector.md:350
 
 
-def _accelerator_is_healthy(timeout_s=240, retries=3, retry_wait_s=60):
+def _accelerator_is_healthy(timeout_s=240, retries=5, retry_wait_s=150):
     """
     Probe the default JAX backend in a subprocess with a timeout: a wedged
     remote-TPU tunnel blocks forever in device ops, which would otherwise
@@ -42,6 +42,9 @@ def _accelerator_is_healthy(timeout_s=240, retries=3, retry_wait_s=60):
     # The child self-exits via a watchdog thread (os._exit works even while
     # the main thread is blocked in a device op). NEVER hard-kill a process
     # mid-TPU-op from outside: that wedges the remote tunnel claim.
+    # Retries are patient (5 x 240s probes with 150s backoffs ~= 30 min)
+    # because an externally wedged relay has been observed to need
+    # ~1-1.5 h to recover on its own (round-3 notes in NEXT.md).
     probe = (
         'import os, threading;'
         'threading.Timer({}, lambda: os._exit(3)).start();'
@@ -314,7 +317,7 @@ if __name__ == '__main__':
     # timeout, report the best COMPLETED variant (honest partial) or an
     # explicit failure record, and self-exit without waiting for the
     # wedged op.
-    wall_limit_s = float(os.environ.get('BENCH_WALL_LIMIT_S', '2400'))
+    wall_limit_s = float(os.environ.get('BENCH_WALL_LIMIT_S', '3300'))
     shared = {}
 
     def _run():
