@@ -114,6 +114,7 @@ def load_and_letterbox(args):
             # distinct size. Normalized coords are scale-invariant, so
             # scaling_shape tracks the shrunk image.
             max_side = int(max_staging_side or 4096)
+            info['original_shape'] = img_original.shape
             if max(img_original.shape[:2]) > max_side:
                 img_original, _ = box_ops.resize_long_side(
                     img_original, max_side)

@@ -89,23 +89,34 @@ def load_detector(model_file, force_cpu=False, detector_options=None,
     start = time.time()
 
     if model_file.endswith('.pt'):
-        # Original torch checkpoint: convert once, cache next to the model
-        # cache, then load the converted artifact
+        # Original torch checkpoint: convert once, cache, then load the
+        # converted artifact. The cache key includes a content hash of
+        # the .pt file — a user-supplied checkpoint that merely NAMES a
+        # known version (e.g. a fine-tune called my_v5a.0.1.pt) must
+        # never silently resolve to the stock converted weights, and
+        # converting it must never poison the stock cache entry.
+        import hashlib
         from megadetector_tpu.models.convert_weights import \
             convert_megadetector_checkpoint
         version = registry.get_detector_version_from_model_file(model_file)
-        converted = registry.find_converted_checkpoint(version or 'unknown')
-        if converted is None:
-            out_path = os.path.join(
-                registry.get_default_model_folder(),
-                'md_{}.npz'.format(version or
-                                   os.path.basename(model_file)))
+        with open(model_file, 'rb') as f:
+            head = f.read(1 << 20)
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+        digest = hashlib.sha256(
+            head + str(size).encode()).hexdigest()[:10]
+        out_path = os.path.join(
+            registry.get_default_model_folder(),
+            'md_{}_{}.npz'.format(version or
+                                  os.path.basename(model_file),
+                                  digest))
+        if not os.path.isfile(out_path):
             print('Converting torch checkpoint {} -> {}'.format(
                 model_file, out_path))
-            converted = convert_megadetector_checkpoint(
+            convert_megadetector_checkpoint(
                 model_file, out_path, model_version=version,
                 verbose=verbose)
-        model_file = converted
+        model_file = out_path
     elif model_file.endswith('.pb'):
         # Legacy MDv2-v4 frozen graphs: TF CPU runtime (no TPU path)
         from megadetector_tpu.detection.tf_detector import TFDetector
@@ -162,8 +173,10 @@ def load_and_run_detector(model_file, image_file_names, output_dir,
         fn = '{}{}{}'.format(name, DETECTION_FILENAME_INSERT, '.jpg')
         if fn in output_filename_collision_counts:
             n_collisions = output_filename_collision_counts[fn]
-            fn = '{:0>4d}'.format(n_collisions) + '_' + fn
+            # Increment under the ORIGINAL key so the 3rd+ duplicate
+            # gets a fresh prefix instead of overwriting the 2nd
             output_filename_collision_counts[fn] = n_collisions + 1
+            fn = '{:0>4d}'.format(n_collisions) + '_' + fn
         else:
             output_filename_collision_counts[fn] = 0
         return os.path.join(output_dir, fn)

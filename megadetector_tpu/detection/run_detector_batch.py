@@ -210,13 +210,16 @@ def load_and_run_detector_batch(model_file,
     images_to_process = [fn for fn in image_file_names
                          if fn not in already_processed]
 
-    # Under pytest, randomize processing order to surface batching bugs
-    # (results stay index-ordered, and the writer sorts by filename, so
-    # correctness is order-invariant by contract)
-    # (reference anti-flake hardening: run_detector_batch.py:100-106)
+    # Under pytest, randomize PROCESSING order to surface batching bugs
+    # while preserving the caller-visible return order (reference
+    # anti-flake hardening: run_detector_batch.py:100-106). perm[j] is
+    # the original index of the j-th processed image.
+    perm = None
     if os.environ.get('PYTEST_CURRENT_TEST') is not None:
         import random as _random
-        _random.Random(0).shuffle(images_to_process)
+        perm = list(range(len(images_to_process)))
+        _random.Random(0).shuffle(perm)
+        images_to_process = [images_to_process[i] for i in perm]
     if len(images_to_process) < len(image_file_names) and not quiet:
         print('Bypassing {} already-processed images'.format(
             len(image_file_names) - len(images_to_process)))
@@ -265,6 +268,14 @@ def load_and_run_detector_batch(model_file,
     preprocessed_q = queue.Queue(maxsize=queue_depth)
     n_images = len(images_to_process)
 
+    # EXIF enrichment runs on the Python loader path only; the process
+    # workers don't collect it, so those runs use the thread pool
+    if loader_pool_type == 'process' and (include_exif_data or
+                                          include_image_timestamp):
+        print('Note: EXIF enrichment requires the thread loader pool; '
+              'switching loader_pool_type to thread')
+        loader_pool_type = 'thread'
+
     threads = []
     if loader_pool_type == 'process':
         import multiprocessing
@@ -287,15 +298,28 @@ def load_and_run_detector_batch(model_file,
             # spawn, not fork: JAX is initialized (and multithreaded) in
             # this process by the time the pool starts; forking it can
             # deadlock. The worker module is jax-free, so spawn is safe.
-            with ProcessPoolExecutor(
-                    max_workers=loader_workers,
-                    mp_context=multiprocessing.get_context('spawn')) as pool:
-                for i, (im_file, info) in enumerate(
-                        pool.map(load_and_letterbox, worker_args,
-                                 chunksize=4)):
-                    preprocessed_q.put((i, im_file, info))
-            for _ in range(loader_workers):
-                preprocessed_q.put(None)
+            # Sentinels go out in finally: a broken pool (OOM-killed
+            # child, spawn failure) must fail the run, not hang the
+            # consumer waiting for sentinels that never come.
+            i = -1
+            try:
+                with ProcessPoolExecutor(
+                        max_workers=loader_workers,
+                        mp_context=multiprocessing.get_context(
+                            'spawn')) as pool:
+                    for i, (im_file, info) in enumerate(
+                            pool.map(load_and_letterbox, worker_args,
+                                     chunksize=4)):
+                        preprocessed_q.put((i, im_file, info))
+            except Exception as e:
+                print('Loader pool failure: {}'.format(e))
+                # Mark the images the pool never delivered as failures
+                for j in range(i + 1, n_images):
+                    preprocessed_q.put((j, images_to_process[j],
+                                        FAILURE_IMAGE_OPEN))
+            finally:
+                for _ in range(loader_workers):
+                    preprocessed_q.put(None)
 
         t = threading.Thread(target=pump, daemon=True)
         t.start()
@@ -320,16 +344,28 @@ def load_and_run_detector_batch(model_file,
                            getattr(detector, 'max_canvases', None))
 
         def loader(worker_idx):
-            for i in range(worker_idx, n_images, loader_workers):
-                im_file = images_to_process[i]
-                if native_ok:
-                    _, info = _native_worker((im_file,) + native_args)
-                else:
-                    info = _load_and_preprocess(
-                        detector, im_file, image_size=image_size,
-                        include_exif_data=include_exif_data)
-                preprocessed_q.put((i, im_file, info))
-            preprocessed_q.put(None)  # per-worker sentinel
+            # The sentinel must reach the queue even if a loader path
+            # raises unexpectedly; undelivered images become failures
+            delivered = set()
+            try:
+                for i in range(worker_idx, n_images, loader_workers):
+                    im_file = images_to_process[i]
+                    if native_ok:
+                        _, info = _native_worker((im_file,) + native_args)
+                    else:
+                        info = _load_and_preprocess(
+                            detector, im_file, image_size=image_size,
+                            include_exif_data=include_exif_data)
+                    preprocessed_q.put((i, im_file, info))
+                    delivered.add(i)
+            except Exception as e:
+                print('Loader worker failure: {}'.format(e))
+                for j in range(worker_idx, n_images, loader_workers):
+                    if j not in delivered:
+                        preprocessed_q.put((j, images_to_process[j],
+                                            FAILURE_IMAGE_OPEN))
+            finally:
+                preprocessed_q.put(None)  # per-worker sentinel
 
         for w in range(loader_workers):
             t = threading.Thread(target=loader, args=(w,), daemon=True)
@@ -417,6 +453,13 @@ def load_and_run_detector_batch(model_file,
     assert all(r is not None for r in new_results), \
         'Internal error: unprocessed images remain'
 
+    if perm is not None:
+        # Undo the pytest processing shuffle: callers see input order
+        restored = [None] * len(new_results)
+        for j, orig_idx in enumerate(perm):
+            restored[orig_idx] = new_results[j]
+        new_results = restored
+
     results.extend(new_results)
 
     # Final checkpoint so a crash after inference can't lose results
@@ -432,9 +475,11 @@ def _augment_result(r, info, include_image_size=False,
 
     if not isinstance(info, dict):
         return
-    if include_image_size and 'scaling_shape' in info:
-        r['height'] = int(info['scaling_shape'][0])
-        r['width'] = int(info['scaling_shape'][1])
+    if include_image_size and \
+            ('original_shape' in info or 'scaling_shape' in info):
+        shape = info.get('original_shape', info.get('scaling_shape'))
+        r['height'] = int(shape[0])
+        r['width'] = int(shape[1])
     exif = info.get('exif_metadata', None)
     if include_exif_data and exif is not None:
         r['exif_metadata'] = exif

@@ -586,6 +586,7 @@ class TPUDetector:
             # scale-invariant, so scaling_shape tracks the shrunk image.
             max_side = int(
                 getattr(self, 'max_staging_side', None) or 4096)
+            original_shape = img_original.shape
             if max(img_original.shape[:2]) > max_side:
                 img_original, _ = box_ops.resize_long_side(
                     img_original, max_side)
@@ -601,6 +602,10 @@ class TPUDetector:
             result['target_shape'] = target
             result['scale_target'] = image_size
             result['scaling_shape'] = scaling_shape
+            # The TRUE source dims (include_image_size reports these;
+            # scaling_shape tracks the shrunk staging image whose
+            # normalized coordinates are scale-invariant)
+            result['original_shape'] = original_shape
             result['letterbox_ratio'] = None
             result['letterbox_pad'] = None
             return result

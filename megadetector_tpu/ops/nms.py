@@ -25,8 +25,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Class offset must exceed any canvas coordinate so per-class boxes can
-# never overlap across classes (canvas is <= 4096 px in practice).
+# Class-offset floor: the actual offset is max(this, per-image max
+# coordinate + 1), so per-class boxes can never overlap across classes
+# at ANY canvas size (users can pass arbitrary --image_size).
 _CLASS_OFFSET = 8192.0
 
 
@@ -154,7 +155,13 @@ def nms_on_candidates(cands, iou_thres, max_det=300, class_agnostic=False,
         if class_agnostic:
             offset_boxes = boxes
         else:
-            shift = classes.astype(boxes.dtype)[:, None] * _CLASS_OFFSET
+            # Offset derived from the data so canvases beyond 8192 px
+            # still separate cleanly (invalid rows may hold garbage
+            # coords; they are masked out of suppression by `valid`)
+            offset = jnp.maximum(
+                jnp.float32(_CLASS_OFFSET),
+                jnp.max(jnp.where(valid_k[:, None], boxes, 0.0)) + 1.0)
+            shift = classes.astype(boxes.dtype)[:, None] * offset
             offset_boxes = boxes + shift
 
         if use_pallas:

@@ -299,8 +299,15 @@ def find_repeat_detections(input_filename, output_filename=None,
 
         if options.bParallelizeComparisons and options.nWorkers > 1 and \
                 len(locations) > 1:
-            pool_cls = ThreadPoolExecutor if \
-                options.parallelizationUsesThreads else ProcessPoolExecutor
+            # The per-location worker closes over the loaded results and
+            # options (incl. possibly unpicklable customDirNameFunction),
+            # so process pools cannot ship it; threads are also the
+            # right tool here — the hot loop is the C++/numpy clustering
+            # kernel, which releases the GIL
+            if not options.parallelizationUsesThreads:
+                print('Note: per-location comparison parallelizes with '
+                      'threads (the clustering kernel releases the GIL)')
+            pool_cls = ThreadPoolExecutor
             with pool_cls(max_workers=options.nWorkers) as pool:
                 all_candidates = list(tqdm(
                     pool.map(_one, locations), total=len(locations),
@@ -313,10 +320,11 @@ def find_repeat_detections(input_filename, output_filename=None,
         suspicious = []
         for candidates in all_candidates:
             for candidate in candidates:
-                # Unique files: a burst of N frames of a moving animal
-                # produces N instances in N files; repeats recur across
-                # many files
-                n = len(candidate['instances'])
+                # Count UNIQUE files: a burst can put several instances
+                # in one frame; a repeat is a box recurring across many
+                # distinct files
+                n = len({inst['filename']
+                         for inst in candidate['instances']})
                 if n >= options.occurrenceThreshold:
                     suspicious.append(candidate)
 
@@ -412,9 +420,9 @@ def _write_filtering_folder(suspicious_detections, data, options):
         'filtering_{}'.format(datetime.now().strftime('%Y.%m.%d.%H.%M.%S')))
     os.makedirs(folder, exist_ok=True)
 
-    render_options = options
-    original_base = options.outputBase
-    options.outputBase = folder
+    import copy as _copy
+    render_options = _copy.copy(options)
+    render_options.outputBase = folder
 
     entries = []
 
@@ -431,8 +439,6 @@ def _write_filtering_folder(suspicious_detections, data, options):
                                       total=len(jobs), desc='Rendering'))
     else:
         rendered_list = [_render(j) for j in tqdm(jobs, desc='Rendering')]
-
-    options.outputBase = original_base
 
     rendered_by_idx = dict(rendered_list)
     for i_candidate, candidate in enumerate(suspicious_detections):
@@ -459,7 +465,11 @@ def _load_filter_file(filter_file, require_rendered_file_exists=True):
     kept = []
     for entry in index['suspicious_detections']:
         rendered = entry.get('rendered_file')
-        if require_rendered_file_exists and rendered is not None:
+        if require_rendered_file_exists:
+            if rendered is None:
+                # Rendering failed, so no human ever reviewed this
+                # candidate — never suppress unreviewed detections
+                continue
             if not os.path.isfile(os.path.join(folder, rendered)):
                 continue
         kept.append(entry)
