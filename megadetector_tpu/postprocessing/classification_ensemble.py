@@ -207,20 +207,28 @@ def geofence_classifications(scores_by_name, location, geofence_table):
         return dict(scores_by_name)
 
     out = {}
+    any_blocked = False
     for name, score in scores_by_name.items():
         entry = geofence_table.get(name)
-        if entry is not None and location is not None:
+        if entry is not None and location is not None and score != 0.0:
             if isinstance(entry, dict):
                 if not geofence_allows(entry, location):
                     score = 0.0
+                    any_blocked = True
             elif not any(str(location).startswith(str(p))
                          for p in entry):
                 score = 0.0
+                any_blocked = True
         out[name] = score
 
-    total = sum(out.values())
-    if total > 0:
-        out = {k: v / total for k, v in out.items()}
+    # Only renormalize when the geofence actually removed probability
+    # mass; the stored top-k scores never sum to 1 (they're a truncation
+    # of the full softmax), so unconditional renormalization would
+    # inflate every confidence even when nothing was blocked.
+    if any_blocked:
+        total = sum(out.values())
+        if total > 0:
+            out = {k: v / total for k, v in out.items()}
     return out
 
 

@@ -136,7 +136,11 @@ def validate_batch_results(json_filename, options=None):
                 _error('Image {} detection has unknown category {}'.format(
                     fn, det['category']), validation_results, options)
             conf = det['conf']
-            if not isinstance(conf, (int, float)) or conf < 0 or conf > 1:
+            # Negative confidences are legal: repeat-detection elimination
+            # marks suppressed repeats by flipping conf to -conf (the
+            # reference validator likewise accepts them,
+            # reference validate_batch_results.py:209-211).
+            if not isinstance(conf, (int, float)) or conf < -1 or conf > 1:
                 _error('Image {} detection has illegal confidence '
                        '{}'.format(fn, conf), validation_results, options)
             bbox = det['bbox']

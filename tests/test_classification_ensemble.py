@@ -26,9 +26,16 @@ def test_geofence():
     out = geofence_classifications(scores, 'EU/site1', table)
     assert out['bobcat'] == 0.0
     assert out['red fox'] == pytest.approx(1.0)
-    # Unknown species are allowed everywhere
+    # Unknown species are allowed everywhere, and because nothing was
+    # blocked, scores are NOT renormalized (top-k scores never sum to 1;
+    # renormalizing without removal would inflate confidences).
     out = geofence_classifications({'moose': 0.9}, 'ZA/site2', table)
-    assert out['moose'] == pytest.approx(1.0)
+    assert out['moose'] == pytest.approx(0.9)
+    # Nothing blocked at an allowed location: scores pass through exactly
+    out = geofence_classifications(
+        {'red fox': 0.5, 'bobcat': 0.2}, 'US/site3', table)
+    assert out['red fox'] == pytest.approx(0.5)
+    assert out['bobcat'] == pytest.approx(0.2)
 
 
 def test_rollup_confident_prediction_unchanged(taxonomy):
