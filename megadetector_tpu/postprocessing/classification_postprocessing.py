@@ -302,6 +302,11 @@ def restrict_to_taxa_list(taxa_list, speciesnet_taxonomy_file,
     Predictions outside the list are remapped to an ancestor on the list
     when [speciesnet_taxonomy_file] provides a {name: parent chain}
     mapping ({child_name: [ancestor names...]} JSON), else dropped.
+    With [allow_walk_down], a prediction that is itself an ancestor of
+    exactly one on-list taxon maps DOWN to that taxon (e.g. a 'felidae'
+    prediction becomes the only allowed felid species), matching the
+    reference's unique-child walk-down
+    (classification_postprocessing.py:1186,1668-1683).
     (Reference: classification_postprocessing.py:1182; the reference uses
     the WI taxonomy — here any parent-chain mapping works.)
     """
@@ -325,8 +330,19 @@ def restrict_to_taxa_list(taxa_list, speciesnet_taxonomy_file,
     else:
         data = input_file
 
-    categories = data.get('classification_categories', {})
+    categories = data.setdefault('classification_categories', {})
     name_to_id = {str(v).lower(): k for k, v in categories.items()}
+
+    # ancestor name -> on-list taxa that have it in their parent chain
+    # (used for the unique-child walk-down)
+    ancestor_to_list_taxa = {}
+    if allow_walk_down:
+        for taxon, chain in parent_chains.items():
+            if taxon not in taxa:
+                continue
+            for ancestor in chain:
+                ancestor_to_list_taxa.setdefault(ancestor,
+                                                 set()).add(taxon)
 
     def remap_category(cat_id):
         name = str(categories.get(cat_id, '')).lower()
@@ -335,6 +351,18 @@ def restrict_to_taxa_list(taxa_list, speciesnet_taxonomy_file,
         for ancestor in parent_chains.get(name, []):
             if ancestor in taxa and ancestor in name_to_id:
                 return name_to_id[ancestor]
+        if allow_walk_down:
+            descendants = ancestor_to_list_taxa.get(name, set())
+            if len(descendants) == 1:
+                target = next(iter(descendants))
+                if target not in name_to_id:
+                    # The unique allowed descendant was never predicted;
+                    # add it to the category scheme
+                    new_id = str(1 + max(
+                        [int(k) for k in categories] + [-1]))
+                    categories[new_id] = target
+                    name_to_id[target] = new_id
+                return name_to_id[target]
         return None
 
     n_remapped = 0

@@ -81,17 +81,22 @@ def _above_threshold_detections(im, thresholds, categories):
     return out
 
 
-def _detections_match(dets_a, dets_b, iou_threshold):
+def _detections_match(dets_a, dets_b, iou_threshold,
+                      categories_a, categories_b):
     """
     True when every detection in each list has a same-category match in
-    the other at IoU >= threshold.
+    the other at IoU >= threshold. Categories are compared by NAME
+    through each model's own category map, so two models that both
+    found an 'animal' match even when their numeric category IDs differ
+    (e.g. a remapped or non-MD results file).
     """
 
-    def one_way(src, dst):
+    def one_way(src, src_cats, dst, dst_cats):
         for d in src:
             matched = False
+            d_name = src_cats.get(d['category'], d['category'])
             for e in dst:
-                if d['category'] != e['category']:
+                if d_name != dst_cats.get(e['category'], e['category']):
                     continue
                 try:
                     if ct_utils.get_iou(d['bbox'], e['bbox']) >= \
@@ -104,7 +109,8 @@ def _detections_match(dets_a, dets_b, iou_threshold):
                 return False
         return True
 
-    return one_way(dets_a, dets_b) and one_way(dets_b, dets_a)
+    return one_way(dets_a, categories_a, dets_b, categories_b) and \
+        one_way(dets_b, categories_b, dets_a, categories_a)
 
 
 def _pairwise_compare_batch_results(options, results_a, results_b):
@@ -149,12 +155,18 @@ def _pairwise_compare_batch_results(options, results_a, results_b):
         elif b_positive and not a_positive:
             key = 'detections_b_only'
         else:
-            cats_a = set(d['category'] for d in dets_a)
-            cats_b = set(d['category'] for d in dets_b)
+            # Compare category NAMES through each model's own map, so
+            # differing numeric IDs across models don't spuriously land
+            # every agreement in class_transitions
+            cats_a = set(categories_a.get(d['category'], d['category'])
+                         for d in dets_a)
+            cats_b = set(categories_b.get(d['category'], d['category'])
+                         for d in dets_b)
             if cats_a != cats_b:
                 key = 'class_transitions'
             elif _detections_match(dets_a, dets_b,
-                                   options.iou_threshold):
+                                   options.iou_threshold,
+                                   categories_a, categories_b):
                 key = 'common_detections'
             else:
                 key = 'common_detections_differing_boxes'
@@ -356,6 +368,8 @@ def n_way_comparison(filenames, options, detection_thresholds=None,
     if detection_thresholds is None:
         detection_thresholds = [0.15] * len(filenames)
     assert len(detection_thresholds) == len(filenames)
+    if rendering_thresholds is not None:
+        assert len(rendering_thresholds) == len(filenames)
 
     all_results = []
     for i_a in range(len(filenames)):
@@ -369,6 +383,11 @@ def n_way_comparison(filenames, options, detection_thresholds=None,
                 detection_thresholds[i_a]
             pair_options.detection_thresholds_b = \
                 detection_thresholds[i_b]
+            if rendering_thresholds is not None:
+                pair_options.rendering_confidence_threshold_a = \
+                    rendering_thresholds[i_a]
+                pair_options.rendering_confidence_threshold_b = \
+                    rendering_thresholds[i_b]
             if options.output_folder is not None:
                 pair_options.output_folder = os.path.join(
                     options.output_folder,

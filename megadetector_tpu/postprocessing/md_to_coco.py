@@ -51,12 +51,22 @@ def md_to_coco(md_results_file, coco_output_file=None, image_folder=None,
 
         width = im.get('width')
         height = im.get('height')
-        if (width is None or height is None) and image_folder is not None:
+        need_file_size = (width is None or height is None) or \
+            validate_image_sizes
+        if need_file_size and image_folder is not None:
             from PIL import Image
             try:
                 with Image.open(os.path.join(image_folder,
                                              im['file'])) as pil_im:
-                    width, height = pil_im.size
+                    file_width, file_height = pil_im.size
+                if validate_image_sizes and width is not None and \
+                        height is not None and \
+                        (width, height) != (file_width, file_height):
+                    print('Warning: size mismatch for {}: results say '
+                          '{}x{}, file is {}x{}; using file size'.format(
+                              im['file'], width, height,
+                              file_width, file_height))
+                width, height = file_width, file_height
             except Exception:
                 pass
 

@@ -23,6 +23,7 @@ import json
 import os
 import random
 import sys
+import zlib
 
 from concurrent.futures import ThreadPoolExecutor
 
@@ -186,6 +187,19 @@ def _render_image(job):
         return True
     except Exception as e:
         print('Warning: rendering error for {}: {}'.format(source, e))
+        # Write an explicit placeholder so gallery pages never show a
+        # broken <img> (unreadable sources land on the failures page)
+        try:
+            from PIL import Image, ImageDraw
+            placeholder = Image.new('RGB', (400, 100), (60, 60, 60))
+            draw = ImageDraw.Draw(placeholder)
+            draw.text((10, 10), 'unrenderable image:', fill=(255, 255, 255))
+            draw.text((10, 40), os.path.basename(source)[-60:],
+                      fill=(255, 255, 255))
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            placeholder.save(target, quality=85)
+        except Exception:
+            pass
         return False
 
 
@@ -242,17 +256,21 @@ def process_batch_results(options):
         else:
             sampled[page] = images
 
-    # --- Render thumbnails
-    render_jobs = []
+    # --- Render thumbnails. Each sampled image renders exactly ONCE
+    # into a shared rendered/ folder even when it appears on several
+    # pages (detection page + class_<name> pages); page entries all
+    # point at the shared file. Failed images (detections == None) are
+    # rendered too (boxless), so the failures page shows the image when
+    # it is readable and an explicit placeholder when it is not.
+    render_jobs = {}
     page_entries = collections.defaultdict(list)
+    rendered_dir = os.path.join(options.output_dir, 'rendered')
     for page, images in sampled.items():
-        page_dir = os.path.join(options.output_dir,
-                                page.replace(' ', '_'))
-        for i_image, im in enumerate(images):
+        for im in images:
             source = os.path.join(options.image_base_dir, im['file'])
             target = os.path.join(
-                page_dir, '{:0>5d}_{}.jpg'.format(
-                    i_image,
+                rendered_dir, '{:08x}_{}.jpg'.format(
+                    zlib.crc32(im['file'].encode('utf-8')),
                     im['file'].replace('/', '~').replace('\\', '~')[-80:]))
             title = '{} (max conf {:.3f})'.format(
                 im['file'], ct_utils.get_max_conf(im))
@@ -260,16 +278,19 @@ def process_batch_results(options):
                 im, classification_categories, threshold)
             if top_classes:
                 title += ' ({})'.format(', '.join(top_classes))
+            if im.get('detections') is None and im.get('failure'):
+                title += ' (failure: {})'.format(im['failure'])
             page_entries[page].append({
                 'filename': os.path.relpath(target, options.output_dir),
                 'title': title,
             })
-            if im.get('detections') is not None:
-                render_jobs.append((im, source, target,
-                                    detection_categories,
-                                    classification_categories,
-                                    threshold, options))
+            if target not in render_jobs:
+                render_jobs[target] = (im, source, target,
+                                       detection_categories,
+                                       classification_categories,
+                                       threshold, options)
 
+    render_jobs = list(render_jobs.values())
     if options.parallelize_rendering and \
             options.parallelize_rendering_n_cores > 1 and render_jobs:
         with ThreadPoolExecutor(
@@ -464,7 +485,8 @@ def _evaluate_against_ground_truth(md_data, ground_truth_file, threshold):
     curves = compute_precision_recall_curves(
         md_data, image_id_to_positive)
     per_class = compute_per_class_metrics(md_data, gt,
-                                          target_recall=0.9)
+                                          target_recall=0.9,
+                                          confusion_threshold=threshold)
 
     return {'tp': tp, 'fp': fp, 'tn': tn, 'fn': fn_count,
             'precision': precision, 'recall': recall,
@@ -513,13 +535,18 @@ def compute_precision_recall_curves(md_data, image_id_to_positive,
 
 
 def compute_per_class_metrics(md_data, gt, target_recall=0.9,
-                              n_thresholds=101):
+                              n_thresholds=101, confusion_threshold=0.0):
     """
     Per-detection-class P/R curves, the minimum threshold achieving
     [target_recall], and an image-level confusion matrix (rows = GT
     class, cols = predicted class; GT class = the image's non-empty
     annotation category, predicted = the highest-confidence detection's
-    category). Returns {'classes': {name: {...}},
+    category at or above [confusion_threshold], else 'empty' — so the
+    matrix agrees with the TP/FP/TN/FN numbers computed at the same
+    threshold rather than counting sub-noise detections as
+    predictions). The per-class P/R curves sweep all thresholds and are
+    unaffected by [confusion_threshold]. Returns
+    {'classes': {name: {...}},
     'confusion_matrix': {gt_name: {pred_name: count}}}.
     """
 
@@ -559,7 +586,8 @@ def compute_per_class_metrics(md_data, gt, target_recall=0.9,
         for d in im.get('detections') or []:
             name = md_categories.get(d['category'], d['category'])
             per_class_conf[name] = max(per_class_conf[name], d['conf'])
-            if best is None or d['conf'] > best[1]:
+            if d['conf'] >= confusion_threshold and \
+                    (best is None or d['conf'] > best[1]):
                 best = (name, d['conf'])
         for name in set(list(per_class_conf) + list(gt_classes)):
             class_scores[name].append(

@@ -29,6 +29,12 @@ def remap_detection_categories(input_file, output_file,
         'Illegal extra_category_handling {}'.format(
             extra_category_handling)
 
+    if output_file is not None and not overwrite:
+        import os
+        assert not os.path.isfile(output_file), \
+            'Output file {} exists (pass overwrite=True)'.format(
+                output_file)
+
     with open(input_file) as f:
         data = json.load(f)
 

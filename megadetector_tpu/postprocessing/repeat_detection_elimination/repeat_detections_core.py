@@ -245,6 +245,15 @@ def _find_matches_in_directory(dir_name, images, options):
     return index.all_items()
 
 
+def _find_matches_job(args):
+    """Picklable process-pool wrapper around _find_matches_in_directory."""
+
+    dir_name, images, options_state = args
+    options = RepeatDetectionOptions()
+    options.__dict__.update(options_state)
+    return _find_matches_in_directory(dir_name, images, options)
+
+
 #%% Main analysis
 
 
@@ -299,19 +308,33 @@ def find_repeat_detections(input_filename, output_filename=None,
 
         if options.bParallelizeComparisons and options.nWorkers > 1 and \
                 len(locations) > 1:
-            # The per-location worker closes over the loaded results and
-            # options (incl. possibly unpicklable customDirNameFunction),
-            # so process pools cannot ship it; threads are also the
-            # right tool here — the hot loop is the C++/numpy clustering
-            # kernel, which releases the GIL
-            if not options.parallelizationUsesThreads:
-                print('Note: per-location comparison parallelizes with '
-                      'threads (the clustering kernel releases the GIL)')
-            pool_cls = ThreadPoolExecutor
-            with pool_cls(max_workers=options.nWorkers) as pool:
-                all_candidates = list(tqdm(
-                    pool.map(_one, locations), total=len(locations),
-                    desc='Comparing detections'))
+            if options.parallelizationUsesThreads:
+                # NB: the per-location loop is pure Python (grid query +
+                # IoU), so threads serialize on the GIL; they still
+                # match the reference's default and avoid pickling the
+                # per-location image lists. Set
+                # parallelizationUsesThreads=False for real parallelism
+                # on large jobs.
+                with ThreadPoolExecutor(
+                        max_workers=options.nWorkers) as pool:
+                    all_candidates = list(tqdm(
+                        pool.map(_one, locations), total=len(locations),
+                        desc='Comparing detections'))
+            else:
+                # Process pool: ships (location, images, options state)
+                # to module-level workers. customDirNameFunction may be
+                # unpicklable, but it's only used for location grouping,
+                # which already happened above.
+                options_state = {
+                    k: v for k, v in vars(options).items()
+                    if k != 'customDirNameFunction'}
+                jobs = [(loc, location_to_images[loc], options_state)
+                        for loc in locations]
+                with ProcessPoolExecutor(
+                        max_workers=options.nWorkers) as pool:
+                    all_candidates = list(tqdm(
+                        pool.map(_find_matches_job, jobs),
+                        total=len(jobs), desc='Comparing detections'))
         else:
             all_candidates = [_one(loc) for loc in tqdm(
                 locations, desc='Comparing detections')]
@@ -374,7 +397,8 @@ def _update_detection_table(data, suspicious_detections):
 #%% Filtering folder (human review)
 
 
-def _render_candidate(i_candidate, candidate, data, options):
+def _render_candidate(i_candidate, candidate, data, options,
+                      filename_to_image=None):
     """Render one suspicious detection to the filtering folder."""
 
     from megadetector_tpu.visualization import visualization_utils as \
@@ -390,6 +414,24 @@ def _render_candidate(i_candidate, candidate, data, options):
         detection = {'category': candidate['category'],
                      'conf': abs(instance['conf']),
                      'bbox': candidate['bbox']}
+        if options.bRenderOtherDetections and filename_to_image:
+            # Context for the reviewer: the image's OTHER detections, in
+            # gray with no labels, so the suspicious box stands out
+            im_record = filename_to_image.get(instance['filename'])
+            others = [d for d in (im_record or {}).get('detections') or []
+                      if abs(d.get('conf', 0)) >=
+                      options.otherDetectionsThreshold and
+                      d.get('bbox') != instance['bbox']]
+            if others:
+                vis_utils.render_detection_bounding_boxes(
+                    [{'category': d['category'],
+                      'conf': abs(d['conf']),
+                      'bbox': d['bbox']} for d in others], image,
+                    label_map=None,
+                    confidence_threshold=0.0,
+                    thickness=max(1, options.lineThickness // 2),
+                    expansion=options.boxExpansion,
+                    colormap=['Gray'])
         vis_utils.render_detection_bounding_boxes(
             [detection], image,
             confidence_threshold=0.0,
@@ -426,10 +468,15 @@ def _write_filtering_folder(suspicious_detections, data, options):
 
     entries = []
 
+    filename_to_image = None
+    if options.bRenderOtherDetections:
+        filename_to_image = {im['file']: im for im in data['images']}
+
     def _render(args):
         i_candidate, candidate = args
         rendered = _render_candidate(i_candidate, candidate, data,
-                                     render_options)
+                                     render_options,
+                                     filename_to_image=filename_to_image)
         return i_candidate, rendered
 
     jobs = list(enumerate(suspicious_detections))

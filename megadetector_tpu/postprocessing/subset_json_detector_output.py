@@ -72,15 +72,21 @@ def _max_box_size(im):
 
 
 def subset_json_detector_output_by_confidence(data, options):
-    """Drop detections below the confidence threshold (in place)."""
+    """
+    Drop detections below confidence_threshold, and/or drop images whose
+    max conf falls below remove_images_below_confidence (in place).
+    Either option works independently of the other.
+    """
 
-    if options.confidence_threshold is None:
+    if options.confidence_threshold is None and \
+            options.remove_images_below_confidence is None:
         return data
 
     images_out = []
     for im in data['images']:
         detections = im.get('detections')
-        if detections is not None:
+        if detections is not None and \
+                options.confidence_threshold is not None:
             im['detections'] = [d for d in detections
                                 if d['conf'] >= options.confidence_threshold]
         if options.remove_images_below_confidence is not None:

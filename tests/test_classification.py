@@ -454,3 +454,44 @@ def test_merge_and_combine_categories():
     det = combined['images'][0]['detections'][0]
     # both deer entries merged, max confidence kept
     assert det['classifications'][0] == ['0', 0.5]
+
+
+def test_restrict_to_taxa_walk_down(tmp_path):
+    """allow_walk_down: an ancestor prediction maps to its unique
+    on-list descendant (review-batch-4 finding 9)."""
+
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import restrict_to_taxa_list
+
+    def _data():
+        return {
+            'images': [{'file': 'a.jpg', 'detections': [
+                {'category': '1', 'conf': 0.9,
+                 'bbox': [0.1, 0.1, 0.05, 0.05],
+                 'classifications': [['0', 0.8]]}]}],
+            'detection_categories': {'1': 'animal'},
+            'classification_categories': {'0': 'felidae', '1': 'puma'},
+            'info': {},
+        }
+
+    taxonomy = {'puma': ['felidae', 'mammal'],
+                'lynx': ['felidae', 'mammal']}
+    taxonomy_file = str(tmp_path / 'tax.json')
+    ct_utils.write_json(taxonomy_file, taxonomy)
+
+    # Without walk-down, the 'felidae' prediction is dropped (not on the
+    # list, no on-list ancestor)
+    out = restrict_to_taxa_list(['puma'], taxonomy_file, _data())
+    assert out['images'][0]['detections'][0]['classifications'] == []
+
+    # With walk-down, 'puma' is the unique allowed felid: remap
+    out = restrict_to_taxa_list(['puma'], taxonomy_file, _data(),
+                                allow_walk_down=True)
+    c = out['images'][0]['detections'][0]['classifications'][0]
+    assert out['classification_categories'][c[0]] == 'puma'
+
+    # Two allowed felids: ambiguous, so still dropped even with
+    # walk-down
+    out = restrict_to_taxa_list(['puma', 'lynx'], taxonomy_file,
+                                _data(), allow_walk_down=True)
+    assert out['images'][0]['detections'][0]['classifications'] == []

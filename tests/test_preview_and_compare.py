@@ -308,3 +308,95 @@ def test_compare_renders_side_by_side(tmp_path):
     # Page names both models with their detection summaries
     assert 'a.json' in html and 'b.json' in html
     assert 'max conf' in html
+
+def test_preview_failures_render_and_single_pass(tmp_path):
+    """Failed images must get a real (or placeholder) thumbnail rather
+    than a broken link, and an image on multiple pages must render only
+    once (review-batch-4 findings 5 and 10)."""
+
+    from megadetector_tpu.postprocessing.postprocess_batch_results import (
+        PostProcessingOptions, process_batch_results)
+
+    files = ['ok.jpg', 'readable_fail.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+    # An image that failed inference AND is unreadable on disk
+    with open(os.path.join(image_base, 'corrupt_fail.jpg'), 'wb') as f:
+        f.write(b'not a jpeg')
+
+    images = [
+        {'file': 'ok.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2],
+             'classifications': [['10', 0.95]]}]},
+        {'file': 'readable_fail.jpg', 'detections': None,
+         'failure': 'inference failure'},
+        {'file': 'corrupt_fail.jpg', 'detections': None,
+         'failure': 'image access failure'},
+    ]
+    data = _results(images)
+    data['classification_categories'] = {'10': 'deer'}
+    results_file = str(tmp_path / 'results.json')
+    ct_utils.write_json(results_file, data)
+
+    options = PostProcessingOptions()
+    options.md_results_file = results_file
+    options.output_dir = str(tmp_path / 'preview')
+    options.image_base_dir = image_base
+    options.parallelize_rendering = False
+
+    out = process_batch_results(options)
+    assert len(out.category_to_images['failures']) == 2
+
+    # Every referenced thumbnail exists (placeholder for the corrupt one)
+    failures_html = open(os.path.join(
+        options.output_dir, 'failures.html')).read()
+    import re
+    for m in re.finditer(r'src="([^"]+)"', failures_html):
+        assert os.path.isfile(os.path.join(options.output_dir, m.group(1)))
+    assert 'image access failure' in failures_html
+
+    # ok.jpg is on detections_animal AND class_deer but renders once,
+    # into the shared rendered/ folder
+    rendered = os.listdir(os.path.join(options.output_dir, 'rendered'))
+    assert sum(1 for f in rendered if 'ok.jpg' in f) == 1
+    det_html = open(os.path.join(
+        options.output_dir, 'detections_animal.html')).read()
+    cls_html = open(os.path.join(
+        options.output_dir, 'class_deer.html')).read()
+    src_det = re.search(r'src="([^"]+)"', det_html).group(1)
+    src_cls = re.search(r'src="([^"]+)"', cls_html).group(1)
+    assert src_det == src_cls
+
+
+def test_confusion_matrix_respects_threshold(tmp_path):
+    """Sub-threshold detections must not count as predictions in the
+    confusion matrix (review-batch-4 finding 3)."""
+
+    from megadetector_tpu.postprocessing.postprocess_batch_results import (
+        compute_per_class_metrics)
+
+    # One truly-empty image whose only detection is sub-noise junk
+    md_data = _results([
+        {'file': 'junk.jpg', 'detections': [
+            {'category': '1', 'conf': 0.02,
+             'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'real.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9,
+             'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+    ])
+    gt = {
+        'images': [{'id': 'junk.jpg', 'file_name': 'junk.jpg'},
+                   {'id': 'real.jpg', 'file_name': 'real.jpg'}],
+        'annotations': [
+            {'id': 0, 'image_id': 'junk.jpg', 'category_id': 0},
+            {'id': 1, 'image_id': 'real.jpg', 'category_id': 1},
+        ],
+        'categories': [{'id': 0, 'name': 'empty'},
+                       {'id': 1, 'name': 'animal'}],
+    }
+    out = compute_per_class_metrics(md_data, gt,
+                                    confusion_threshold=0.2)
+    cm = out['confusion_matrix']
+    assert cm['empty'].get('empty', 0) == 1
+    assert cm['empty'].get('animal', 0) == 0
+    assert cm['animal'].get('animal', 0) == 1

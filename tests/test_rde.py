@@ -193,3 +193,53 @@ def test_dir_levels_from_leaf():
     options.nDirLevelsFromLeaf = 0
     options.customDirNameFunction = lambda fn: 'fixed'
     assert rde.image_file_to_location('a/b/c/x.jpg', options) == 'fixed'
+
+
+def test_parallel_process_pool_matches_serial(tmp_path):
+    """parallelizationUsesThreads=False must use a real process pool and
+    produce the same candidates as the serial path (review-batch-4
+    finding 6)."""
+
+    path, _, _ = _make_rde_scenario(tmp_path)
+
+    serial = rde.RepeatDetectionOptions()
+    serial.occurrenceThreshold = 20
+    serial.bParallelizeComparisons = False
+    r_serial = rde.find_repeat_detections(path, None, serial)
+
+    par = rde.RepeatDetectionOptions()
+    par.occurrenceThreshold = 20
+    par.bParallelizeComparisons = True
+    par.parallelizationUsesThreads = False
+    par.nWorkers = 2
+    r_par = rde.find_repeat_detections(path, None, par)
+
+    def _keys(results):
+        return sorted(
+            (loc, c['category'], tuple(c['bbox']), len(c['instances']))
+            for loc, cands in results.suspicious_detections.items()
+            for c in cands)
+    assert _keys(r_serial) == _keys(r_par)
+    assert len(_keys(r_par)) == 1
+
+
+def test_render_other_detections(tmp_path):
+    """bRenderOtherDetections must render context boxes without
+    breaking the filtering folder (review-batch-4 finding 9)."""
+
+    path, image_base, _ = _make_rde_scenario(tmp_path, write_images=True)
+
+    options = rde.RepeatDetectionOptions()
+    options.occurrenceThreshold = 20
+    options.imageBase = image_base
+    options.outputBase = str(tmp_path / 'rde_output')
+    options.nWorkers = 1
+    options.bRenderOtherDetections = True
+    options.otherDetectionsThreshold = 0.2
+
+    results = rde.find_repeat_detections(path, None, options)
+    assert results.filter_file is not None
+    filter_folder = os.path.dirname(results.filter_file)
+    rendered = [f for f in os.listdir(filter_folder)
+                if f.endswith('.jpg')]
+    assert len(rendered) == 1

@@ -205,3 +205,45 @@ def test_url_utils_http_transport(tmp_path):
             assert results is not None
         finally:
             srv.shutdown()
+
+
+def test_md_to_coco_validate_image_sizes(tmp_path, capsys):
+    """validate_image_sizes must check stored sizes against the files
+    and prefer the file's size on mismatch (review-batch-4 finding 9)."""
+
+    files = {'a/x.jpg': (320, 240)}
+    folder = str(tmp_path / 'images')
+    _make_images(folder, files)
+    md_file = str(tmp_path / 'md.json')
+    md = _write_md_results(md_file, files)
+    # Corrupt the stored size
+    md['images'][0]['width'] = 999
+    md['images'][0]['height'] = 111
+    with open(md_file, 'w') as f:
+        json.dump(md, f)
+
+    coco = md_to_coco(md_file, image_folder=folder,
+                      validate_image_sizes=True)
+    im = coco['images'][0]
+    assert im['width'] == 320 and im['height'] == 240
+    assert 'size mismatch' in capsys.readouterr().out
+
+    # Without validation, the stored size is trusted
+    coco = md_to_coco(md_file, image_folder=folder)
+    assert coco['images'][0]['width'] == 999
+
+
+def test_remap_detection_categories_overwrite(tmp_path):
+    from megadetector_tpu.postprocessing.remap_detection_categories import (
+        remap_detection_categories)
+
+    files = {'a/x.jpg': (320, 240)}
+    md_file = str(tmp_path / 'md.json')
+    _write_md_results(md_file, files)
+    out_file = str(tmp_path / 'out.json')
+    target_map = {'1': 'animal', '2': 'person', '3': 'vehicle'}
+    remap_detection_categories(md_file, out_file, target_map)
+    import pytest
+    with pytest.raises(AssertionError):
+        remap_detection_categories(md_file, out_file, target_map,
+                                   overwrite=False)
