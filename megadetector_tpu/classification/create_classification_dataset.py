@@ -140,12 +140,25 @@ def create_classification_dataset(queried_images_json,
     if detections_json is not None:
         with open(detections_json) as f:
             detections = json.load(f)
+        if detector_version is None:
+            # Derive the crop-name suffix the same way crop_detections
+            # does, so default-pipeline crop names line up
+            from megadetector_tpu.classification.crop_detections import \
+                detector_version_from_results
+            detector_version = detector_version_from_results(detections)
 
     rows = build_crop_rows(queried_images, cropped_images_dir,
                            detections=detections,
                            detector_version=detector_version,
                            confidence_threshold=confidence_threshold,
                            require_crop_files=require_crop_files)
+
+    if len(rows) == 0 and require_crop_files and \
+            len(queried_images) > 0:
+        print('Warning: no crop rows survived the crop-file existence '
+              'check; if crops exist, the detector_version used to '
+              'name them (current: {}) may not match'.format(
+                  detector_version))
 
     labels = sorted({lbl for r in rows for lbl in r['label'].split(',')
                      if lbl})

@@ -43,6 +43,18 @@ def crop_filename(image_file, crop_index, detector_version=None):
     return '{}___crop{:0>2d}.jpg'.format(image_file, crop_index)
 
 
+def detector_version_from_results(data):
+    """Derive the crop-name version suffix from an MD results dict's
+    info.detector field (e.g. md_v5a.0.0.pt -> 5a.0.0)."""
+
+    v = data.get('info', {}).get('detector', '')
+    for prefix in ('md_v', 'megadetector_v'):
+        if v.startswith(prefix):
+            v = v[len(prefix):]
+            break
+    return v.rsplit('.pt', 1)[0].rsplit('.npz', 1)[0] if v else 'unknown'
+
+
 def parse_crop_filename(crop_path):
     """Inverse of crop_filename: returns (image_file, crop_index) or
     None when the path does not follow the convention. Reads ALL index
@@ -131,15 +143,7 @@ def crop_detections(detections_json_path,
         data = json.load(f)
 
     if detector_version is None:
-        detector = data.get('info', {}).get('detector', '')
-        # e.g. md_v5a.0.0.pt -> 5a.0.0
-        v = detector
-        for prefix in ('md_v', 'megadetector_v'):
-            if v.startswith(prefix):
-                v = v[len(prefix):]
-                break
-        detector_version = v.rsplit('.pt', 1)[0].rsplit('.npz', 1)[0] \
-            if v else 'unknown'
+        detector_version = detector_version_from_results(data)
 
     import threading
 

@@ -108,6 +108,27 @@ def evaluate_model(checkpoint_path, dataset_dir, cropped_images_dir,
     assert classifier.config.num_classes >= len(label_names), \
         'checkpoint has fewer classes than the label index'
 
+    # Map checkpoint output columns to the dataset's label order by
+    # NAME when the checkpoint records class names; positional
+    # assumptions silently permute every metric when the label sets
+    # differ (e.g. evaluating on a second dataset)
+    class_names = list(getattr(classifier, 'class_names', None) or [])
+    if class_names:
+        missing = [n for n in label_names if n not in class_names]
+        assert not missing, \
+            'labels {} are not in the checkpoint\'s class names ' \
+            '{}'.format(missing, class_names)
+        prob_columns = np.asarray(
+            [class_names.index(n) for n in label_names])
+    else:
+        if classifier.config.num_classes != len(label_names):
+            print('Warning: checkpoint records no class names and has '
+                  '{} outputs vs {} dataset labels; assuming the first '
+                  '{} outputs align positionally'.format(
+                      classifier.config.num_classes, len(label_names),
+                      len(label_names)))
+        prob_columns = np.arange(len(label_names))
+
     os.makedirs(output_dir, exist_ok=True)
     overall_rows = []
     confusions = {}
@@ -132,9 +153,14 @@ def evaluate_model(checkpoint_path, dataset_dir, cropped_images_dir,
         probs, valid = _predict_rows(classifier, split_rows,
                                      cropped_images_dir,
                                      batch_size=batch_size)
+        if not valid.any():
+            print('Warning: no crops in split {} could be loaded from '
+                  '{}; skipping (check cropped_images_dir)'.format(
+                      split, cropped_images_dir))
+            continue
         labels = labels[valid]
         weights = weights[valid]
-        probs = probs[valid][:, :len(label_names)]
+        probs = probs[valid][:, prob_columns]
         kept_rows = [r for r, v in zip(split_rows, valid) if v]
 
         # 1) per-split outputs CSV

@@ -56,18 +56,20 @@ def parse_spec(label, spec_dict, taxonomy=None):
 
     for taxon in spec_dict.get('taxa', []):
         name = taxon['name']
-        node = None
-        if taxonomy is not None:
-            node = taxonomy.find(name)
-        if node is None:
+        # find() returns a (possibly empty) list of matching nodes;
+        # names can be ambiguous across ranks, so expand all matches
+        nodes = taxonomy.find(name) if taxonomy is not None else []
+        if not nodes:
             raise ValueError(
                 'label {}: taxon {} not in the taxonomy'.format(
                     label, name))
         datasets = taxon.get('datasets', [])
         # Taxon-derived dataset labels: the taxon name and every
         # descendant's name, in each listed dataset
-        names = {node.name} | {
-            d.name for d in taxonomy.descendants(node)}
+        names = set()
+        for node in nodes:
+            names.add(node.name)
+            names.update(d.name for d in taxonomy.descendants(node))
         for ds in datasets:
             for n in names:
                 results.add((ds, n))
@@ -168,16 +170,26 @@ def remove_images_insufficient_locs(output_js, log, min_locs):
     """Drop labels with fewer than [min_locs] distinct locations
     (reference :525-557)."""
 
+    # Count locations under EVERY label an image carries (multilabel
+    # images contribute to each of their labels)
     label_locs = collections.defaultdict(set)
     for info in output_js.values():
-        label_locs[info['label'][0]].add(
-            (info['dataset'], str(info['location'])))
+        for lbl in info['label']:
+            label_locs[lbl].add(
+                (info['dataset'], str(info['location'])))
     bad_labels = {lbl for lbl, locs in label_locs.items()
                   if len(locs) < min_locs}
     if not bad_labels:
         return
-    bad = [p for p, info in output_js.items()
-           if info['label'][0] in bad_labels]
+    # Strip bad labels from multilabel images; drop images left with
+    # no labels
+    bad = []
+    for p, info in output_js.items():
+        kept = [lbl for lbl in info['label'] if lbl not in bad_labels]
+        if kept:
+            info['label'] = kept
+        else:
+            bad.append(p)
     for p in bad:
         del output_js[p]
     log['labels_with_insufficient_locations'] = sorted(bad_labels)
@@ -199,19 +211,31 @@ def sample_with_priority(input_js, output_js, seed=123):
 
     rng = random.Random(seed)
     keep = {}
-    for label, spec_dict in input_js.items():
+
+    # Capped labels first, so multilabel images selected by uncapped
+    # labels don't pre-consume (or silently exceed) a cap; paths a
+    # previous capped label already kept count against this label's
+    # budget
+    def _order(item):
+        return (item[1].get('max_count') is None, item[0])
+
+    for label, spec_dict in sorted(input_js.items(), key=_order):
         paths = sorted(filter_images(output_js, label))
         max_count = spec_dict.get('max_count')
         if max_count is None or len(paths) <= max_count:
             for p in paths:
                 keep[p] = output_js[p]
             continue
+        already = [p for p in paths if p in keep]
+        budget = max_count - len(already)
+        if budget <= 0:
+            continue
         tiers = [set(t) for t in spec_dict.get('prioritize', [])]
         tiers.append(None)  # everything else
         chosen = []
-        remaining = paths
+        remaining = [p for p in paths if p not in keep]
         for tier in tiers:
-            if len(chosen) >= max_count:
+            if len(chosen) >= budget:
                 break
             if tier is None:
                 pool = remaining
@@ -219,12 +243,23 @@ def sample_with_priority(input_js, output_js, seed=123):
                 pool = [p for p in remaining
                         if output_js[p]['dataset'] in tier]
             remaining = [p for p in remaining if p not in set(pool)]
-            if len(chosen) + len(pool) <= max_count:
+            if len(chosen) + len(pool) <= budget:
                 chosen.extend(pool)
             else:
-                chosen.extend(rng.sample(pool, max_count - len(chosen)))
+                chosen.extend(rng.sample(pool, budget - len(chosen)))
         for p in chosen:
             keep[p] = output_js[p]
+
+    # Multilabel overlap can still force a cap to be exceeded (an
+    # uncapped label demanded the images); make that visible
+    label_counts = collections.Counter(
+        lbl for info in keep.values() for lbl in info['label'])
+    for label, spec_dict in input_js.items():
+        max_count = spec_dict.get('max_count')
+        if max_count is not None and label_counts[label] > max_count:
+            print('Warning: label {} kept {} images (max_count {}) '
+                  'because multilabel images were required by other '
+                  'labels'.format(label, label_counts[label], max_count))
     return keep
 
 
