@@ -147,6 +147,7 @@ def load_and_run_detector_batch(model_file,
                                 quiet=False,
                                 image_size=None,
                                 batch_size=8,
+                                augment=False,
                                 include_image_size=False,
                                 include_image_timestamp=False,
                                 include_exif_data=False,
@@ -174,6 +175,9 @@ def load_and_run_detector_batch(model_file,
         quiet: suppress the per-image progress bar
         image_size: override the model's inference canvas
         batch_size: images per compiled device step
+        augment: test-time augmentation (the reference's augment flag,
+            run_detector_batch.py:212,236): multi-scale + flip passes
+            merged before NMS; requires host preprocessing
         include_image_size/timestamp/exif_data: enrich results with EXIF
         detector_options: dict of TPUDetector options
         loader_workers: host threads decoding/letterboxing images
@@ -395,7 +399,7 @@ def load_and_run_detector_batch(model_file,
             batch_infos,
             [p[1] for p in bucket],
             detection_threshold=confidence_threshold,
-            image_size=image_size)
+            image_size=image_size, augment=augment)
         for (idx, im_file, info), r in zip(bucket, batch_results):
             _augment_result(r, info,
                             include_image_size=include_image_size,
@@ -616,6 +620,9 @@ def main():
     parser.add_argument('--quiet', action='store_true')
     parser.add_argument('--image_size', type=int, default=None)
     parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--augment', action='store_true',
+                        help='test-time augmentation (multi-scale + '
+                             'flip passes merged before NMS)')
     parser.add_argument('--threshold', type=float, default=None,
                         help='output confidence floor (default {})'.format(
                             DEFAULT_OUTPUT_CONFIDENCE_THRESHOLD))
@@ -743,6 +750,7 @@ def main():
         quiet=args.quiet,
         image_size=args.image_size,
         batch_size=args.batch_size,
+        augment=args.augment,
         include_image_size=args.include_image_size,
         include_image_timestamp=args.include_image_timestamp,
         include_exif_data=args.include_exif_data,

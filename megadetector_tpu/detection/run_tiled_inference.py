@@ -216,6 +216,7 @@ def run_tiled_inference(model_file, image_folder, tiling_folder, output_file,
                         detection_threshold=None,
                         detector_options=None,
                         save_tiles=False,
+                        augment=False,
                         verbose=False):
     """
     Run tiled inference over a folder of images, writing image-level
@@ -306,7 +307,8 @@ def run_tiled_inference(model_file, image_folder, tiling_folder, output_file,
         for i in range(0, len(patches), batch_size):
             patch_results.extend(detector.generate_detections_one_batch(
                 patches[i:i + batch_size], patch_ids[i:i + batch_size],
-                detection_threshold=detection_threshold))
+                detection_threshold=detection_threshold,
+                augment=augment))
 
         # --- Remap to image coordinates
         failed = False
@@ -388,6 +390,8 @@ def main():
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--threshold', type=float, default=None)
     parser.add_argument('--save_tiles', action='store_true')
+    parser.add_argument('--augment', action='store_true',
+                        help='test-time augmentation on each tile')
     parser.add_argument('--verbose', action='store_true')
     parser.add_argument('--detector_options', nargs='*', default=None)
 
@@ -404,7 +408,8 @@ def main():
         tile_size_x=args.tile_size_x, tile_size_y=args.tile_size_y,
         tile_overlap=args.tile_overlap, batch_size=args.batch_size,
         detection_threshold=args.threshold, save_tiles=args.save_tiles,
-        verbose=args.verbose, detector_options=detector_options)
+        augment=args.augment, verbose=args.verbose,
+        detector_options=detector_options)
 
 
 if __name__ == '__main__':
