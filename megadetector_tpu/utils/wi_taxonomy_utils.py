@@ -53,6 +53,14 @@ def is_valid_taxonomy_string(s):
     return isinstance(s, str) and s.count(';') == 5 and s == s.lower()
 
 
+def is_valid_geofence_taxonomy_string(s):
+    """Geofencing rules key off 5-token taxonomy strings
+    (class;order;family;genus;species — the reference's 5-token
+    is_valid_taxonomy_string, wi_taxonomy_utils.py:159)."""
+
+    return isinstance(s, str) and s.count(';') == 4 and s == s.lower()
+
+
 def get_common_name_from_prediction_string(s):
     """Last token of a prediction string."""
 
@@ -516,7 +524,8 @@ class TaxonomyHandler:
     line (or a list of strings).
     """
 
-    def __init__(self, taxonomy_source):
+    def __init__(self, taxonomy_source, geofencing_file=None,
+                 country_code_file=None):
         if isinstance(taxonomy_source, str):
             with open(taxonomy_source) as f:
                 lines = [line.strip() for line in f if line.strip()]
@@ -526,6 +535,16 @@ class TaxonomyHandler:
         self.prediction_strings = []
         self.common_name_to_string = {}
         self.latin_name_to_string = {}
+        #: 5-token taxonomy string -> taxonomy info dict (reference:
+        #: wi_taxonomy_utils.py:_load_taxonomy_info)
+        self.taxonomy_string_to_taxonomy_info = {}
+        self.binomial_name_to_taxonomy_info = {}
+        self.common_name_to_taxonomy_info = {}
+        #: Geofencing state; populated by initialize_geofencing
+        self.taxonomy_string_to_geofencing_rules = None
+        self.country_to_country_code = None
+        self.country_code_to_country = None
+
         for s in lines:
             s = s.strip().lower()
             if s.count(';') == 5:
@@ -543,6 +562,43 @@ class TaxonomyHandler:
                     '{} {}'.format(genus, species), s)
             elif genus:
                 self.latin_name_to_string.setdefault(genus, s)
+
+            info = {
+                'taxon_id': tokens[0],
+                'kingdom': 'animal',
+                'phylum': 'chordata',
+                'class': tokens[1],
+                'order': tokens[2],
+                'family': tokens[3],
+                'genus': genus,
+                'species': species,
+                'common_name': common,
+            }
+            five_token = ';'.join(tokens[1:6])
+            self.taxonomy_string_to_taxonomy_info.setdefault(
+                five_token, info)
+            if common:
+                self.common_name_to_taxonomy_info.setdefault(common,
+                                                             info)
+            # Binomial name: most specific non-empty taxon (subspecies
+            # keep their space, e.g. "canis;lupus dingo")
+            binomial = None
+            if genus and species:
+                binomial = '{} {}'.format(genus, species)
+            else:
+                for t in (tokens[4], tokens[3], tokens[2], tokens[1]):
+                    if t.strip():
+                        binomial = t.strip()
+                        break
+            if binomial:
+                self.binomial_name_to_taxonomy_info.setdefault(binomial,
+                                                               info)
+
+        if geofencing_file is not None:
+            assert country_code_file is not None, \
+                'Geofencing requires a country-code file'
+            self.initialize_geofencing(geofencing_file,
+                                       country_code_file)
 
     def string_for_name(self, name):
         """Prediction string for a common or latin name (or None)."""
@@ -573,3 +629,331 @@ class TaxonomyHandler:
             out.append(cur)
             cur = self.parent_string(cur)
         return out
+
+    #%% Geofencing (reference: wi_taxonomy_utils.py:1232-1911)
+    #
+    # Geofencing rules are keyed by five-token taxonomy strings
+    # ('mammalia;cetartiodactyla;cervidae;odocoileus;virginianus') and
+    # map 'allow'/'block' to {COUNTRY_CODE: [state codes]}; an empty
+    # state list applies to the whole country, and state-level rules
+    # currently exist only for the USA. Block rules win over allow
+    # rules; a species with allow rules is blocked everywhere not
+    # listed.
+
+    def initialize_geofencing(self, geofencing_file, country_code_file):
+        """
+        Load geofencing rules (.json) and ISO-3166 country-code
+        mappings (.csv with 'name' and 'alpha-3' columns).
+        """
+
+        import pandas as pd
+
+        country_code_df = pd.read_csv(country_code_file)
+        self.country_to_country_code = {}
+        self.country_code_to_country = {}
+        for _, row in country_code_df.iterrows():
+            self.country_to_country_code[row['name'].lower()] = \
+                row['alpha-3'].upper()
+            self.country_code_to_country[row['alpha-3'].upper()] = \
+                row['name'].lower()
+
+        with open(geofencing_file, encoding='utf-8') as f:
+            self.taxonomy_string_to_geofencing_rules = json.load(f)
+
+        for species_string, species_rules in \
+                self.taxonomy_string_to_geofencing_rules.items():
+            if len(species_rules.keys()) > 1:
+                print('Warning: taxon {} has both allow and block '
+                      'rules'.format(species_string))
+            for rule_type, country_rules in species_rules.items():
+                assert rule_type in ('allow', 'block')
+                for country_code, region_rules in country_rules.items():
+                    assert country_code in self.country_code_to_country
+                    if len(region_rules) > 0:
+                        assert country_code == 'USA', \
+                            'State-level rules only exist for the USA'
+
+    def _parse_region_code_list(self, codes):
+        """Country/state codes as a string, comma-delimited string, or
+        list -> normalized uppercase list."""
+
+        if not isinstance(codes, list):
+            assert isinstance(codes, str)
+            codes = [c for c in codes.strip().split(',')]
+        codes = [c.upper().strip() for c in codes]
+        for c in codes:
+            assert len(c) in (2, 3), 'Illegal region code {}'.format(c)
+        return codes
+
+    def species_string_to_canonical_species_string(self, species):
+        """
+        Normalize a 5-token taxonomy string, 7-token prediction string,
+        binomial name, or common name to a 5-token taxonomy string.
+        Raises ValueError when the name is unknown.
+        """
+
+        species = str(species).lower().strip()
+        n_tokens = len(species.split(';'))
+        if n_tokens == 5:
+            return species
+        if n_tokens == 7:
+            return ';'.join(species.split(';')[1:6])
+        info = self.common_name_to_taxonomy_info.get(
+            species, self.binomial_name_to_taxonomy_info.get(species))
+        if info is None:
+            raise ValueError(
+                'Could not find taxonomic information for '
+                '{}'.format(species))
+        return ';'.join([info['class'], info['order'], info['family'],
+                         info['genus'], info['species']])
+
+    def species_string_to_taxonomy_info(self, species):
+        """Taxonomy info dict for a species string/binomial/common
+        name; raises ValueError when unknown."""
+
+        canonical = self.species_string_to_canonical_species_string(
+            species)
+        if canonical not in self.taxonomy_string_to_taxonomy_info:
+            raise ValueError(
+                'Could not find taxonomic information for '
+                '{}'.format(species))
+        return self.taxonomy_string_to_taxonomy_info[canonical]
+
+    def generate_csv_rows_for_species(self, species_string,
+                                      allow_countries=None,
+                                      block_countries=None,
+                                      allow_states=None,
+                                      block_states=None):
+        """
+        Rows in geofence_fixes.csv format
+        ('species,allow|block,COUNTRY,STATE') for the given allow/block
+        country and US-state lists. Performs no consistency checking
+        between the allow and block lists.
+        """
+
+        assert is_valid_geofence_taxonomy_string(species_string), \
+            '{} is not a valid taxonomy string'.format(species_string)
+
+        lines = []
+        if allow_countries is not None:
+            for country in self._parse_region_code_list(allow_countries):
+                lines.append(species_string + ',allow,' + country + ',')
+        if block_countries is not None:
+            for country in self._parse_region_code_list(block_countries):
+                lines.append(species_string + ',block,' + country + ',')
+        if allow_states is not None:
+            for state in self._parse_region_code_list(allow_states):
+                lines.append(species_string + ',allow,USA,' + state)
+        if block_states is not None:
+            for state in self._parse_region_code_list(block_states):
+                lines.append(species_string + ',block,USA,' + state)
+        return lines
+
+    def generate_csv_rows_to_block_all_countries_except(
+            self, species_string, block_except_list):
+        """
+        geofence_fixes.csv rows that block every country currently
+        allowed for [species_string] except [block_except_list], and
+        allow the listed countries that aren't already allowed. Raises
+        ValueError when asked to allow an already-blocked country.
+        """
+
+        assert is_valid_geofence_taxonomy_string(species_string), \
+            '{} is not a valid taxonomy string'.format(species_string)
+        assert self.taxonomy_string_to_geofencing_rules is not None, \
+            'Initialize geofencing prior to species lookup'
+
+        rules = self.taxonomy_string_to_geofencing_rules[species_string]
+        allowed_countries = list(rules.get('allow', {}))
+        blocked_countries = list(rules.get('block', {}))
+        block_except_list = self._parse_region_code_list(
+            block_except_list)
+
+        countries_to_block = [
+            c for c in allowed_countries
+            if c not in block_except_list and c not in blocked_countries]
+        countries_to_allow = []
+        for country in block_except_list:
+            if country in blocked_countries:
+                raise ValueError(
+                    "Can't allow a country that has already been "
+                    "blocked")
+            if country not in allowed_countries:
+                countries_to_allow.append(country)
+
+        return self.generate_csv_rows_for_species(
+            species_string, allow_countries=countries_to_allow,
+            block_countries=countries_to_block)
+
+    def species_allowed_in_country(self, species, country, state=None,
+                                   return_status=False):
+        """
+        Whether [species] (common name, binomial name, or taxonomy
+        string) is allowed in [country] (name or alpha-3 code) under
+        the loaded geofencing rules. With return_status, returns the
+        detailed status string ('allowed', 'blocked',
+        'allow_by_default', 'block_usa_wide', ...) instead of a bool.
+        """
+
+        assert self.taxonomy_string_to_geofencing_rules is not None, \
+            'Initialize geofencing prior to species lookup'
+
+        taxonomy_string = \
+            self.species_string_to_canonical_species_string(species)
+
+        if state is not None:
+            state = state.upper()
+            assert len(state) == 2
+
+        if len(country) == 3:
+            assert country.upper() in self.country_code_to_country, \
+                'Unknown country code {}'.format(country)
+            country_code = country.upper()
+        else:
+            assert country.lower() in self.country_to_country_code, \
+                'Unknown country {}'.format(country)
+            country_code = self.country_to_country_code[country.lower()]
+
+        # Species with no rules are allowed everywhere
+        if taxonomy_string not in \
+                self.taxonomy_string_to_geofencing_rules:
+            return 'allow_by_default' if return_status else True
+
+        rules = self.taxonomy_string_to_geofencing_rules[
+            taxonomy_string]
+        blocked_countries = list(rules.get('block', {}))
+        allowed_countries = list(rules.get('allow', {}))
+
+        # Block rules win over allow rules; an allow list blocks every
+        # country not on it
+        if country_code in blocked_countries:
+            status = 'blocked_over_allow' \
+                if country_code in allowed_countries else 'blocked'
+        elif country_code in allowed_countries:
+            status = 'allowed'
+        elif len(allowed_countries) > 0:
+            status = 'block_not_on_country_allow_list'
+        else:
+            assert len(blocked_countries) > 0
+            status = 'allow_not_on_block_list'
+
+        # State-level rules (USA only)
+        if country_code == 'USA':
+            usa_blocked = usa_allowed = False
+            state_blocked = state_allowed = False
+            other_states_blocked = other_states_allowed = False
+
+            for rule_type in ('block', 'allow'):
+                if rule_type not in rules or \
+                        country_code not in rules[rule_type]:
+                    continue
+                state_list = rules[rule_type][country_code]
+                if len(state_list) == 0:
+                    # Country-wide rule
+                    if rule_type == 'block':
+                        usa_blocked = True
+                    else:
+                        usa_allowed = True
+                elif state is not None:
+                    if state in state_list:
+                        if rule_type == 'block':
+                            state_blocked = True
+                        else:
+                            state_allowed = True
+                    else:
+                        if rule_type == 'block':
+                            other_states_blocked = True
+                        else:
+                            other_states_allowed = True
+                else:
+                    # State list but no state given: treat as allowing
+                    # the whole country
+                    usa_allowed = True
+
+            if usa_blocked:
+                status = 'block_usa_wide'
+            elif usa_allowed:
+                status = 'allow_usa_wide'
+            elif state_blocked:
+                status = 'block_by_state'
+            elif state_allowed:
+                status = 'allow_by_state'
+            elif other_states_blocked:
+                status = 'allow_other_states_blocked'
+            elif other_states_allowed:
+                status = 'block_other_states_allowed'
+
+        if return_status:
+            return status
+        assert status.startswith(('allow', 'block'))
+        return status.startswith('allow')
+
+    def export_geofence_data_to_csv(self, csv_fn=None,
+                                    include_common_names=True):
+        """
+        Geofencing rules as a dataframe with one taxon per row and one
+        region (COUNTRY or USA:STATE) per column; 1 = allowed, empty =
+        not allowed. Optionally written to [csv_fn].
+        """
+
+        import pandas as pd
+
+        assert self.taxonomy_string_to_geofencing_rules is not None, \
+            'Initialize geofencing prior to export'
+
+        all_taxa = sorted(self.taxonomy_string_to_geofencing_rules)
+        all_regions = set()
+        for taxon in all_taxa:
+            for country_rules in \
+                    self.taxonomy_string_to_geofencing_rules[
+                        taxon].values():
+                for country_code, region_rules in country_rules.items():
+                    all_regions.add(country_code)
+                    for region_name in region_rules:
+                        assert len(region_name) == 2
+                        all_regions.add(country_code + ':' +
+                                        region_name)
+        all_regions = sorted(all_regions)
+
+        n_allowed = 0
+        df = pd.DataFrame(index=all_taxa, columns=all_regions)
+        for taxon in all_taxa:
+            for region in all_regions:
+                tokens = region.split(':')
+                state_code = tokens[1] if len(tokens) > 1 else None
+                if self.species_allowed_in_country(
+                        taxon, tokens[0], state=state_code):
+                    df.loc[taxon, region] = 1
+                    n_allowed += 1
+        print('Allowed {} of {} combinations'.format(
+            n_allowed, len(all_taxa) * len(all_regions)))
+
+        for col in df.columns:
+            if df[col].notna().any():
+                df[col] = pd.to_numeric(df[col],
+                                        errors='coerce').astype('Int64')
+
+        if include_common_names:
+            df.insert(loc=0, column='common_name', value='')
+            for taxon in all_taxa:
+                info = self.taxonomy_string_to_taxonomy_info.get(taxon)
+                if info is not None:
+                    df.loc[taxon, 'common_name'] = info['common_name']
+
+        if csv_fn is not None:
+            df.to_csv(csv_fn, index=True, header=True)
+        return df
+
+    def find_taxa_allowed_in_region(self, country, state=None):
+        """
+        All geofenced taxa allowed in a region, plus (implicitly) note
+        that un-geofenced taxa are always allowed
+        (the functional core of notebooks/wi_utils_driver.py:49-90).
+        Returns the sorted list of 5-token taxonomy strings.
+        """
+
+        assert self.taxonomy_string_to_geofencing_rules is not None, \
+            'Initialize geofencing prior to species lookup'
+        return sorted(
+            t for t in self.taxonomy_string_to_geofencing_rules
+            if self.species_allowed_in_country(t, country, state=state))
