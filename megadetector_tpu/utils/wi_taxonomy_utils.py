@@ -510,6 +510,119 @@ def find_geofence_adjustments(ensemble_json_file, use_latin_names=False):
                        key=lambda kv: -kv[1]))
 
 
+def generate_whole_image_detections_for_classifications(
+        classifications_json_file, detections_json_file,
+        ensemble_json_file=None, ignore_blank_classifications=True,
+        verbose=True):
+    """
+    For classifier results that ran on pre-cropped images: write a
+    SpeciesNet-format detections file where every image gets one
+    whole-image detection whose category comes from its top
+    classification, plus optionally a fake ensemble file carrying the
+    classifications (reference: wi_taxonomy_utils.py:393-500). Returns
+    the validation summary of the detections file.
+    """
+
+    if isinstance(classifications_json_file, str):
+        with open(classifications_json_file) as f:
+            classification_results = json.load(f)
+    else:
+        classification_results = classifications_json_file
+    predictions = classification_results['predictions']
+
+    output_predictions = []
+    ensemble_predictions = []
+
+    for i_prediction, prediction in enumerate(predictions):
+        classes = prediction['classifications']['classes']
+        scores = prediction['classifications']['scores']
+        i_score = 0
+        if ignore_blank_classifications:
+            while classes[i_score] in (blank_prediction_string,
+                                       no_cv_result_prediction_string):
+                i_score += 1
+                if i_score >= len(classes):
+                    if verbose:
+                        print('Ignoring blank classifications, but '
+                              'image {} has no non-blank '
+                              'values'.format(i_prediction))
+                    i_score = 0
+                    break
+
+        top_classification = classes[i_score]
+        if is_animal_classification(top_classification):
+            category_name = 'animal'
+        elif is_human_classification(top_classification):
+            category_name = 'human'
+        else:
+            category_name = 'vehicle'
+        md_category_name = 'person' if category_name == 'human' \
+            else category_name
+        from megadetector_tpu.detection.run_detector import \
+            DEFAULT_DETECTOR_LABEL_MAP
+        md_category_id = {v: k for k, v in
+                          DEFAULT_DETECTOR_LABEL_MAP.items()}[
+                              md_category_name]
+
+        output_detection = {
+            'label': category_name,
+            'category': md_category_id,
+            'conf': 1.0,
+            'bbox': [0.0, 0.0, 1.0, 1.0],
+        }
+        output_predictions.append({
+            'filepath': prediction['filepath'],
+            'detections': [output_detection],
+        })
+        ensemble_predictions.append({
+            'filepath': prediction['filepath'],
+            'detections': [output_detection],
+            'prediction': top_classification,
+            'prediction_score': scores[i_score],
+            'prediction_source': 'fake_ensemble_file_utility',
+            'classifications': prediction['classifications'],
+        })
+
+    if ensemble_json_file is not None:
+        with open(ensemble_json_file, 'w') as f:
+            json.dump({'predictions': ensemble_predictions}, f,
+                      indent=1)
+        validate_predictions_file(ensemble_json_file)
+
+    with open(detections_json_file, 'w') as f:
+        json.dump({'predictions': output_predictions}, f, indent=1)
+    return validate_predictions_file(detections_json_file)
+
+
+def generate_geofence_adjustment_html_summary(rollup_pair_to_count,
+                                              min_count=10):
+    """
+    HTML fragment (a <div>, not a full page) summarizing geofence
+    rollup changes with at least [min_count] occurrences;
+    rollup_pair_to_count comes from find_geofence_adjustments
+    (reference: wi_taxonomy_utils.py:1187-1229).
+    """
+
+    rollup_pair_to_count = {k: v for k, v in
+                            rollup_pair_to_count.items()
+                            if v >= min_count}
+    counts = list(rollup_pair_to_count.values())
+    assert counts == sorted(counts, reverse=True), \
+        'rollup_pair_to_count must be sorted descending by count'
+
+    if len(rollup_pair_to_count) == 0:
+        return ''
+
+    footer = ('<h3>Geofence changes that occurred more than {} '
+              'times</h3>\n'.format(min_count))
+    footer += '<div class="contentdiv">\n'
+    for rollup_pair, count in rollup_pair_to_count.items():
+        footer += '{} ({})<br/>\n'.format(
+            rollup_pair.replace(',', ' &rarr; '), count)
+    footer += '</div>\n'
+    return footer
+
+
 #%% TaxonomyHandler
 
 

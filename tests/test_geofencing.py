@@ -166,3 +166,53 @@ def test_find_taxa_allowed_in_region(handler):
     assert DEER in taxa and PUMA in taxa and DINGO not in taxa
     taxa_usa_ny = handler.find_taxa_allowed_in_region('USA', state='NY')
     assert DEER not in taxa_usa_ny and PUMA in taxa_usa_ny
+
+
+def test_generate_whole_image_detections(tmp_path):
+    import json
+    from megadetector_tpu.utils import wi_taxonomy_utils as w
+    classes = [w.blank_prediction_string,
+               TAXONOMY_LINES[1] + '']  # puma prediction string
+    preds = {'predictions': [
+        {'filepath': 'a.jpg',
+         'classifications': {'classes': [TAXONOMY_LINES[1]],
+                             'scores': [0.9]}},
+        {'filepath': 'b.jpg',
+         'classifications': {
+             'classes': [w.blank_prediction_string,
+                         w.human_prediction_string],
+             'scores': [0.8, 0.6]}},
+    ]}
+    cls_file = str(tmp_path / 'cls.json')
+    det_file = str(tmp_path / 'det.json')
+    ens_file = str(tmp_path / 'ens.json')
+    with open(cls_file, 'w') as f:
+        json.dump(preds, f)
+    w.generate_whole_image_detections_for_classifications(
+        cls_file, det_file, ensemble_json_file=ens_file)
+    with open(det_file) as f:
+        d = json.load(f)
+    assert len(d['predictions']) == 2
+    det_a = d['predictions'][0]['detections'][0]
+    assert det_a['label'] == 'animal' and det_a['category'] == '1'
+    assert det_a['bbox'] == [0.0, 0.0, 1.0, 1.0]
+    # Blank skipped in favor of the human classification
+    det_b = d['predictions'][1]['detections'][0]
+    assert det_b['label'] == 'human' and det_b['category'] == '2'
+    with open(ens_file) as f:
+        e = json.load(f)
+    assert e['predictions'][1]['prediction'] == \
+        w.human_prediction_string
+    assert e['predictions'][1]['prediction_source'] == \
+        'fake_ensemble_file_utility'
+
+
+def test_geofence_adjustment_html_summary():
+    from megadetector_tpu.utils import wi_taxonomy_utils as w
+    pairs = {'puma,felidae': 20, 'deer,cervidae': 12, 'rare,thing': 2}
+    html = w.generate_geofence_adjustment_html_summary(pairs,
+                                                       min_count=10)
+    assert 'puma &rarr; felidae (20)' in html
+    assert 'deer &rarr; cervidae (12)' in html
+    assert 'rare' not in html
+    assert w.generate_geofence_adjustment_html_summary({}, 10) == ''
