@@ -152,6 +152,36 @@ def get_datetime_from_image(image, options=None, ocr_fn=None):
     return None, {}
 
 
+def try_get_datetime_from_image(image, options=None, ocr_fn=None):
+    """
+    Try/catch wrapper over get_datetime_from_image that accepts one
+    DatetimeExtractionOptions or a list to try in order until a
+    datetime is found (reference: ocr_tools.py:539-585). Returns
+    {'datetime': datetime-or-None, 'text': str, 'options_index': int,
+    'error': str-or-None}.
+    """
+
+    if options is None:
+        options = DatetimeExtractionOptions()
+    if not isinstance(options, (list, tuple)):
+        options = [options]
+
+    result = {'datetime': None, 'text': '', 'options_index': None,
+              'error': None}
+    for i_option_set, current_options in enumerate(options):
+        try:
+            dt, info = get_datetime_from_image(
+                image, options=current_options, ocr_fn=ocr_fn)
+            result['datetime'] = dt
+            result['text'] = info.get('text', '')
+            result['options_index'] = i_option_set
+            if dt is not None:
+                break
+        except Exception as e:
+            result['error'] = str(e)
+    return result
+
+
 def get_datetimes_for_folder(folder, output_file=None, options=None,
                              ocr_fn=None, recursive=True):
     """{relative filename: ISO datetime or None} for every image in a

@@ -305,3 +305,162 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+
+#%% GPS / datetime convenience API (reference: read_exif.py:140-420)
+
+
+def _is_null_gps_value(v):
+    """True for None/zero GPS components (incl. zero IFDRationals);
+    errs toward True on parse failures."""
+
+    if v is None:
+        return True
+    try:
+        if v == 0:
+            return True
+        from PIL import TiffImagePlugin
+        if isinstance(v, TiffImagePlugin.IFDRational):
+            return v.numerator == 0 or v.denominator == 0
+        return False
+    except Exception:
+        return True
+
+
+def _is_null_island(tags):
+    """True when both GPSLatitude and GPSLongitude are all-zero
+    triplets (0,0 off the coast of Africa = 'no real GPS data')."""
+
+    for k in ('GPSLatitude', 'GPSLongitude'):
+        v = tags.get(k)
+        if not isinstance(v, (list, tuple)) or len(v) != 3:
+            return False
+        try:
+            if not all(_is_null_gps_value(x) for x in v):
+                return False
+        except Exception:
+            return False
+    return True
+
+
+def get_gps_info(im, verbose=False, check_for_null_island=True):
+    """
+    GPS tags for a filename, PIL image, EXIF-tag dict, or dict with an
+    'exif_tags' field (reference: read_exif.py:194-260). Returns
+    {'status': 'success'|'read_error'|'no_exif_info'|'no_gps_info'|
+    'null_island', 'gps_info': dict or None}; values stay in raw EXIF
+    form.
+    """
+
+    to_return = {'status': 'unknown', 'gps_info': None}
+
+    if isinstance(im, dict):
+        tags = im.get('exif_tags', im)
+    else:
+        try:
+            tags = read_pil_exif(im)
+        except Exception as e:
+            if verbose:
+                print('EXIF read error: {}'.format(e))
+            to_return['status'] = 'read_error'
+            to_return['error'] = str(e)
+            return to_return
+
+    if not tags:
+        to_return['status'] = 'no_exif_info'
+        return to_return
+    if 'GPSLatitude' not in tags or 'GPSLongitude' not in tags:
+        to_return['status'] = 'no_gps_info'
+        return to_return
+    if check_for_null_island and _is_null_island(tags):
+        to_return['status'] = 'null_island'
+        return to_return
+
+    to_return['status'] = 'success'
+    to_return['gps_info'] = {k: v for k, v in tags.items()
+                             if k.startswith('GPS')}
+    return to_return
+
+
+def has_gps_info(im):
+    """True/False for GPS presence; None when EXIF could not be read
+    (reference: read_exif.py:312)."""
+
+    result = get_gps_info(im)
+    if result['status'] == 'read_error':
+        return None
+    return result['status'] == 'success'
+
+
+def get_exif_lat_lon(gps, verbose=False):
+    """
+    EXIF GPS dict -> (lat, lon) in signed decimal degrees, or None for
+    invalid/missing coordinates (reference: read_exif.py:274-309).
+    """
+
+    import math
+
+    if 'GPSInfo' in gps and 'GPSLatitude' not in gps:
+        gps = gps['GPSInfo']
+    if 'GPSLatitudeRef' in gps and \
+            gps.get('GPSLatitudeRef') not in ('N', 'S'):
+        return None
+    if 'GPSLongitudeRef' in gps and \
+            gps.get('GPSLongitudeRef') not in ('E', 'W'):
+        return None
+    result = exif_gps_to_decimal_degrees(gps)
+    if result is None:
+        return None
+    lat, lon = result
+    if math.isnan(lat) or math.isnan(lon):
+        return None
+    if not (-90 <= lat <= 90 and -180 <= lon <= 180):
+        if verbose:
+            print('Warning: out-of-range lat/lon {},{}'.format(lat,
+                                                               lon))
+        return None
+    return lat, lon
+
+
+EXIF_DATETIME_FORMAT = '%Y:%m:%d %H:%M:%S'
+
+
+def parse_exif_datetime_string(s, verbose=False):
+    """'YYYY:MM:DD HH:MM:SS' -> datetime, or None on parse failure
+    (reference: read_exif.py:~395)."""
+
+    from datetime import datetime
+    try:
+        return datetime.strptime(str(s).strip(), EXIF_DATETIME_FORMAT)
+    except Exception as e:
+        if verbose:
+            print('Could not parse EXIF datetime {}: {}'.format(s, e))
+        return None
+
+
+def format_datetime_as_exif_datetime_string(dt):
+    """datetime -> 'YYYY:MM:DD HH:MM:SS' (reference: read_exif.py)."""
+
+    return dt.strftime(EXIF_DATETIME_FORMAT)
+
+
+def read_exif_tags_for_image(filename, options=None):
+    """
+    EXIF tags for one image via the configured backend ('pil' or
+    'exiftool'); the single-image form of read_exif_from_folder
+    (reference: read_exif.py:~560). Returns a {'file', 'exif_tags'}
+    dict; 'error' replaces 'exif_tags' on failure.
+    """
+
+    if options is None:
+        options = ReadExifOptions()
+    result = {'file': filename}
+    try:
+        if getattr(options, 'processing_library', 'pil') == 'exiftool':
+            result['exif_tags'] = read_exif_with_exiftool(filename)
+        else:
+            result['exif_tags'] = read_pil_exif(filename,
+                                                options=options)
+    except Exception as e:
+        result['error'] = str(e)
+    return result

@@ -43,6 +43,57 @@ def load_yolo_class_list(class_file):
         return [line.strip() for line in f if len(line.strip()) > 0]
 
 
+def validate_label_file(label_file, category_id_to_name=None,
+                        verbose=False):
+    """
+    Verify one YOLO label .txt: five tokens per line, known category
+    IDs (when a mapping is given), and in-bounds normalized boxes
+    (reference: yolo_to_coco.py:218-294). Returns
+    {'file': ..., 'errors': [...]}.
+    """
+
+    label_result = {'file': label_file, 'errors': []}
+    try:
+        with open(label_file) as f:
+            lines = f.readlines()
+    except Exception as e:
+        label_result['errors'].append('Read error: {}'.format(e))
+        return label_result
+
+    for i_line, line in enumerate(lines):
+        s = line.strip()
+        if len(s) == 0 or s[0] == '#':
+            continue
+        try:
+            tokens = s.split()
+            assert len(tokens) == 5, \
+                'YOLO label lines should have five tokens, found ' \
+                '{}'.format(len(tokens))
+            if category_id_to_name is not None:
+                category_id = int(tokens[0])
+                assert category_id in category_id_to_name, \
+                    'Unrecognized category ID {}'.format(category_id)
+            yolo_bbox = [float(x) for x in tokens[1:]]
+        except Exception as e:
+            label_result['errors'].append(
+                'Token error at line {}: {}'.format(i_line, e))
+            continue
+
+        x_center, y_center, width, height = yolo_bbox
+        x_min, x_max = x_center - width / 2.0, x_center + width / 2.0
+        y_min, y_max = y_center - height / 2.0, y_center + height / 2.0
+        if x_min < 0 or y_min < 0 or x_max > 1 or y_max > 1:
+            label_result['errors'].append(
+                'Invalid bounding box: {} {} {} {}'.format(
+                    x_min, y_min, x_max, y_max))
+
+    if verbose and label_result['errors']:
+        print('Errors for {}:'.format(label_file))
+        for error in label_result['errors']:
+            print(error)
+    return label_result
+
+
 def validate_yolo_dataset(image_folder, class_file=None, recursive=True):
     """
     Basic dataset validation: every image should have at most one label
@@ -58,9 +109,26 @@ def validate_yolo_dataset(image_folder, class_file=None, recursive=True):
     image_bases = set(os.path.splitext(fn)[0] for fn in images)
     label_bases = set(os.path.splitext(fn)[0] for fn in labels)
 
+    # Per-file content validation (token counts, category IDs, box
+    # bounds; reference validates every label file at
+    # yolo_to_coco.py:297-360)
+    category_id_to_name = None
+    if class_file is not None:
+        category_id_to_name = dict(
+            enumerate(load_yolo_class_list(class_file)))
+    label_errors = []
+    for fn in labels:
+        result = validate_label_file(
+            os.path.join(image_folder, fn),
+            category_id_to_name=category_id_to_name)
+        if result['errors']:
+            result['file'] = fn
+            label_errors.append(result)
+
     return {
         'images_without_labels': sorted(image_bases - label_bases),
         'labels_without_images': sorted(label_bases - image_bases),
+        'label_errors': label_errors,
         'n_images': len(images),
         'n_labels': len(labels),
     }

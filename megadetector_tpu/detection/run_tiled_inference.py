@@ -217,6 +217,7 @@ def run_tiled_inference(model_file, image_folder, tiling_folder, output_file,
                         detector_options=None,
                         save_tiles=False,
                         augment=False,
+                        image_size=None,
                         verbose=False):
     """
     Run tiled inference over a folder of images, writing image-level
@@ -308,7 +309,7 @@ def run_tiled_inference(model_file, image_folder, tiling_folder, output_file,
             patch_results.extend(detector.generate_detections_one_batch(
                 patches[i:i + batch_size], patch_ids[i:i + batch_size],
                 detection_threshold=detection_threshold,
-                augment=augment))
+                image_size=image_size, augment=augment))
 
         # --- Remap to image coordinates
         failed = False
@@ -392,6 +393,9 @@ def main():
     parser.add_argument('--save_tiles', action='store_true')
     parser.add_argument('--augment', action='store_true',
                         help='test-time augmentation on each tile')
+    parser.add_argument('--image_size', type=int, default=None,
+                        help='inference canvas override for each tile '
+                             "(the reference's inference_size)")
     parser.add_argument('--verbose', action='store_true')
     parser.add_argument('--detector_options', nargs='*', default=None)
 
@@ -408,8 +412,8 @@ def main():
         tile_size_x=args.tile_size_x, tile_size_y=args.tile_size_y,
         tile_overlap=args.tile_overlap, batch_size=args.batch_size,
         detection_threshold=args.threshold, save_tiles=args.save_tiles,
-        augment=args.augment, verbose=args.verbose,
-        detector_options=detector_options)
+        augment=args.augment, image_size=args.image_size,
+        verbose=args.verbose, detector_options=detector_options)
 
 
 if __name__ == '__main__':

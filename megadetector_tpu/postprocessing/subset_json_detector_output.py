@@ -49,6 +49,15 @@ class SubsetJsonDetectorOutputOptions:
         # Remove failed images
         self.remove_failed_images = False
 
+        # Keep only files in this list / results file / folder
+        # (reference: subset_json_detector_output.py:420)
+        self.keep_files_in_list = None
+
+        # Drop classification categories with fewer than this many
+        # occurrences (IDs are not remapped; reference:
+        # subset_json_detector_output.py:194)
+        self.remove_classification_categories_below_count = None
+
         # Split-folders mode
         self.split_folders = False
         self.split_folder_mode = 'bottom'  # 'bottom', 'top', 'n_from_top'
@@ -133,6 +142,87 @@ def subset_json_detector_output_by_size(data, options):
         return True
 
     data['images'] = [im for im in data['images'] if qualifies(im)]
+    return data
+
+
+def subset_json_detector_output_by_list(data, options):
+    """
+    Keep only files named in options.keep_files_in_list — a list, an
+    MD results file, or a folder (relative paths assumed); in place
+    (reference: subset_json_detector_output.py:420-466).
+    """
+
+    if options.keep_files_in_list is None:
+        return data
+
+    source = options.keep_files_in_list
+    if isinstance(source, list):
+        files_to_keep = source
+    elif os.path.isfile(source):
+        with open(source) as f:
+            files_to_keep = [im['file'] for im in
+                             json.load(f)['images']]
+    elif os.path.isdir(source):
+        from megadetector_tpu.utils.path_utils import \
+            recursive_file_list
+        files_to_keep = recursive_file_list(source,
+                                            return_relative_paths=True)
+    else:
+        raise ValueError(
+            '{} is neither a list, a results file, nor a '
+            'folder'.format(source))
+
+    files_to_keep_set = {fn.replace('\\', '/') for fn in files_to_keep}
+    images_in = data['images']
+    data['images'] = [im for im in images_in
+                      if im['file'].replace('\\', '/') in
+                      files_to_keep_set]
+    print('Subsetting by list kept {} of {} files (expected {})'.format(
+        len(data['images']), len(images_in), len(files_to_keep_set)))
+    return data
+
+
+def remove_classification_categories_below_count(data, options):
+    """
+    Drop classification categories (and their per-detection entries)
+    with fewer than the threshold number of occurrences; IDs are not
+    remapped (reference: subset_json_detector_output.py:194-280). In
+    place.
+    """
+
+    threshold = options.remove_classification_categories_below_count
+    if threshold is None or 'classification_categories' not in data:
+        return data
+
+    counts = {cat_id: 0 for cat_id in data['classification_categories']}
+    for im in data['images']:
+        for det in im.get('detections') or []:
+            for classification in det.get('classifications', []):
+                counts[classification[0]] += 1
+
+    ids_to_keep = {cat_id for cat_id, n in counts.items()
+                   if n >= threshold}
+    n_removed = len(counts) - len(ids_to_keep)
+    print('Removing {} of {} classification categories'.format(
+        n_removed, len(counts)))
+    if n_removed == 0:
+        return data
+
+    data['classification_categories'] = {
+        k: v for k, v in data['classification_categories'].items()
+        if k in ids_to_keep}
+    if 'classification_category_descriptions' in data:
+        data['classification_category_descriptions'] = {
+            k: v for k, v in
+            data['classification_category_descriptions'].items()
+            if k in ids_to_keep}
+
+    for im in data['images']:
+        for det in im.get('detections') or []:
+            if 'classifications' in det:
+                det['classifications'] = [
+                    c for c in det['classifications']
+                    if c[0] in ids_to_keep]
     return data
 
 
@@ -225,10 +315,12 @@ def subset_json_detector_output(input_filename, output_filename, options,
         data['images'] = data['images'][:options.debug_max_images]
 
     data = subset_json_detector_output_by_query(data, options)
+    data = subset_json_detector_output_by_list(data, options)
     data = remove_failed_images(data, options)
     data = subset_json_detector_output_by_confidence(data, options)
     data = subset_json_detector_output_by_categories(data, options)
     data = subset_json_detector_output_by_size(data, options)
+    data = remove_classification_categories_below_count(data, options)
 
     if not options.split_folders:
         if output_filename is not None:
@@ -289,6 +381,11 @@ def main():
     parser.add_argument('--copy_jsons_to_folders', action='store_true')
     parser.add_argument('--overwrite_json_files', action='store_true')
     parser.add_argument('--debug_max_images', type=int, default=-1)
+    parser.add_argument('--keep_files_in_list', default=None,
+                        help='keep only files named in this results '
+                             'file or folder')
+    parser.add_argument('--remove_classification_categories_below_count',
+                        type=int, default=None)
 
     if len(sys.argv[1:]) == 0:
         parser.print_help()

@@ -582,3 +582,16 @@ def is_running_in_gha():
     """True when running in GitHub Actions."""
 
     return os.environ.get('GITHUB_ACTIONS') == 'true'
+
+
+def environment_is_wsl():
+    """True when running under the Windows Subsystem for Linux
+    (reference: ct_utils.py:environment_is_wsl)."""
+
+    if os.name != 'posix':
+        return False
+    try:
+        with open('/proc/version') as f:
+            return 'microsoft' in f.read().lower()
+    except OSError:
+        return False

@@ -601,3 +601,68 @@ def parallel_delete_files(input_files, max_workers=8, verbose=False):
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         list(pool.map(one, input_files))
+
+
+def windows_path_to_wsl_path(path):
+    """'c:\\temp\\foo' -> '/mnt/c/temp/foo'
+    (reference: path_utils.py:windows_path_to_wsl_path). Returns paths
+    without a drive letter unchanged (slashes normalized)."""
+
+    path = str(path).replace('\\', '/')
+    if len(path) >= 2 and path[1] == ':':
+        path = '/mnt/{}{}'.format(path[0].lower(), path[2:])
+    return path
+
+
+def wsl_path_to_windows_path(path):
+    """'/mnt/c/temp/foo' -> 'c:\\temp\\foo'
+    (reference: path_utils.py:wsl_path_to_windows_path). Returns None
+    for non-/mnt paths like the reference."""
+
+    path = str(path).replace('\\', '/')
+    if not path.startswith('/mnt/') or len(path) < 6:
+        return None
+    drive = path[5]
+    rest = path[6:]
+    return '{}:{}'.format(drive, rest.replace('/', '\\'))
+
+
+def open_file(filename, attempt_to_open_in_wsl_host=False,
+              browser_name=None):
+    """
+    Open a file in the OS default viewer (xdg-open / start / open);
+    failures print a warning instead of raising, since this is a
+    convenience for interactive workflows
+    (reference: path_utils.py:open_file).
+    """
+
+    import subprocess
+    import sys as _sys
+
+    try:
+        if _sys.platform.startswith('win'):
+            os.startfile(filename)  # noqa
+        elif _sys.platform == 'darwin':
+            subprocess.Popen(['open', filename],
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        elif attempt_to_open_in_wsl_host:
+            from megadetector_tpu.utils.ct_utils import \
+                environment_is_wsl
+            if environment_is_wsl():
+                windows_path = wsl_path_to_windows_path(filename)
+                if windows_path is not None:
+                    subprocess.Popen(
+                        ['wslview', windows_path],
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL)
+                    return
+            subprocess.Popen(['xdg-open', filename],
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+        else:
+            subprocess.Popen(['xdg-open', filename],
+                             stdout=subprocess.DEVNULL,
+                             stderr=subprocess.DEVNULL)
+    except Exception as e:
+        print('Warning: could not open {}: {}'.format(filename, e))

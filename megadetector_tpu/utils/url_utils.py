@@ -127,3 +127,35 @@ def test_urls(urls, error_on_failure=True, timeout=2.0):
                 raise ValueError('Error accessing {}: {}'.format(url, e))
             status_codes.append(-1)
     return status_codes
+
+
+def get_url_size(url, timeout=30):
+    """
+    Content-Length of [url] via a HEAD request, or None when the server
+    doesn't report one / the request fails
+    (reference: url_utils.py:get_url_size).
+    """
+
+    import urllib.request
+    req = urllib.request.Request(url, method='HEAD')
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            size = resp.headers.get('Content-Length')
+            return int(size) if size is not None else None
+    except Exception:
+        return None
+
+
+def get_url_sizes(urls, n_workers=8, timeout=30):
+    """{url: size-or-None} with a thread pool
+    (reference: url_utils.py:get_url_sizes)."""
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if n_workers <= 1 or len(urls) <= 1:
+        sizes = [get_url_size(u, timeout=timeout) for u in urls]
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            sizes = list(pool.map(
+                lambda u: get_url_size(u, timeout=timeout), urls))
+    return dict(zip(urls, sizes))

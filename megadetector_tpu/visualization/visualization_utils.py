@@ -435,3 +435,152 @@ def gray_scale_fraction(image, crop_size=(0.1, 0.1)):
     b = arr[..., 2].astype(np.int16)
     gray = (r == g) & (g == b)
     return float(np.mean(gray))
+
+
+#%% Batch resize / size / integrity utilities
+#
+# Reference: visualization_utils.py:1562-1841. Host-side operator tools;
+# parallelized with thread pools (PIL releases the GIL for decode, and
+# injectable-transportless process pools buy little here on the hosts
+# these run on).
+
+
+def resize_images(input_file_to_output_file, target_width=-1,
+                  target_height=-1, no_enlarge_width=False,
+                  verbose=False, quality='keep', n_workers=10,
+                  overwrite=True):
+    """
+    Resize every image in {input path: output path}; returns
+    {input path: output path or error string}. -1 in one dimension
+    preserves aspect ratio (reference: visualization_utils.py:1562).
+    """
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _resize_one(item):
+        input_file, output_file = item
+        try:
+            if not overwrite and os.path.isfile(output_file):
+                return output_file
+            resize_image(input_file, target_width=target_width,
+                         target_height=target_height,
+                         output_file=output_file,
+                         no_enlarge_width=no_enlarge_width,
+                         verbose=verbose, quality=quality)
+            return output_file
+        except Exception as e:
+            if verbose:
+                print('Error resizing {}: {}'.format(input_file, e))
+            return 'error: {}'.format(e)
+
+    items = list(input_file_to_output_file.items())
+    if n_workers <= 1 or len(items) <= 1:
+        results = [_resize_one(item) for item in items]
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            results = list(pool.map(_resize_one, items))
+    return {item[0]: r for item, r in zip(items, results)}
+
+
+def resize_image_folder(input_folder, output_folder=None,
+                        target_width=-1, target_height=-1,
+                        no_enlarge_width=False, verbose=False,
+                        quality='keep', n_workers=10, recursive=True,
+                        image_files_relative=None, overwrite=True):
+    """
+    Resize all images in a folder, in place (no output_folder) or into
+    a parallel tree (reference: visualization_utils.py:1655). Returns
+    the resize_images result dict.
+    """
+
+    from megadetector_tpu.utils import path_utils
+
+    if image_files_relative is None:
+        image_files_relative = path_utils.find_images(
+            input_folder, recursive=recursive,
+            return_relative_paths=True)
+    if output_folder is None:
+        output_folder = input_folder
+
+    input_to_output = {}
+    for fn_relative in image_files_relative:
+        input_to_output[os.path.join(input_folder, fn_relative)] = \
+            os.path.join(output_folder, fn_relative)
+    return resize_images(
+        input_to_output, target_width=target_width,
+        target_height=target_height,
+        no_enlarge_width=no_enlarge_width, verbose=verbose,
+        quality=quality, n_workers=n_workers, overwrite=overwrite)
+
+
+def get_image_size(im, verbose=False):
+    """(w, h) of a filename or PIL image, or None when unreadable
+    (reference: visualization_utils.py:1742)."""
+
+    try:
+        if isinstance(im, str):
+            im = load_image(im)
+        w, h = im.width, im.height
+        if w <= 0 or h <= 0:
+            return None
+        return (w, h)
+    except Exception as e:
+        if verbose:
+            print('Error reading image size: {}'.format(e))
+        return None
+
+
+def parallel_get_image_sizes(filenames, max_workers=16, recursive=True,
+                             verbose=False):
+    """
+    {filename: (w, h) or None} for a list or folder of images
+    (reference: visualization_utils.py:1777). Non-image/unreadable
+    files map to None.
+    """
+
+    from concurrent.futures import ThreadPoolExecutor
+    from megadetector_tpu.utils import path_utils
+
+    if isinstance(filenames, str):
+        filenames = path_utils.find_images(filenames,
+                                           recursive=recursive)
+
+    def _size_one(fn):
+        if not path_utils.is_image_file(fn):
+            return None
+        return get_image_size(fn, verbose=verbose)
+
+    if max_workers <= 1 or len(filenames) <= 1:
+        sizes = [_size_one(fn) for fn in filenames]
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            sizes = list(pool.map(_size_one, filenames))
+    return dict(zip(filenames, sizes))
+
+
+def parallel_check_image_integrity(filenames, max_workers=16,
+                                   recursive=True,
+                                   check_decode=True):
+    """
+    check_image_integrity over a list or folder with a thread pool;
+    returns a list of per-image status dicts
+    (reference: visualization_utils.py:1843).
+    """
+
+    from concurrent.futures import ThreadPoolExecutor
+    from megadetector_tpu.utils import path_utils
+
+    if isinstance(filenames, str):
+        filenames = path_utils.find_images(filenames,
+                                           recursive=recursive)
+
+    modes = ['exists', 'load', 'pixel_load'] if check_decode \
+        else ['exists', 'load']
+
+    def _check_one(fn):
+        return check_image_integrity(fn, modes=modes)
+
+    if max_workers <= 1 or len(filenames) <= 1:
+        return [_check_one(fn) for fn in filenames]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(_check_one, filenames))

@@ -214,6 +214,7 @@ def run_comparison_job(job, options, image_file_names):
             batch_size=options.batch_size,
             detection_threshold=threshold,
             detector_options=detector_options,
+            image_size=job['image_size'],
             augment=job['augment'])
     else:
         results = load_and_run_detector_batch(

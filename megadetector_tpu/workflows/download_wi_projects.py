@@ -103,7 +103,11 @@ def prepare_project_downloads(base_folder,
     for project_id, folder_name in project_id_to_folder.items():
 
         project_image_folder = os.path.join(image_base, str(project_id))
-        script_name = 'download_images_{}.sh'.format(project_id)
+        # Individual-image mode writes its own master-script name
+        # (write_download_commands' download_wi_images.sh)
+        script_name = 'download_wi_images.sh' \
+            if download_individual_images \
+            else 'download_images_{}.sh'.format(project_id)
         download_command_file = os.path.join(project_image_folder,
                                              script_name)
         p = {'id': project_id,

@@ -1,0 +1,260 @@
+"""
+Tests for round-3 breadth utilities: batch resize, image sizes,
+integrity checking, GPS/datetime EXIF helpers, URL sizes, and WSL path
+conversions.
+"""
+
+import os
+
+import numpy as np
+
+from PIL import Image
+
+from megadetector_tpu.visualization import visualization_utils as vu
+
+
+def _make_images(folder, sizes):
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (w, h) in enumerate(sizes):
+        p = os.path.join(str(folder), 'im_{}.jpg'.format(i))
+        Image.fromarray(rng.randint(0, 255, (h, w, 3),
+                                    dtype=np.uint8)).save(p)
+        paths.append(p)
+    return paths
+
+
+def test_resize_images_and_folder(tmp_path):
+    src = tmp_path / 'src'
+    src.mkdir()
+    paths = _make_images(src, [(100, 80), (50, 40)])
+    out = str(tmp_path / 'out')
+    mapping = {p: os.path.join(out, os.path.basename(p))
+               for p in paths}
+    results = vu.resize_images(mapping, target_width=50)
+    for p, r in results.items():
+        assert not str(r).startswith('error')
+        with Image.open(mapping[p]) as im:
+            assert im.size[0] == 50
+
+    # Folder form, in a parallel tree, aspect preserved
+    out2 = str(tmp_path / 'out2')
+    results = vu.resize_image_folder(str(src), out2, target_width=25)
+    assert len(results) == 2
+    with Image.open(os.path.join(out2, 'im_0.jpg')) as im:
+        assert im.size == (25, 20)
+
+    # no_enlarge_width: target wider than source leaves size unchanged
+    out3 = str(tmp_path / 'big.jpg')
+    vu.resize_image(paths[1], target_width=500, output_file=out3,
+                    no_enlarge_width=True)
+    with Image.open(out3) as im:
+        assert im.size == (50, 40)
+
+
+def test_get_image_sizes(tmp_path):
+    paths = _make_images(tmp_path, [(60, 40), (30, 20)])
+    assert vu.get_image_size(paths[0]) == (60, 40)
+    assert vu.get_image_size('/nonexistent.jpg') is None
+    sizes = vu.parallel_get_image_sizes(str(tmp_path), max_workers=2)
+    assert sorted(sizes.values()) == [(30, 20), (60, 40)]
+
+
+def test_parallel_check_image_integrity(tmp_path):
+    paths = _make_images(tmp_path, [(20, 20)])
+    bad = str(tmp_path / 'bad.jpg')
+    with open(bad, 'wb') as f:
+        f.write(b'not a jpeg')
+    results = vu.parallel_check_image_integrity(str(tmp_path))
+    by_file = {r['file']: r for r in results}
+    assert by_file[paths[0]]['load'] is True
+    assert by_file[bad]['load'] is False
+
+
+def test_gps_helpers():
+    from megadetector_tpu.data_management import read_exif as re_
+
+    tags = {'GPSLatitude': (47.0, 36.0, 0.0), 'GPSLatitudeRef': 'N',
+            'GPSLongitude': (122.0, 19.0, 48.0),
+            'GPSLongitudeRef': 'W', 'Make': 'TestCam'}
+    info = re_.get_gps_info({'exif_tags': tags})
+    assert info['status'] == 'success'
+    assert 'GPSLatitude' in info['gps_info']
+    assert 'Make' not in info['gps_info']
+    lat, lon = re_.get_exif_lat_lon(tags)
+    assert abs(lat - 47.6) < 1e-6 and abs(lon + 122.33) < 1e-2
+
+    # Null island
+    null_tags = {'GPSLatitude': (0.0, 0.0, 0.0), 'GPSLatitudeRef': 'N',
+                 'GPSLongitude': (0.0, 0.0, 0.0),
+                 'GPSLongitudeRef': 'E'}
+    assert re_.get_gps_info({'exif_tags': null_tags})['status'] == \
+        'null_island'
+    assert re_.get_gps_info(
+        {'exif_tags': null_tags},
+        check_for_null_island=False)['status'] == 'success'
+
+    # No GPS / no EXIF
+    assert re_.get_gps_info({'exif_tags': {'Make': 'x'}})['status'] == \
+        'no_gps_info'
+    assert re_.get_gps_info({'exif_tags': {}})['status'] == \
+        'no_exif_info'
+    assert re_.has_gps_info({'exif_tags': tags}) is True
+    assert re_.has_gps_info({'exif_tags': {'Make': 'x'}}) is False
+
+    # Invalid refs / ranges
+    bad = dict(tags, GPSLatitudeRef='Q')
+    assert re_.get_exif_lat_lon(bad) is None
+    far = dict(tags, GPSLatitude=(200.0, 0.0, 0.0))
+    assert re_.get_exif_lat_lon(far) is None
+
+
+def test_exif_datetime_roundtrip():
+    from datetime import datetime
+    from megadetector_tpu.data_management import read_exif as re_
+
+    dt = datetime(2024, 3, 5, 14, 30, 59)
+    s = re_.format_datetime_as_exif_datetime_string(dt)
+    assert s == '2024:03:05 14:30:59'
+    assert re_.parse_exif_datetime_string(s) == dt
+    assert re_.parse_exif_datetime_string('garbage') is None
+
+
+def test_read_exif_tags_for_image(tmp_path):
+    from megadetector_tpu.data_management import read_exif as re_
+
+    paths = _make_images(tmp_path, [(20, 20)])
+    r = re_.read_exif_tags_for_image(paths[0])
+    assert r['file'] == paths[0] and 'exif_tags' in r
+    r = re_.read_exif_tags_for_image(str(tmp_path / 'missing.jpg'))
+    assert 'error' in r
+
+
+def test_url_sizes(tmp_path):
+    import http.server
+    import socketserver
+    import threading
+    from megadetector_tpu.utils import url_utils
+
+    payload = b'x' * 1234
+    with open(str(tmp_path / 'file.bin'), 'wb') as f:
+        f.write(payload)
+
+    handler = type('H', (http.server.SimpleHTTPRequestHandler,), {
+        'directory': str(tmp_path),
+        'log_message': lambda *a, **k: None})
+    httpd = socketserver.TCPServer(
+        ('127.0.0.1', 0),
+        lambda *a, **k: handler(*a, directory=str(tmp_path), **k))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = 'http://127.0.0.1:{}/file.bin'.format(port)
+        assert url_utils.get_url_size(url) == 1234
+        sizes = url_utils.get_url_sizes(
+            [url, 'http://127.0.0.1:{}/missing.bin'.format(port)])
+        assert sizes[url] == 1234
+        assert sizes['http://127.0.0.1:{}/missing.bin'.format(
+            port)] is None
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_wsl_path_helpers():
+    from megadetector_tpu.utils import ct_utils, path_utils
+
+    assert path_utils.windows_path_to_wsl_path(
+        'C:\\temp\\foo.txt') == '/mnt/c/temp/foo.txt'
+    assert path_utils.windows_path_to_wsl_path(
+        'relative/path') == 'relative/path'
+    assert path_utils.wsl_path_to_windows_path(
+        '/mnt/d/data') == 'd:\\data'
+    assert path_utils.wsl_path_to_windows_path('/tmp/x') is None
+    assert isinstance(ct_utils.environment_is_wsl(), bool)
+
+
+def test_subset_by_list_and_category_count(tmp_path):
+    from megadetector_tpu.postprocessing.subset_json_detector_output \
+        import (SubsetJsonDetectorOutputOptions,
+                remove_classification_categories_below_count,
+                subset_json_detector_output_by_list)
+
+    data = {
+        'classification_categories': {'0': 'deer', '1': 'puma'},
+        'classification_category_descriptions': {'0': 'd', '1': 'p'},
+        'images': [
+            {'file': 'a.jpg', 'detections': [
+                {'category': '1', 'conf': 0.9,
+                 'bbox': [0.1, 0.1, 0.2, 0.2],
+                 'classifications': [['0', 0.8], ['1', 0.1]]}]},
+            {'file': 'b.jpg', 'detections': [
+                {'category': '1', 'conf': 0.8,
+                 'bbox': [0.1, 0.1, 0.2, 0.2],
+                 'classifications': [['0', 0.7]]}]},
+            {'file': 'c.jpg', 'detections': None,
+             'failure': 'image access failure'},
+        ],
+    }
+
+    options = SubsetJsonDetectorOutputOptions()
+    options.keep_files_in_list = ['a.jpg', 'c.jpg']
+    import copy
+    subset = subset_json_detector_output_by_list(
+        copy.deepcopy(data), options)
+    assert [im['file'] for im in subset['images']] == ['a.jpg', 'c.jpg']
+
+    options = SubsetJsonDetectorOutputOptions()
+    options.remove_classification_categories_below_count = 2
+    pruned = remove_classification_categories_below_count(
+        copy.deepcopy(data), options)
+    assert list(pruned['classification_categories']) == ['0']
+    assert list(pruned['classification_category_descriptions']) == ['0']
+    dets = pruned['images'][0]['detections'][0]
+    assert dets['classifications'] == [['0', 0.8]]
+
+
+def test_validate_label_file(tmp_path):
+    from megadetector_tpu.data_management.yolo_to_coco import \
+        validate_label_file
+
+    good = str(tmp_path / 'good.txt')
+    with open(good, 'w') as f:
+        f.write('# comment\n0 0.5 0.5 0.2 0.2\n1 0.9 0.9 0.1 0.1\n')
+    assert validate_label_file(good)['errors'] == []
+    assert validate_label_file(
+        good, category_id_to_name={0: 'animal'})['errors'] != []
+
+    bad = str(tmp_path / 'bad.txt')
+    with open(bad, 'w') as f:
+        f.write('0 0.5 0.5\n0 0.99 0.5 0.2 0.2\n')
+    errors = validate_label_file(bad)['errors']
+    assert len(errors) == 2
+    assert 'five tokens' in errors[0]
+    assert 'Invalid bounding box' in errors[1]
+
+    assert validate_label_file(str(tmp_path / 'none.txt'))['errors']
+
+
+def test_try_get_datetime_from_image(tmp_path):
+    from datetime import datetime
+    from megadetector_tpu.data_management import ocr_tools
+
+    img = np.full((100, 200, 3), 255, dtype=np.uint8)
+    img[:20, :, :] = 0  # solid banner where OCR text would live
+
+    def ocr_fn(arr):
+        return '2023-06-15 08:30:00'
+
+    result = ocr_tools.try_get_datetime_from_image(img, ocr_fn=ocr_fn)
+    assert result['datetime'] == datetime(2023, 6, 15, 8, 30, 0)
+    assert result['options_index'] == 0
+
+    def broken_ocr(arr):
+        raise RuntimeError('ocr exploded')
+
+    result = ocr_tools.try_get_datetime_from_image(img,
+                                                   ocr_fn=broken_ocr)
+    assert result['datetime'] is None
+    assert 'ocr exploded' in result['error']
