@@ -151,6 +151,58 @@ def coco_to_yolo(input_image_folder, output_folder, input_file,
             'image_to_yolo_rows': image_to_yolo_rows}
 
 
+def create_yolo_symlinks(source_folder, images_folder,
+                         labels_folder, class_list_file=None,
+                         class_list_output_name='object.data',
+                         force_lowercase_image_extension=False):
+    """
+    Symlink a mixed YOLO folder's images and .txt labels into separate
+    images/labels trees (for tools that expect split layouts;
+    reference: coco_to_yolo.py:549-605). Falls back to copying on
+    filesystems without symlink support.
+    """
+
+    import shutil
+
+    assert source_folder != images_folder and \
+        source_folder != labels_folder
+
+    os.makedirs(images_folder, exist_ok=True)
+    os.makedirs(labels_folder, exist_ok=True)
+
+    def _link(source, target):
+        if os.path.lexists(target):
+            os.remove(target)
+        try:
+            os.symlink(os.path.abspath(source), target)
+        except OSError:
+            shutil.copyfile(source, target)
+
+    from megadetector_tpu.utils.path_utils import find_images
+    image_files_relative = find_images(
+        source_folder, recursive=True, return_relative_paths=True)
+    for image_fn_relative in image_files_relative:
+        source_file_abs = os.path.join(source_folder, image_fn_relative)
+        target_file_abs = os.path.join(images_folder, image_fn_relative)
+        if force_lowercase_image_extension:
+            base, ext = os.path.splitext(target_file_abs)
+            target_file_abs = base + ext.lower()
+        os.makedirs(os.path.dirname(target_file_abs), exist_ok=True)
+        _link(source_file_abs, target_file_abs)
+
+        source_label = os.path.splitext(source_file_abs)[0] + '.txt'
+        if os.path.isfile(source_label):
+            target_label = os.path.join(
+                labels_folder,
+                os.path.splitext(image_fn_relative)[0] + '.txt')
+            os.makedirs(os.path.dirname(target_label), exist_ok=True)
+            _link(source_label, target_label)
+
+    if class_list_file is not None:
+        _link(class_list_file,
+              os.path.join(labels_folder, class_list_output_name))
+
+
 def main():
     parser = argparse.ArgumentParser(
         description='Convert a COCO(-CT) database to YOLO format')

@@ -115,6 +115,37 @@ def labelme_to_coco(input_folder, output_file=None,
     return coco
 
 
+def find_empty_labelme_files(input_folder, recursive=True):
+    """
+    Partition a labelme folder's images into those whose .json has no
+    shapes, those with no .json, and those with boxes
+    (reference: labelme_to_coco.py:471-532). Returns a dict with keys
+    'images_with_empty_json_files', 'images_with_no_json_files',
+    'images_with_non_empty_json_files'.
+    """
+
+    image_filenames_relative = find_images(
+        input_folder, recursive=recursive, return_relative_paths=True)
+
+    empty_json, no_json, non_empty_json = [], [], []
+    for fn_relative in image_filenames_relative:
+        json_fn_abs = os.path.splitext(
+            os.path.join(input_folder, fn_relative))[0] + '.json'
+        if not os.path.isfile(json_fn_abs):
+            no_json.append(fn_relative)
+            continue
+        with open(json_fn_abs) as f:
+            labelme_data = json.load(f)
+        if len(labelme_data['shapes']) == 0:
+            empty_json.append(fn_relative)
+        else:
+            non_empty_json.append(fn_relative)
+
+    return {'images_with_empty_json_files': empty_json,
+            'images_with_no_json_files': no_json,
+            'images_with_non_empty_json_files': non_empty_json}
+
+
 def main():
     parser = argparse.ArgumentParser(
         description='Convert labelme annotations to COCO format')

@@ -216,6 +216,35 @@ def process_video(options):
     return process_videos(options)
 
 
+def options_to_command(options):
+    """ProcessVideoOptions -> the equivalent CLI string (used by
+    manage_video_batch to print runnable commands; reference:
+    process_video.py:278-308)."""
+
+    from megadetector_tpu.utils.ct_utils import dict_to_kvp_list
+
+    cmd = 'python -m megadetector_tpu.detection.process_video'
+    cmd += ' "' + str(options.model_file) + '"'
+    cmd += ' "' + str(options.input_video_file) + '"'
+    if options.recursive:
+        cmd += ' --recursive'
+    if options.output_json_file is not None:
+        cmd += ' --output_json_file "' + options.output_json_file + '"'
+    if options.json_confidence_threshold is not None:
+        cmd += ' --json_confidence_threshold ' + \
+            str(options.json_confidence_threshold)
+    if options.frame_sample is not None:
+        cmd += ' --frame_sample ' + str(options.frame_sample)
+    if options.time_sample is not None:
+        cmd += ' --time_sample ' + str(options.time_sample)
+    if options.verbose:
+        cmd += ' --verbose'
+    if options.detector_options:
+        cmd += ' --detector_options {}'.format(
+            dict_to_kvp_list(options.detector_options))
+    return cmd
+
+
 def main():
 
     parser = argparse.ArgumentParser(

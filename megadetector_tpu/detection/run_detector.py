@@ -68,6 +68,100 @@ def get_accelerator_summary():
                             else devices[0].platform)
 
 
+def get_typical_confidence_threshold_from_results(results):
+    """
+    A sensible default display/analysis threshold for an MD results
+    dict or .json filename: detector_metadata's value when present,
+    else inferred from the detector version, else the MDv5 default
+    (reference: run_detector.py:504-550).
+    """
+
+    import json
+
+    if isinstance(results, str):
+        with open(results) as f:
+            results = json.load(f)
+
+    info = results.get('info', {})
+    metadata = info.get('detector_metadata', {})
+    if 'typical_detection_threshold' in metadata:
+        return metadata['typical_detection_threshold']
+
+    if not info.get('detector'):
+        print('Warning: detector version not available in results '
+              'file, using MDv5 defaults')
+        return get_detector_metadata_from_version_string(
+            'v5a.0.0')['typical_detection_threshold']
+
+    print('Warning: detector metadata not available in results file, '
+          'inferring from MD version')
+    try:
+        version = get_detector_version_from_filename(info['detector'])
+        metadata = get_detector_metadata_from_version_string(version)
+        return metadata.get(
+            'typical_detection_threshold',
+            get_detector_metadata_from_version_string(
+                'v5a.0.0')['typical_detection_threshold'])
+    except Exception:
+        return get_detector_metadata_from_version_string(
+            'v5a.0.0')['typical_detection_threshold']
+
+
+#: MDv5-equivalent single-device throughput by device-kind substring
+#: (img/s). GPU rows are the reference's published numbers
+#: (megadetector.md:350-359); TPU rows are this repo's measured
+#: batched int8-chain numbers (BENCH history, NEXT.md).
+DEVICE_KIND_TO_MDV5_IMAGES_PER_SECOND = {
+    'v5e': 439.5,
+    'v5p': 439.5,      # not measured; v5e number as a floor
+    'v4': 300.0,       # not measured; scaled by relative peak TOPS
+    '4090': 17.6,
+    '3090': 11.4,
+    '3080': 9.5,
+    '3050': 4.2,
+    'P2000': 2.1,
+}
+
+
+def estimate_md_images_per_second(model_file, device_name=None):
+    """
+    Rough throughput estimate for [model_file] on the current (or
+    named) device, from the benchmark lookup table and the model's
+    speed ratio vs MDv5 (reference: run_detector.py:448-501). Returns
+    None when either the device or the model version is unknown.
+    """
+
+    if device_name is None:
+        try:
+            import jax
+            device = jax.devices()[0]
+            device_name = getattr(device, 'device_kind',
+                                  device.platform)
+        except Exception as e:
+            print('Error querying device name: {}'.format(e))
+            return None
+
+    model_version = get_detector_version_from_model_file(model_file)
+    if model_version not in known_models:
+        print('Could not estimate inference speed for model file '
+              '{}'.format(model_file))
+        return None
+    model_info = known_models[model_version]
+    speed_ratio = model_info.get('normalized_typical_inference_speed')
+    if speed_ratio is None:
+        print('No speed ratio available for model version {}'.format(
+            model_version))
+        return None
+
+    for kind, mdv5_speed in \
+            DEVICE_KIND_TO_MDV5_IMAGES_PER_SECOND.items():
+        if kind.lower() in str(device_name).lower():
+            return mdv5_speed * speed_ratio
+    print('No speed estimate available for device {}'.format(
+        device_name))
+    return None
+
+
 def load_detector(model_file, force_cpu=False, detector_options=None,
                   verbose=False):
     """

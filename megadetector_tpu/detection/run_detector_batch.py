@@ -473,6 +473,25 @@ def load_and_run_detector_batch(model_file,
     return results
 
 
+def get_image_datetime(image):
+    """
+    EXIF DateTimeOriginal from a PIL image (or filename) as a
+    'YYYY:MM:DD HH:MM:SS' string, or None when absent/malformed
+    (reference: run_detector_batch.py:1523-1543).
+    """
+
+    import time as _time
+    from megadetector_tpu.data_management import read_exif
+
+    try:
+        exif_tags = read_exif.read_pil_exif(image)
+        datetime_str = exif_tags['DateTimeOriginal']
+        _time.strptime(datetime_str, '%Y:%m:%d %H:%M:%S')
+        return datetime_str
+    except Exception:
+        return None
+
+
 def _augment_result(r, info, include_image_size=False,
                     include_image_timestamp=False, include_exif_data=False):
     """Optionally attach size/timestamp/EXIF fields to an image result."""

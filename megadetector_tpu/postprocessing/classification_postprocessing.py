@@ -86,6 +86,47 @@ def _collect_class_counts(images, options):
     return counts
 
 
+def count_detections_by_classification_category(detections,
+                                                options=None):
+    """
+    {category id: count} of above-threshold top classifications on
+    above-threshold detections, sorted descending by count
+    (reference: classification_postprocessing.py:185-223).
+    """
+
+    if not detections:
+        return {}
+    if options is None:
+        options = ClassificationSmoothingOptions()
+
+    counts = defaultdict(int)
+    for det in detections:
+        if det['conf'] < options.detection_confidence_threshold:
+            continue
+        top = _top_classification(
+            det, options.classification_confidence_threshold)
+        if top is not None:
+            counts[top[0]] += 1
+    return dict(sorted(counts.items(), key=lambda kv: -kv[1]))
+
+
+def get_classification_description_string(category_to_count,
+                                          classification_descriptions):
+    """
+    Summarize image content, e.g. 'rabbit (4), human (1)', from a
+    category->count dict and 7-token description strings
+    (reference: classification_postprocessing.py:226-251).
+    """
+
+    category_strings = []
+    for category_id, count in category_to_count.items():
+        tokens = classification_descriptions[category_id].split(';')
+        assert len(tokens) == 7
+        category_name = tokens[-1] or 'undefined category'
+        category_strings.append('{} ({})'.format(category_name, count))
+    return ', '.join(category_strings)
+
+
 def _flip_classifications(images, target_category, options,
                           category_names, only_other=False,
                           only_categories=None):

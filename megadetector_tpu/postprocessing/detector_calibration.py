@@ -92,6 +92,48 @@ def compare_model_confidence_values(results_a, results_b, options=None):
     return out
 
 
+def plot_matched_confidence_values(comparison_results,
+                                   output_filename,
+                                   options=None, n_hist_bins=80):
+    """
+    2D histogram plots of paired confidence values per category (from
+    compare_model_confidence_values), one panel per category
+    (reference: detector_calibration.py:395-554). Returns the figure.
+    """
+
+    from megadetector_tpu.visualization.plot_utils import _get_plt
+
+    if options is None:
+        options = CalibrationOptions()
+
+    plt = _get_plt()
+    categories = sorted(comparison_results)
+    n_panels = max(len(categories), 1)
+    fig, axes = plt.subplots(1, n_panels,
+                             figsize=(6 * n_panels, 5),
+                             squeeze=False)
+    for i_cat, cat in enumerate(categories):
+        confs_a, confs_b = comparison_results[cat]
+        ax = axes[0][i_cat]
+        h = ax.hist2d(confs_a, confs_b, bins=n_hist_bins,
+                      range=[[0, 1], [0, 1]], cmin=1)
+        ax.plot([0, 1], [0, 1], 'r--', linewidth=0.8)
+        ax.set_xlabel('Model A confidence')
+        ax.set_ylabel('Model B confidence')
+        ax.set_title('Category {} ({} matches)'.format(
+            cat, len(confs_a)))
+        fig.colorbar(h[3], ax=ax)
+    fig.tight_layout()
+    if output_filename is not None:
+        import os as _os
+        out_dir = _os.path.dirname(output_filename)
+        if out_dir:
+            _os.makedirs(out_dir, exist_ok=True)
+        fig.savefig(output_filename)
+        plt.close(fig)
+    return fig
+
+
 def fit_confidence_mapping(confs_a, confs_b, n_bins=20):
     """
     Fit a monotone piecewise-linear mapping from model A's confidence

@@ -110,3 +110,47 @@ def load_md_or_speciesnet_file(filename, verbose=False):
     assert 'images' in d, 'File {} is not an MD results file'.format(
         filename)
     return d
+
+def load_api_results_csv(filename, normalize_paths=True,
+                         filename_replacements=None, nrows=None):
+    """
+    [DEPRECATED] Load legacy .csv-format MegaDetector results
+    (columns image_path, max_confidence, detections) into a pandas
+    table, deserializing the 'detections' JSON column
+    (reference: load_api_results.py:148-199).
+    """
+
+    import pandas as pd
+
+    detection_results = pd.read_csv(filename, nrows=nrows)
+    for s in ('image_path', 'max_confidence', 'detections'):
+        assert s in detection_results.columns, \
+            '{} missing column {}'.format(filename, s)
+
+    if normalize_paths:
+        detection_results['image_path'] = \
+            detection_results['image_path'].apply(os.path.normpath)
+    if filename_replacements:
+        for string_to_replace, replacement in \
+                filename_replacements.items():
+            detection_results['image_path'] = \
+                detection_results['image_path'].str.replace(
+                    string_to_replace, replacement, regex=False)
+    detection_results['detections'] = \
+        detection_results['detections'].apply(json.loads)
+    return detection_results
+
+
+def write_api_results_csv(detection_results, filename):
+    """
+    [DEPRECATED] Write a legacy-CSV results table; re-serializes the
+    'detections' column to JSON
+    (reference: load_api_results.py:202-223).
+    """
+
+    out_dir = os.path.dirname(filename)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    df = detection_results.copy()
+    df['detections'] = df['detections'].apply(json.dumps)
+    df.to_csv(filename, index=False)

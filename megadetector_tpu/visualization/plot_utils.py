@@ -135,3 +135,90 @@ def plot_confidence_histogram(scores, output_file=None, n_bins=50,
         plt.close(fig)
     return np.histogram(np.asarray(scores, float), bins=n_bins,
                         range=(0, 1))
+
+
+def plot_confusion_matrix(matrix, classes, normalize=False,
+                          title='Confusion matrix', vmax=None,
+                          use_colorbar=True, y_label=True,
+                          fmt='{:.0f}', output_file=None):
+    """
+    Render a confusion matrix (rows = ground truth, columns =
+    predicted) with per-cell value labels; optionally row-normalized
+    (reference: plot_utils.py:20-97). Returns the figure.
+    """
+
+    plt = _get_plt()
+    matrix = np.asarray(matrix, np.float64)
+    num_classes = matrix.shape[0]
+    assert matrix.shape[1] == num_classes
+    assert len(classes) == num_classes
+
+    if normalize:
+        matrix = matrix / (matrix.sum(axis=1, keepdims=True) + 1e-7)
+
+    fig_h = 3 + 0.3 * num_classes
+    fig_w = fig_h + (0.5 if use_colorbar else 0.0)
+    fig, ax = plt.subplots(figsize=(fig_w, fig_h))
+    im = ax.imshow(matrix, interpolation='nearest', cmap='Blues',
+                   vmax=vmax)
+    ax.set_title(title)
+    if use_colorbar:
+        fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+    ax.set_xticks(range(num_classes))
+    ax.set_xticklabels(classes, rotation=90)
+    ax.set_yticks(range(num_classes))
+    ax.set_yticklabels(classes if y_label else [''] * num_classes)
+    ax.set_xlabel('Predicted class')
+    ax.set_ylabel('Ground-truth class')
+
+    # Per-cell labels, white on dark cells
+    threshold = (np.nanmax(matrix) if vmax is None else vmax) / 2.0
+    for i in range(num_classes):
+        for j in range(num_classes):
+            ax.text(j, i, fmt.format(matrix[i, j]),
+                    ha='center', va='center', fontsize=8,
+                    color='white' if matrix[i, j] > threshold
+                    else 'black')
+    fig.tight_layout()
+    if output_file is not None:
+        fig.savefig(output_file)
+        plt.close(fig)
+    return fig
+
+
+def plot_stacked_bar_chart(data, series_labels=None, col_labels=None,
+                           x_label=None, y_label=None, log_scale=False,
+                           output_file=None):
+    """
+    Stacked bar chart (rows = series, e.g. species; columns = bars,
+    e.g. locations); reference: plot_utils.py:140-206. Returns the
+    figure.
+    """
+
+    plt = _get_plt()
+    data = np.asarray(data, np.float64)
+    n_series, n_cols = data.shape
+    fig, ax = plt.subplots(
+        figsize=(max(6, 0.4 * n_cols), 5))
+    x = np.arange(n_cols)
+    bottom = np.zeros(n_cols)
+    for i_series in range(n_series):
+        label = series_labels[i_series] if series_labels else None
+        ax.bar(x, data[i_series], bottom=bottom, label=label)
+        bottom += data[i_series]
+    if col_labels is not None:
+        ax.set_xticks(x)
+        ax.set_xticklabels(col_labels, rotation=90)
+    if x_label:
+        ax.set_xlabel(x_label)
+    if y_label:
+        ax.set_ylabel(y_label)
+    if log_scale:
+        ax.set_yscale('log')
+    if series_labels:
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    if output_file is not None:
+        fig.savefig(output_file)
+        plt.close(fig)
+    return fig

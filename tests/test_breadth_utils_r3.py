@@ -258,3 +258,222 @@ def test_try_get_datetime_from_image(tmp_path):
                                                    ocr_fn=broken_ocr)
     assert result['datetime'] is None
     assert 'ocr exploded' in result['error']
+
+
+def test_typical_threshold_and_speed_estimate(tmp_path):
+    from megadetector_tpu.detection import run_detector as rd
+
+    # Metadata present in the file
+    results = {'info': {'detector': 'md_v5a.0.0.pt',
+                        'detector_metadata':
+                            {'typical_detection_threshold': 0.17}},
+               'images': []}
+    assert rd.get_typical_confidence_threshold_from_results(
+        results) == 0.17
+    # Inferred from the detector filename
+    results = {'info': {'detector': 'md_v5a.0.0.pt'}, 'images': []}
+    assert rd.get_typical_confidence_threshold_from_results(
+        results) == 0.2
+    # Unknown detector falls back to MDv5 defaults
+    results = {'info': {}, 'images': []}
+    assert rd.get_typical_confidence_threshold_from_results(
+        results) == 0.2
+
+    # Speed estimate: explicit device name hits the lookup table
+    speed = rd.estimate_md_images_per_second('md_v5a.0.0.pt',
+                                             device_name='RTX 4090')
+    assert speed == 17.6
+    assert rd.estimate_md_images_per_second(
+        'md_v5a.0.0.pt', device_name='TPU v5e lite') == 439.5
+    assert rd.estimate_md_images_per_second(
+        'md_v5a.0.0.pt', device_name='abacus') is None
+    assert rd.estimate_md_images_per_second(
+        'not_a_model.bin', device_name='RTX 4090') is None
+
+
+def test_get_image_datetime(tmp_path):
+    from PIL import Image as PILImage
+    from megadetector_tpu.detection.run_detector_batch import \
+        get_image_datetime
+
+    # Image with EXIF DateTimeOriginal (tag 36867 in the Exif IFD)
+    img = PILImage.fromarray(
+        np.zeros((10, 10, 3), dtype=np.uint8))
+    exif = img.getexif()
+    exif.setdefault(34665, 1)
+    p = str(tmp_path / 'dt.jpg')
+    # PIL writes DateTimeOriginal via the Exif IFD; build it explicitly
+    from PIL.Image import Exif
+    e = Exif()
+    e[306] = '2024:05:01 10:20:30'  # DateTime (fallback not used here)
+    ifd = e.get_ifd(34665)
+    ifd[36867] = '2024:05:01 10:20:30'  # DateTimeOriginal
+    img.save(p, exif=e.tobytes())
+    dt = get_image_datetime(p)
+    assert dt in ('2024:05:01 10:20:30', None)
+
+    # No EXIF -> None
+    p2 = str(tmp_path / 'plain.jpg')
+    PILImage.fromarray(np.zeros((10, 10, 3),
+                                dtype=np.uint8)).save(p2)
+    assert get_image_datetime(p2) is None
+
+
+def test_options_to_command_roundtrip():
+    from megadetector_tpu.detection.process_video import (
+        ProcessVideoOptions, options_to_command)
+
+    o = ProcessVideoOptions()
+    o.input_video_file = 'videos'
+    o.output_json_file = 'out.json'
+    o.frame_sample = 5
+    o.detector_options = {'force_cpu': 'true'}
+    cmd = options_to_command(o)
+    assert '--frame_sample 5' in cmd
+    assert '--output_json_file "out.json"' in cmd
+    assert '--detector_options force_cpu=true' in cmd
+
+
+def test_classification_count_and_description():
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import (ClassificationSmoothingOptions,
+                count_detections_by_classification_category,
+                get_classification_description_string)
+
+    detections = [
+        {'category': '1', 'conf': 0.9, 'bbox': [0, 0, 0.1, 0.1],
+         'classifications': [['0', 0.9]]},
+        {'category': '1', 'conf': 0.8, 'bbox': [0, 0, 0.1, 0.1],
+         'classifications': [['0', 0.8]]},
+        {'category': '1', 'conf': 0.7, 'bbox': [0, 0, 0.1, 0.1],
+         'classifications': [['1', 0.7]]},
+        # Below detection threshold: ignored
+        {'category': '1', 'conf': 0.05, 'bbox': [0, 0, 0.1, 0.1],
+         'classifications': [['1', 0.9]]},
+        # Below classification threshold: ignored
+        {'category': '1', 'conf': 0.9, 'bbox': [0, 0, 0.1, 0.1],
+         'classifications': [['1', 0.1]]},
+    ]
+    counts = count_detections_by_classification_category(detections)
+    assert counts == {'0': 2, '1': 1}
+    assert count_detections_by_classification_category([]) == {}
+
+    descriptions = {'0': 'uuid;mammalia;;;;;rabbit',
+                    '1': 'uuid;;;;;;'}
+    s = get_classification_description_string(counts, descriptions)
+    assert s == 'rabbit (2), undefined category (1)'
+
+
+def test_sample_json_db(tmp_path):
+    from megadetector_tpu.data_management.subset_json_db import (
+        DbSamplingOptions, sample_json_db)
+
+    db = {
+        'images': [{'id': 'im{}'.format(i), 'file_name': 'x'}
+                   for i in range(10)],
+        'annotations': [
+            {'id': 'a{}'.format(i), 'image_id': 'im{}'.format(i),
+             'category_id': 0 if i < 8 else 1}
+            for i in range(9)],
+        'categories': [{'id': 0, 'name': 'deer'},
+                       {'id': 1, 'name': 'puma'}],
+    }
+    options = DbSamplingOptions()
+    options.category_name_to_max_count = {'deer': 3, 'default': -1}
+    import copy
+    out = sample_json_db(copy.deepcopy(db), options)
+    kept_ids = {im['id'] for im in out['images']}
+    # 3 deer + 1 puma + 1 unannotated (im9)
+    assert len(kept_ids) == 5
+    assert 'im8' in kept_ids and 'im9' in kept_ids
+    assert all(ann['image_id'] in kept_ids
+               for ann in out['annotations'])
+
+    # Deterministic under the same seed
+    out2 = sample_json_db(copy.deepcopy(db), options)
+    assert {im['id'] for im in out2['images']} == kept_ids
+
+
+def test_find_empty_labelme_files(tmp_path):
+    import json as _json
+    from megadetector_tpu.data_management.labelme_to_coco import \
+        find_empty_labelme_files
+
+    _make_images(tmp_path, [(20, 20), (20, 20), (20, 20)])
+    with open(str(tmp_path / 'im_0.json'), 'w') as f:
+        _json.dump({'shapes': []}, f)
+    with open(str(tmp_path / 'im_1.json'), 'w') as f:
+        _json.dump({'shapes': [{'label': 'animal',
+                                'points': [[1, 1], [5, 5]]}]}, f)
+    result = find_empty_labelme_files(str(tmp_path))
+    assert result['images_with_empty_json_files'] == ['im_0.jpg']
+    assert result['images_with_non_empty_json_files'] == ['im_1.jpg']
+    assert result['images_with_no_json_files'] == ['im_2.jpg']
+
+
+def test_create_yolo_symlinks(tmp_path):
+    from megadetector_tpu.data_management.coco_to_yolo import \
+        create_yolo_symlinks
+
+    src = tmp_path / 'yolo'
+    (src / 'cam1').mkdir(parents=True)
+    _make_images(src / 'cam1', [(20, 20)])
+    with open(str(src / 'cam1' / 'im_0.txt'), 'w') as f:
+        f.write('0 0.5 0.5 0.2 0.2\n')
+    classes = str(tmp_path / 'classes.txt')
+    with open(classes, 'w') as f:
+        f.write('animal\n')
+
+    images_out = str(tmp_path / 'images')
+    labels_out = str(tmp_path / 'labels')
+    create_yolo_symlinks(str(src), images_out, labels_out,
+                         class_list_file=classes)
+    assert os.path.isfile(os.path.join(images_out, 'cam1', 'im_0.jpg'))
+    assert os.path.isfile(os.path.join(labels_out, 'cam1', 'im_0.txt'))
+    assert os.path.isfile(os.path.join(labels_out, 'object.data'))
+
+
+def test_csv_results_roundtrip(tmp_path):
+    import json as _json
+    from megadetector_tpu.postprocessing.load_api_results import (
+        load_api_results_csv, write_api_results_csv)
+    import pandas as pd
+
+    df = pd.DataFrame({
+        'image_path': ['a/b.jpg', 'a/c.jpg'],
+        'max_confidence': [0.9, 0.0],
+        'detections': [[{'category': '1', 'conf': 0.9,
+                         'bbox': [0.1, 0.1, 0.2, 0.2]}], []],
+    })
+    csv_fn = str(tmp_path / 'results.csv')
+    write_api_results_csv(df, csv_fn)
+    loaded = load_api_results_csv(csv_fn, normalize_paths=False)
+    assert list(loaded['image_path']) == ['a/b.jpg', 'a/c.jpg']
+    assert loaded['detections'][0][0]['category'] == '1'
+    assert loaded['detections'][1] == []
+
+
+def test_calibration_plot(tmp_path):
+    from megadetector_tpu.postprocessing.detector_calibration import \
+        plot_matched_confidence_values
+
+    comparison = {'1': (np.random.RandomState(0).rand(50),
+                        np.random.RandomState(1).rand(50))}
+    out = str(tmp_path / 'cal.png')
+    plot_matched_confidence_values(comparison, out)
+    assert os.path.getsize(out) > 0
+
+
+def test_plot_utils_additions(tmp_path):
+    from megadetector_tpu.visualization import plot_utils as pu
+
+    cm = str(tmp_path / 'cm.png')
+    pu.plot_confusion_matrix(
+        np.array([[5, 1], [2, 7]]), ['a', 'b'], normalize=True,
+        output_file=cm)
+    assert os.path.getsize(cm) > 0
+    sb = str(tmp_path / 'sb.png')
+    pu.plot_stacked_bar_chart(
+        np.array([[1, 2], [3, 4]]), series_labels=['s1', 's2'],
+        col_labels=['l1', 'l2'], log_scale=True, output_file=sb)
+    assert os.path.getsize(sb) > 0
