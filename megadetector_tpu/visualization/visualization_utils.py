@@ -584,3 +584,113 @@ def parallel_check_image_integrity(filenames, max_workers=16,
         return [_check_one(fn) for fn in filenames]
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         return list(pool.map(_check_one, filenames))
+
+
+def render_db_bounding_boxes(boxes, classes, image, original_size=None,
+                             label_map=None,
+                             thickness=DEFAULT_BOX_THICKNESS,
+                             expansion=0, colormap=None,
+                             label_font_size=DEFAULT_LABEL_FONT_SIZE,
+                             boxes_are_normalized=False):
+    """
+    Render COCO-Camera-Traps-style boxes — absolute-pixel (x, y, w, h)
+    unless boxes_are_normalized — with class labels on a PIL image, in
+    place; [original_size] rescales boxes annotated on a different
+    resolution (reference: visualization_utils.py:1189-1304).
+    """
+
+    display_boxes = []
+    display_strs = []
+    if original_size is not None and \
+            tuple(original_size) != tuple(image.size):
+        image_size = original_size
+    else:
+        image_size = image.size
+    img_width, img_height = image_size
+
+    for box, clss in zip(boxes, classes):
+        x_min, y_min, width_of_box, height_of_box = box
+        if boxes_are_normalized:
+            x_min *= img_width
+            y_min *= img_height
+            width_of_box *= img_width
+            height_of_box *= img_height
+        # Normalize against the annotation-time size so rendering on a
+        # resized image lands correctly
+        display_boxes.append([y_min / img_height, x_min / img_width,
+                              (y_min + height_of_box) / img_height,
+                              (x_min + width_of_box) / img_width])
+        if label_map is not None and clss in label_map:
+            display_strs.append([str(label_map[clss])])
+        elif label_map is not None and str(clss) in label_map:
+            display_strs.append([str(label_map[str(clss)])])
+        else:
+            display_strs.append([str(clss)])
+
+    for box, clss, strs in zip(display_boxes, classes, display_strs):
+        try:
+            clss_int = int(clss)
+        except (TypeError, ValueError):
+            clss_int = abs(hash(str(clss))) % 100
+        draw_bounding_box_on_image(
+            image, box[0], box[1], box[2], box[3], clss=clss_int,
+            thickness=thickness, expansion=expansion,
+            display_str_list=strs, use_normalized_coordinates=True,
+            label_font_size=label_font_size,
+            colormap=colormap or DEFAULT_COLORS)
+    return image
+
+
+def draw_db_boxes_on_file(input_file, output_file, boxes, classes=None,
+                          label_map=None,
+                          thickness=DEFAULT_BOX_THICKNESS,
+                          expansion=0, boxes_are_normalized=False):
+    """
+    render_db_bounding_boxes on an image file, written to [output_file]
+    (reference: visualization_utils.py:1385-1430). Returns the output
+    path.
+    """
+
+    image = load_image(input_file)
+    if classes is None:
+        classes = [0] * len(boxes)
+    render_db_bounding_boxes(boxes, classes, image,
+                             label_map=label_map, thickness=thickness,
+                             expansion=expansion,
+                             boxes_are_normalized=boxes_are_normalized)
+    parent = os.path.dirname(output_file)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    image.save(output_file)
+    return output_file
+
+
+def draw_bounding_boxes_on_file(input_file, output_file, detections,
+                                confidence_threshold=0.0,
+                                detector_label_map=None,
+                                thickness=DEFAULT_BOX_THICKNESS,
+                                expansion=0, target_size=None,
+                                quality=None):
+    """
+    Render MD-format detections on an image file and write the result
+    (reference: visualization_utils.py:1307-1382). Returns the output
+    path.
+    """
+
+    if detector_label_map is None:
+        detector_label_map = DEFAULT_DETECTOR_LABEL_MAP
+    image = load_image(input_file)
+    if target_size is not None:
+        image = resize_image(image, target_size[0], target_size[1])
+    render_detection_bounding_boxes(
+        detections, image, label_map=detector_label_map,
+        confidence_threshold=confidence_threshold,
+        thickness=thickness, expansion=expansion)
+    parent = os.path.dirname(output_file)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    save_kwargs = {}
+    if quality is not None:
+        save_kwargs['quality'] = quality
+    image.save(output_file, **save_kwargs)
+    return output_file

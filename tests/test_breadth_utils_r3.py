@@ -477,3 +477,35 @@ def test_plot_utils_additions(tmp_path):
         np.array([[1, 2], [3, 4]]), series_labels=['s1', 's2'],
         col_labels=['l1', 'l2'], log_scale=True, output_file=sb)
     assert os.path.getsize(sb) > 0
+
+
+def test_db_box_rendering(tmp_path):
+    paths = _make_images(tmp_path, [(100, 80)])
+
+    # Absolute-pixel CCT boxes with a label map
+    out = str(tmp_path / 'db_rendered.jpg')
+    vu.draw_db_boxes_on_file(
+        paths[0], out, boxes=[[10, 10, 40, 30]], classes=[1],
+        label_map={1: 'animal'})
+    with Image.open(out) as im:
+        assert im.size == (100, 80)
+
+    # Rescaling via original_size: boxes annotated at 2x resolution
+    img = vu.load_image(paths[0])
+    vu.render_db_bounding_boxes(
+        [[20, 20, 80, 60]], [1], img, original_size=(200, 160))
+    # And normalized boxes
+    vu.render_db_bounding_boxes(
+        [[0.1, 0.1, 0.4, 0.4]], ['person'], img,
+        boxes_are_normalized=True)
+
+
+def test_draw_bounding_boxes_on_file(tmp_path):
+    paths = _make_images(tmp_path, [(100, 80)])
+    out = str(tmp_path / 'md_rendered.jpg')
+    detections = [{'category': '1', 'conf': 0.9,
+                   'bbox': [0.1, 0.1, 0.3, 0.3]}]
+    vu.draw_bounding_boxes_on_file(paths[0], out, detections,
+                                   target_size=(50, -1))
+    with Image.open(out) as im:
+        assert im.size == (50, 40)
