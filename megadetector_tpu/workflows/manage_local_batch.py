@@ -98,13 +98,23 @@ class BatchJob:
         return self.image_files
 
     def run_detector(self):
-        """Stage 2: batched detection with checkpointing."""
+        """Stage 2: batched detection with checkpointing; an existing
+        job checkpoint (from a crashed run) is resumed automatically."""
 
+        if not hasattr(self, 'image_files'):
+            self.enumerate_images()
         checkpoint_path = os.path.join(
             self.job_dir, 'md_checkpoint.json')
+        results = None
+        if os.path.isfile(checkpoint_path):
+            results = run_detector_batch.load_checkpoint(
+                checkpoint_path)
+            print('Resuming job {} from checkpoint with {} '
+                  'results'.format(self.options.job_name, len(results)))
         results = run_detector_batch.load_and_run_detector_batch(
             self.options.model_file,
             self.image_files,
+            results=results,
             checkpoint_path=checkpoint_path,
             checkpoint_frequency=self.options.checkpoint_frequency,
             confidence_threshold=self.options.confidence_threshold,

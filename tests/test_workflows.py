@@ -280,3 +280,51 @@ def test_batch_job_operator_affordances(tiny_checkpoint, tmp_path):
     for root, _, files in os.walk(split_dir):
         split_files.extend(f for f in files if f.endswith('.json'))
     assert len(split_files) >= 2
+
+
+def test_batch_job_checkpoint_resume(tiny_checkpoint, tmp_path,
+                                     capsys):
+    """A pre-existing job checkpoint is loaded and its images skipped."""
+
+    from megadetector_tpu.workflows.manage_local_batch import (
+        BatchJob, BatchJobOptions)
+
+    input_path = str(tmp_path / 'images' / 'cam1')
+    os.makedirs(input_path)
+    rng = np.random.RandomState(1)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (50, 60, 3),
+                                    dtype=np.uint8)).save(
+            os.path.join(input_path, 'im{}.jpg'.format(i)))
+
+    options = BatchJobOptions()
+    options.input_path = str(tmp_path / 'images')
+    options.output_base = str(tmp_path / 'jobs')
+    options.job_name = 'resume_job'
+    options.model_file = tiny_checkpoint
+    options.batch_size = 2
+    options.run_rde = False
+    options.checkpoint_frequency = -1
+
+    job = BatchJob(options)
+    job.enumerate_images()
+    # Simulate a crashed run that checkpointed one image (checkpoints
+    # store the enumerated absolute-path form)
+    done_file = job.image_files[0]
+    ct_utils.write_json(
+        os.path.join(job.job_dir, 'md_checkpoint.json'),
+        {'checkpoint': [{'file': done_file,
+                         'detections': [], 'sentinel': True}]},
+        force_str=True)
+
+    job.run_detector()
+    out = capsys.readouterr().out
+    assert 'Resuming job resume_job from checkpoint with 1' in out
+    with open(job.detections_file) as f:
+        data = json.load(f)
+    assert len(data['images']) == 3
+    # The checkpointed result was reused, not recomputed
+    by_file = {im['file']: im for im in data['images']}
+    rel = os.path.relpath(done_file,
+                          options.input_path).replace('\\', '/')
+    assert by_file[rel].get('sentinel') is True
