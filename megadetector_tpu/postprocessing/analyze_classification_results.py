@@ -97,9 +97,12 @@ def analyze_classification_results(options):
                        [p for row in confusion.values() for p in row]))
     per_category = {}
     for name in names:
-        tp = confusion[name].get(name, 0)
-        fn_count = sum(v for k, v in confusion[name].items()
-                       if k != name)
+        # .get, not [] — indexing the defaultdict would create empty
+        # truth rows for predicted-only names and pollute the emitted
+        # confusion matrix
+        row = confusion.get(name, {})
+        tp = row.get(name, 0)
+        fn_count = sum(v for k, v in row.items() if k != name)
         fp = sum(confusion[other].get(name, 0)
                  for other in confusion if other != name)
         precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0

@@ -62,6 +62,10 @@ def visualize_video_output(video_results_file, input_video_folder,
         if not vidcap.isOpened():
             continue
         fs = vidcap.get(cv2.CAP_PROP_FPS)
+        if not fs or fs <= 0:
+            # Some containers report 0 FPS; a zero-FPS VideoWriter
+            # silently produces an unplayable file
+            fs = 30.0
         width = int(vidcap.get(cv2.CAP_PROP_FRAME_WIDTH))
         height = int(vidcap.get(cv2.CAP_PROP_FRAME_HEIGHT))
 
