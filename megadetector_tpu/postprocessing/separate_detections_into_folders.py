@@ -48,6 +48,16 @@ class SeparateDetectionsIntoFoldersOptions:
         self.overwrite = True
         self.n_threads = 8
 
+        # Move instead of copy (reference:
+        # separate_detections_into_folders.py:163)
+        self.move_images = False
+        # Skip images with no above-threshold detections instead of
+        # copying them to 'empty' (reference :149)
+        self.skip_empty_images = False
+        # Error (rather than warn) on source images missing from the
+        # input folder (reference :141)
+        self.allow_missing_files = True
+
         # Render bounding boxes instead of a plain copy
         self.render_boxes = False
         self.line_thickness = 4
@@ -139,6 +149,9 @@ def separate_detections_into_folders(options):
 
         folder = _target_folder_for_image(im, category_id_to_name, options)
 
+        if folder == 'empty' and options.skip_empty_images:
+            continue
+
         if folder == 'animals':
             sub = _classification_subfolder(im, options, data)
             if sub is not None:
@@ -152,11 +165,15 @@ def separate_detections_into_folders(options):
         im, fn, target = job
         source = os.path.join(options.base_input_folder, fn)
         if not os.path.isfile(source):
+            if not options.allow_missing_files:
+                raise FileNotFoundError(
+                    'Source file {} not found'.format(source))
             print('Warning: source file {} not found'.format(source))
             return
         if not options.overwrite and os.path.isfile(target):
             return
         os.makedirs(os.path.dirname(target), exist_ok=True)
+        import shutil
         if options.render_boxes and im.get('detections'):
             from megadetector_tpu.visualization import \
                 visualization_utils as vis_utils
@@ -168,8 +185,11 @@ def separate_detections_into_folders(options):
                 thickness=options.line_thickness,
                 expansion=options.box_expansion)
             image.save(target)
+            if options.move_images:
+                os.remove(source)
+        elif options.move_images:
+            shutil.move(source, target)
         else:
-            import shutil
             shutil.copy2(source, target)
 
     if options.n_threads <= 1:
@@ -196,6 +216,9 @@ def main():
     parser.add_argument('--nthreads', type=int, default=8)
     parser.add_argument('--render_boxes', action='store_true')
     parser.add_argument('--skip_failures', action='store_true')
+    parser.add_argument('--move_images', action='store_true',
+                        help='move instead of copy')
+    parser.add_argument('--skip_empty_images', action='store_true')
     parser.add_argument('--classification_thresholds', default=None,
                         help='e.g. "deer=0.75,cow=0.75"')
 
@@ -212,6 +235,8 @@ def main():
     options.n_threads = args.nthreads
     options.render_boxes = args.render_boxes
     options.skip_failures = args.skip_failures
+    options.move_images = args.move_images
+    options.skip_empty_images = args.skip_empty_images
     if args.animal_threshold is not None:
         options.category_name_to_threshold['animal'] = args.animal_threshold
     if args.human_threshold is not None:

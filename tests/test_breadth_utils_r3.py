@@ -509,3 +509,44 @@ def test_draw_bounding_boxes_on_file(tmp_path):
                                    target_size=(50, -1))
     with Image.open(out) as im:
         assert im.size == (50, 40)
+
+
+def test_separate_detections_move_and_skip_empty(tmp_path):
+    import json as _json
+    from megadetector_tpu.postprocessing \
+        .separate_detections_into_folders import (
+            SeparateDetectionsIntoFoldersOptions,
+            separate_detections_into_folders)
+
+    src = tmp_path / 'src'
+    src.mkdir()
+    _make_images(src, [(30, 30), (30, 30)])
+    results = {
+        'info': {'format_version': '1.6'},
+        'detection_categories': {'1': 'animal'},
+        'images': [
+            {'file': 'im_0.jpg', 'detections': [
+                {'category': '1', 'conf': 0.9,
+                 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+            {'file': 'im_1.jpg', 'detections': []},
+        ],
+    }
+    results_file = str(tmp_path / 'r.json')
+    with open(results_file, 'w') as f:
+        _json.dump(results, f)
+
+    options = SeparateDetectionsIntoFoldersOptions(threshold=0.2)
+    options.results_file = results_file
+    options.base_input_folder = str(src)
+    options.base_output_folder = str(tmp_path / 'out')
+    options.move_images = True
+    options.skip_empty_images = True
+    options.n_threads = 1
+    mapping = separate_detections_into_folders(options)
+
+    assert list(mapping) == ['im_0.jpg']
+    assert os.path.isfile(os.path.join(
+        str(tmp_path / 'out'), 'animals', 'im_0.jpg'))
+    # Moved, not copied; empty image untouched
+    assert not os.path.isfile(str(src / 'im_0.jpg'))
+    assert os.path.isfile(str(src / 'im_1.jpg'))
