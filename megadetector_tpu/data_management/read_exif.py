@@ -456,11 +456,13 @@ def read_exif_tags_for_image(filename, options=None):
         options = ReadExifOptions()
     result = {'file': filename}
     try:
-        if getattr(options, 'processing_library', 'pil') == 'exiftool':
-            result['exif_tags'] = read_exif_with_exiftool(filename)
-        else:
-            result['exif_tags'] = read_pil_exif(filename,
-                                                options=options)
+        # read_exif_from_image maps *all* failures to {}, which would
+        # mask the error contract here, so surface missing files first
+        if not os.path.isfile(filename):
+            raise FileNotFoundError(
+                'Image file {} does not exist'.format(filename))
+        result['exif_tags'] = read_exif_from_image(filename,
+                                                   options=options)
     except Exception as e:
         result['error'] = str(e)
     return result

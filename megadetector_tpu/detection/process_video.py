@@ -226,17 +226,30 @@ def options_to_command(options):
     cmd = 'python -m megadetector_tpu.detection.process_video'
     cmd += ' "' + str(options.model_file) + '"'
     cmd += ' "' + str(options.input_video_file) + '"'
+    # The CLI default for --recursive is True (BooleanOptionalAction),
+    # so False must be emitted explicitly or the printed command would
+    # silently re-enable recursion.
     if options.recursive:
         cmd += ' --recursive'
+    else:
+        cmd += ' --no-recursive'
     if options.output_json_file is not None:
         cmd += ' --output_json_file "' + options.output_json_file + '"'
     if options.json_confidence_threshold is not None:
         cmd += ' --json_confidence_threshold ' + \
             str(options.json_confidence_threshold)
+    if options.rendering_confidence_threshold is not None:
+        cmd += ' --rendering_confidence_threshold ' + \
+            str(options.rendering_confidence_threshold)
     if options.frame_sample is not None:
         cmd += ' --frame_sample ' + str(options.frame_sample)
     if options.time_sample is not None:
         cmd += ' --time_sample ' + str(options.time_sample)
+    if options.frame_batch_size is not None and \
+            options.frame_batch_size != 8:
+        cmd += ' --frame_batch_size ' + str(options.frame_batch_size)
+    if options.image_size is not None:
+        cmd += ' --image_size ' + str(options.image_size)
     if options.verbose:
         cmd += ' --verbose'
     if options.detector_options:

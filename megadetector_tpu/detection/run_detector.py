@@ -111,9 +111,18 @@ def get_typical_confidence_threshold_from_results(results):
 #: (img/s). GPU rows are the reference's published numbers
 #: (megadetector.md:350-359); TPU rows are this repo's measured
 #: batched int8-chain numbers (BENCH history, NEXT.md).
+#: Keys are matched as case-insensitive substrings of the JAX
+#: device_kind, first match wins — real device_kind strings are e.g.
+#: 'TPU v5 lite' (v5e), 'TPU v5p', 'TPU v4', 'TPU v6 lite'. Keep the
+#: more specific keys ('v5 lite') ahead of shorter prefixes ('v5').
 DEVICE_KIND_TO_MDV5_IMAGES_PER_SECOND = {
+    'v5 lite': 439.5,  # v5e device_kind as JAX reports it
+    'v5litepod': 439.5,
     'v5e': 439.5,
+    'v6 lite': 439.5,  # not measured; v5e number as a floor
+    'v6e': 439.5,
     'v5p': 439.5,      # not measured; v5e number as a floor
+    'v5': 439.5,
     'v4': 300.0,       # not measured; scaled by relative peak TOPS
     '4090': 17.6,
     '3090': 11.4,

@@ -26,6 +26,9 @@ class CalibrationOptions:
         self.confidence_threshold = 0.025
         self.max_samples_per_category = 20000
         self.categories_to_compare = None
+        #: Axis labels used by plot_matched_confidence_values
+        self.model_name_a = 'Model A'
+        self.model_name_b = 'Model B'
 
 
 def compare_model_confidence_values(results_a, results_b, options=None):
@@ -118,8 +121,8 @@ def plot_matched_confidence_values(comparison_results,
         h = ax.hist2d(confs_a, confs_b, bins=n_hist_bins,
                       range=[[0, 1], [0, 1]], cmin=1)
         ax.plot([0, 1], [0, 1], 'r--', linewidth=0.8)
-        ax.set_xlabel('Model A confidence')
-        ax.set_ylabel('Model B confidence')
+        ax.set_xlabel('{} confidence'.format(options.model_name_a))
+        ax.set_ylabel('{} confidence'.format(options.model_name_b))
         ax.set_title('Category {} ({} matches)'.format(
             cat, len(confs_a)))
         fig.colorbar(h[3], ax=ax)

@@ -137,9 +137,18 @@ def assemble_comparison_jobs(options):
     assert options.model_files, 'No models specified'
     json_output_folder = os.path.join(options.output_folder, 'json_files')
 
+    # Model identity comes from the file basename; two different model
+    # files with the same basename (e.g. runA/best.npz vs runB/best.npz)
+    # must not collide on job_name/job_output_file, so disambiguate
+    # duplicates with their position in the model list.
+    model_tags = [os.path.splitext(os.path.basename(str(f)))[0]
+                  for f in options.model_files]
+    duplicated_tags = {t for t in model_tags if model_tags.count(t) > 1}
+    model_tags = [('{}-m{}'.format(t, i) if t in duplicated_tags else t)
+                  for i, t in enumerate(model_tags)]
+
     jobs = []
-    for model_file in options.model_files:
-        model_tag = os.path.splitext(os.path.basename(str(model_file)))[0]
+    for model_file, model_tag in zip(options.model_files, model_tags):
         for compatibility_mode in options.compatibility_modes:
             for canvas_mode in options.canvas_modes:
                 for image_size in options.image_sizes:

@@ -285,6 +285,11 @@ def test_typical_threshold_and_speed_estimate(tmp_path):
     assert speed == 17.6
     assert rd.estimate_md_images_per_second(
         'md_v5a.0.0.pt', device_name='TPU v5e lite') == 439.5
+    # The device_kind string JAX actually reports on v5e hosts
+    assert rd.estimate_md_images_per_second(
+        'md_v5a.0.0.pt', device_name='TPU v5 lite') == 439.5
+    assert rd.estimate_md_images_per_second(
+        'md_v5a.0.0.pt', device_name='TPU v4') == 300.0
     assert rd.estimate_md_images_per_second(
         'md_v5a.0.0.pt', device_name='abacus') is None
     assert rd.estimate_md_images_per_second(
@@ -332,6 +337,35 @@ def test_options_to_command_roundtrip():
     assert '--frame_sample 5' in cmd
     assert '--output_json_file "out.json"' in cmd
     assert '--detector_options force_cpu=true' in cmd
+
+    # recursive=False must round-trip: the CLI default is True, so the
+    # command has to carry an explicit --no-recursive
+    o.recursive = False
+    o.image_size = 960
+    o.frame_batch_size = 16
+    cmd = options_to_command(o)
+    assert '--no-recursive' in cmd and '--recursive' not in \
+        cmd.replace('--no-recursive', '')
+    assert '--image_size 960' in cmd
+    assert '--frame_batch_size 16' in cmd
+
+
+def test_read_exif_tags_for_image_exiftool_shape(tmp_path, monkeypatch):
+    # The exiftool backend returns a list aligned with its input; the
+    # single-image wrapper must unwrap it to a flat tag dict (same
+    # shape as the PIL backend), not store the one-element list.
+    from megadetector_tpu.data_management import read_exif as re_
+
+    paths = _make_images(tmp_path, [(20, 20)])
+    monkeypatch.setattr(
+        re_, 'read_exif_with_exiftool',
+        lambda filenames, options=None: [{'Make': 'TestCam'}
+                                         for _ in filenames])
+    opts = re_.ReadExifOptions()
+    opts.processing_library = 'exiftool'
+    r = re_.read_exif_tags_for_image(paths[0], options=opts)
+    assert isinstance(r['exif_tags'], dict)
+    assert r['exif_tags'].get('Make') == 'TestCam'
 
 
 def test_classification_count_and_description():

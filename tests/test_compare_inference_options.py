@@ -78,6 +78,26 @@ def test_assemble_jobs_grid(tmp_path):
         assert job['job_output_file'].endswith(job['job_name'] + '.json')
 
 
+def test_assemble_jobs_duplicate_basenames(tmp_path):
+    # Two model files with the same basename (the typical A/B-checkpoint
+    # comparison) must not collide on job_name / job_output_file.
+    options = InferenceComparisonOptions()
+    options.output_folder = str(tmp_path)
+    options.model_files = ['runA/best.npz', 'runB/best.npz']
+    jobs = assemble_comparison_jobs(options)
+    assert len(jobs) == 2
+    names = [j['job_name'] for j in jobs]
+    outputs = [j['job_output_file'] for j in jobs]
+    assert len(set(names)) == 2
+    assert len(set(outputs)) == 2
+    # Distinct basenames keep their plain tags
+    options.model_files = ['runA/a.npz', 'runB/b.npz']
+    jobs = assemble_comparison_jobs(options)
+    assert any('a_' in j['job_name'] or j['params']['model_name'] == 'a'
+               for j in jobs)
+    assert all('-m' not in j['params']['model_name'] for j in jobs)
+
+
 def test_compare_inference_options_end_to_end(tiny_checkpoint,
                                               image_folder, tmp_path):
     options = InferenceComparisonOptions()
