@@ -13,6 +13,7 @@ within episode_interval_seconds (default 60), populating 'seq_id'
 
 import datetime
 import json
+import os
 
 from collections import defaultdict
 
@@ -195,8 +196,34 @@ def parse_datetimes_from_cct_image_list(
                     'Cannot parse datetime {}'.format(dt))
             if verbose:
                 print('Cannot parse datetime {}'.format(dt))
+            # 'str' leaves the unparseable value in place; 'none'
+            # (default) nulls it
+            if conversion_failure_behavior == 'str':
+                continue
         im['datetime'] = parsed
     return images
+
+
+def parse_datetimes_from_cct_dict(d, conversion_failure_behavior='error'):
+    """
+    Convert all string-formatted datetime fields of a CCT dict (or a
+    CCT .json filename) to Python datetimes, in place (reference:
+    cct_json_utils.py:389-416). [conversion_failure_behavior] is
+    'error' (raise), 'str' (leave as a string), or 'none' (convert to
+    None). Returns the CCT dict.
+    """
+
+    import json as _json
+    if isinstance(d, str):
+        assert os.path.isfile(d), \
+            'Could not find .json file {}'.format(d)
+        with open(d, 'r') as f:
+            d = _json.load(f)
+
+    parse_datetimes_from_cct_image_list(
+        d['images'],
+        conversion_failure_behavior=conversion_failure_behavior)
+    return d
 
 
 def write_object_with_serialized_datetimes(d, json_fn):

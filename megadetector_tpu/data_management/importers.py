@@ -222,6 +222,117 @@ def mewc_to_md(mewc_csv, output_file=None,
     return data
 
 
+def animl_results_to_md_results(input_file, output_file=None):
+    """
+    Convert an Animl .csv results file (with both detection and
+    classification columns) to an MD-formatted .json file (reference:
+    animl_to_md.py:36-140). Expects columns 'file', 'category',
+    'detection_conf', 'bbox1'..'bbox4', 'class', and
+    'classification_conf'; each row becomes a detection carrying one
+    classification. Returns the output filename (defaults to
+    [input_file].json).
+    """
+
+    if output_file is None:
+        output_file = input_file + '.json'
+
+    with open(input_file, newline='') as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) > 0, 'Empty animl CSV'
+
+    expected_columns = ('file', 'category', 'detection_conf',
+                        'bbox1', 'bbox2', 'bbox3', 'bbox4',
+                        'class', 'classification_conf')
+    for s in expected_columns:
+        assert s in rows[0], 'Expected column {} not found'.format(s)
+
+    classification_category_name_to_id = {}
+    filename_to_results = {}
+
+    for i_row, row in enumerate(rows):
+        fn = row['file']
+        if fn in filename_to_results:
+            im = filename_to_results[fn]
+        else:
+            im = {'file': fn, 'detections': []}
+            filename_to_results[fn] = im
+
+        assert row['category'] and \
+            float(row['category']).is_integer(), \
+            'Invalid category identifier in row {} (file: {})'.format(
+                i_row, fn)
+        detection_category_id = str(int(float(row['category'])))
+        assert detection_category_id in DEFAULT_CATEGORIES, \
+            'Unrecognized detection category ID {}'.format(
+                detection_category_id)
+
+        classification_category_name = row['class']
+        if classification_category_name not in \
+                classification_category_name_to_id:
+            classification_category_name_to_id[
+                classification_category_name] = \
+                str(len(classification_category_name_to_id))
+        classification_category_id = \
+            classification_category_name_to_id[
+                classification_category_name]
+
+        im['detections'].append({
+            'category': detection_category_id,
+            'conf': float(row['detection_conf']),
+            'bbox': [float(row['bbox1']), float(row['bbox2']),
+                     float(row['bbox3']), float(row['bbox4'])],
+            'classifications': [[classification_category_id,
+                                 float(row['classification_conf'])]],
+        })
+
+    results = {
+        'info': {'format_version': '1.3', 'detector': 'Animl',
+                 'classifier': 'Animl'},
+        'detection_categories': dict(DEFAULT_CATEGORIES),
+        'classification_categories':
+            {v: k for k, v in
+             classification_category_name_to_id.items()},
+        'images': list(filename_to_results.values()),
+    }
+    ct_utils.write_json(output_file, results, force_str=True)
+    return output_file
+
+
+def zamba_results_to_md_results(input_file, output_file=None,
+                                image_folder=None):
+    """
+    Convert a zamba .csv results file to an MD-formatted .json file
+    (reference: zamba_to_md.py:66-100). [image_folder] supports zamba's
+    image (rather than video) outputs, whose rows name file *stems*
+    assumed unique within that folder. Returns the output filename
+    (defaults to [input_file].json).
+    """
+
+    if output_file is None:
+        output_file = input_file + '.json'
+
+    data = zamba_to_md(input_file)
+
+    if image_folder is not None:
+        stem_to_relpath = {}
+        for dirpath, _, files in os.walk(image_folder):
+            for fn in files:
+                stem = os.path.splitext(fn)[0]
+                rel = os.path.relpath(os.path.join(dirpath, fn),
+                                      image_folder)
+                assert stem not in stem_to_relpath, \
+                    'File name stem {} is not unique in {}'.format(
+                        stem, image_folder)
+                stem_to_relpath[stem] = rel.replace('\\', '/')
+        for im in data['images']:
+            stem = os.path.splitext(os.path.basename(im['file']))[0]
+            if stem in stem_to_relpath:
+                im['file'] = stem_to_relpath[stem]
+
+    ct_utils.write_json(output_file, data, force_str=True)
+    return output_file
+
+
 def main():
     parser = argparse.ArgumentParser(
         description='Convert third-party outputs to MD format')

@@ -8,8 +8,8 @@ import argparse
 import sys
 
 from megadetector_tpu.data_management.lila.lila_common import (
-    download_lila_subset, get_lila_dataset_index, read_lila_metadata,
-    select_lila_images_by_species)
+    download_lila_subset, get_lila_dataset_index,
+    read_metadata_file_for_dataset, select_lila_images_by_species)
 
 
 def main():
@@ -32,7 +32,7 @@ def main():
         'Unknown dataset {} (available: {})'.format(
             args.dataset_name, ', '.join(sorted(index)))
     entry = index[args.dataset_name]
-    cct = read_lila_metadata(entry, args.metadata_dir)
+    cct = read_metadata_file_for_dataset(entry, args.metadata_dir)
     image_files = select_lila_images_by_species(cct, args.species)
     if args.max_images is not None:
         image_files = image_files[:args.max_images]

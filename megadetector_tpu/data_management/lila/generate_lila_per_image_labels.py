@@ -9,7 +9,7 @@ import sys
 
 from megadetector_tpu.data_management.lila.lila_common import (
     generate_lila_per_image_labels, get_lila_dataset_index,
-    read_lila_metadata)
+    read_metadata_file_for_dataset)
 
 
 def main():
@@ -26,8 +26,8 @@ def main():
 
     index = get_lila_dataset_index(metadata_dir=args.metadata_dir)
     assert args.dataset_name in index
-    cct = read_lila_metadata(index[args.dataset_name],
-                             args.metadata_dir)
+    cct = read_metadata_file_for_dataset(index[args.dataset_name],
+                                         args.metadata_dir)
     generate_lila_per_image_labels(cct, output_file=args.output_file)
 
 

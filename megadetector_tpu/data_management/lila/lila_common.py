@@ -20,10 +20,31 @@ from megadetector_tpu.utils.ct_utils import write_json
 LILA_BASE_URLS = {
     'azure': 'https://lilawildlife.blob.core.windows.net/lila-wildlife/',
     'gcp': 'https://storage.googleapis.com/public-datasets-lila/',
+    'aws': 'http://us-west-2.opendata.source.coop.s3.amazonaws.com/'
+           'agentmorris/lila-wildlife/',
 }
 
 LILA_DATASET_INDEX_URL = \
     'https://lila.science/public/lila_camera_trap_datasets.csv'
+
+#: Per-identification label table for every LILA camera-trap image
+#: (reference: lila_common.py:25)
+LILA_ALL_IMAGES_URL = \
+    'https://lila.science/public/lila_image_urls_and_labels.csv.zip'
+
+#: The released LILA->scientific-name taxonomy mapping
+#: (reference: lila_common.py:24)
+LILA_TAXONOMY_MAPPING_URL = \
+    'https://lila.science/public/lila-taxonomy-mapping_release.csv'
+
+WILDLIFE_INSIGHTS_PAGE_SIZE = 30000
+WILDLIFE_INSIGHTS_TAXONOMY_URL = (
+    'https://api.wildlifeinsights.org/api/v1/taxonomy/taxonomies-all'
+    '?fields=class,order,family,genus,species,authority,taxonomyType,'
+    'uniqueIdentifier,commonNameEnglish&page[size]={}'.format(
+        WILDLIFE_INSIGHTS_PAGE_SIZE))
+WILDLIFE_INSIGHTS_TAXONOMY_LOCAL_JSON_FILENAME = 'wi_taxonomy.json'
+WILDLIFE_INSIGHTS_TAXONOMY_LOCAL_CSV_FILENAME = 'wi_taxonomy.csv'
 
 
 def get_lila_dataset_index(metadata_dir=None, index_url=None,
@@ -54,21 +75,59 @@ def get_lila_dataset_index(metadata_dir=None, index_url=None,
     return datasets
 
 
-def read_lila_metadata(dataset_entry, metadata_dir):
+def read_lila_metadata(metadata_dir, force_download=False,
+                       index_url=None, local_index_file=None):
     """
-    Download (and unzip if needed) one dataset's metadata .json; returns
-    the local path to the json file.
+    Read the LILA dataset index (URLs for each dataset), downloading the
+    hosted .csv if necessary; returns {dataset name: {column: value}}
+    (reference: lila_common.py:122-162). Offline callers can pass
+    [local_index_file].
     """
 
-    # Offline/local entries point straight at a metadata file
-    if dataset_entry.get('metadata_path'):
-        return dataset_entry['metadata_path']
+    return get_lila_dataset_index(metadata_dir=metadata_dir,
+                                  index_url=index_url,
+                                  local_index_file=local_index_file)
 
-    url = dataset_entry.get('json_url') or dataset_entry.get('metadata_url')
-    assert url, 'Dataset entry has no metadata URL'
+
+def read_metadata_file_for_dataset(ds_name, metadata_dir,
+                                   metadata_table=None, json_url=None,
+                                   preferred_cloud='gcp',
+                                   force_download=False):
+    """
+    Download (and unzip if needed) the metadata .json for one dataset;
+    returns the local path to the json file (reference:
+    lila_common.py:222-246). [ds_name] is a dataset name from the index
+    (or, for convenience, an already-loaded dataset-entry dict);
+    [metadata_table] is an optional dict from read_lila_metadata();
+    [json_url] overrides URL lookup entirely.
+    """
+
+    dataset_entry = None
+    if isinstance(ds_name, dict):
+        dataset_entry = ds_name
+    elif json_url is None:
+        if metadata_table is None:
+            metadata_table = read_lila_metadata(metadata_dir)
+        assert ds_name in metadata_table, \
+            'Unknown LILA dataset {}'.format(ds_name)
+        dataset_entry = metadata_table[ds_name]
+
+    if dataset_entry is not None:
+        # Offline/local entries point straight at a metadata file
+        if dataset_entry.get('metadata_path'):
+            return dataset_entry['metadata_path']
+        if json_url is None:
+            json_url = dataset_entry.get('json_url') or \
+                dataset_entry.get('metadata_url') or \
+                dataset_entry.get('metadata_url_{}'.format(
+                    preferred_cloud))
+    assert json_url, 'Dataset entry has no metadata URL'
+
     os.makedirs(metadata_dir, exist_ok=True)
-    local = download_url(url, os.path.join(metadata_dir,
-                                           url.split('/')[-1]))
+    local = download_url(json_url,
+                         os.path.join(metadata_dir,
+                                      json_url.split('/')[-1]),
+                         force_download=force_download)
     if local.endswith('.zip'):
         with zipfile.ZipFile(local) as zf:
             json_names = [n for n in zf.namelist()
@@ -77,6 +136,84 @@ def read_lila_metadata(dataset_entry, metadata_dir):
             zf.extract(json_names[0], metadata_dir)
             return os.path.join(metadata_dir, json_names[0])
     return local
+
+
+def read_lila_all_images_file(metadata_dir, force_download=False,
+                              read_to_dataframe=True):
+    """
+    Download if necessary — then unzip if necessary — the .csv with
+    label mappings for all LILA files; returns it as a pandas DataFrame
+    (one row per identification), or None if [read_to_dataframe] is
+    False (reference: lila_common.py:184-219).
+    """
+
+    import pandas as pd
+
+    os.makedirs(metadata_dir, exist_ok=True)
+    zip_filename = os.path.join(metadata_dir,
+                                LILA_ALL_IMAGES_URL.split('/')[-1])
+    download_url(LILA_ALL_IMAGES_URL, zip_filename,
+                 force_download=force_download)
+
+    with zipfile.ZipFile(zip_filename, 'r') as z:
+        files = z.namelist()
+    assert len(files) == 1
+
+    unzipped_csv_filename = os.path.join(metadata_dir, files[0])
+    if not os.path.isfile(unzipped_csv_filename):
+        with zipfile.ZipFile(zip_filename, 'r') as z:
+            z.extractall(metadata_dir)
+
+    if not read_to_dataframe:
+        return None
+    return pd.read_csv(unzipped_csv_filename)
+
+
+def read_lila_taxonomy_mapping(metadata_dir, force_download=False):
+    """
+    Download (if necessary) and read the LILA taxonomy mapping .csv;
+    returns a DataFrame with one row per identification (reference:
+    lila_common.py:99-119).
+    """
+
+    import pandas as pd
+
+    os.makedirs(metadata_dir, exist_ok=True)
+    taxonomy_filename = os.path.join(
+        metadata_dir, LILA_TAXONOMY_MAPPING_URL.split('/')[-1])
+    download_url(LILA_TAXONOMY_MAPPING_URL, taxonomy_filename,
+                 force_download=force_download)
+    return pd.read_csv(taxonomy_filename)
+
+
+def read_wildlife_insights_taxonomy_mapping(metadata_dir,
+                                            force_download=False):
+    """
+    Read the Wildlife Insights taxonomy mapping, downloading the .json
+    data (and caching it as .csv) if necessary; returns a DataFrame
+    (reference: lila_common.py:53-96).
+    """
+
+    import pandas as pd
+
+    os.makedirs(metadata_dir, exist_ok=True)
+    wi_taxonomy_csv_path = os.path.join(
+        metadata_dir, WILDLIFE_INSIGHTS_TAXONOMY_LOCAL_CSV_FILENAME)
+    if os.path.exists(wi_taxonomy_csv_path) and not force_download:
+        return pd.read_csv(wi_taxonomy_csv_path)
+
+    wi_taxonomy_json_path = os.path.join(
+        metadata_dir, WILDLIFE_INSIGHTS_TAXONOMY_LOCAL_JSON_FILENAME)
+    download_url(WILDLIFE_INSIGHTS_TAXONOMY_URL, wi_taxonomy_json_path,
+                 force_download=force_download)
+    with open(wi_taxonomy_json_path, 'r') as f:
+        d = json.load(f)
+
+    # Paging isn't implemented; make sure that's not an issue
+    assert d['meta']['totalItems'] < WILDLIFE_INSIGHTS_PAGE_SIZE
+    df = pd.DataFrame(d['data'])
+    df.to_csv(wi_taxonomy_csv_path, index=False)
+    return df
 
 
 def lila_image_url(dataset_entry, image_file_name, preferred_cloud='gcp'):

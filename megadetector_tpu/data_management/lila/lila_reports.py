@@ -11,16 +11,17 @@ import os
 from collections import defaultdict
 
 from megadetector_tpu.data_management.lila.lila_common import (
-    get_lila_dataset_index, lila_image_url, read_lila_metadata)
+    get_lila_dataset_index, lila_image_url,
+    read_metadata_file_for_dataset)
 from megadetector_tpu.utils import ct_utils
 
 
 def _load_cct(dataset_entry, metadata_dir):
-    """read_lila_metadata returns a local path; load it."""
+    """read_metadata_file_for_dataset returns a local path; load it."""
 
     import json as _json
 
-    path = read_lila_metadata(dataset_entry, metadata_dir)
+    path = read_metadata_file_for_dataset(dataset_entry, metadata_dir)
     with open(path) as f:
         return _json.load(f)
 

@@ -246,22 +246,75 @@ def read_exif_from_folder(input_folder, output_file=None, options=None,
     return results
 
 
-def exif_results_to_cct(exif_results, cct_output_file=None):
+class ExifResultsToCCTOptions:
     """
-    Convert EXIF harvest results to a minimal CCT-style dict with
-    'datetime' and 'location' (from folder) fields
-    (reference: read_exif.py:964).
+    Options controlling exif_results_to_cct() (reference:
+    read_exif.py:99-117).
     """
+
+    def __init__(self):
+        #: Timestamps older than this are assumed to be junk; lots of
+        #: cameras use a default time in 2000
+        self.min_valid_timestamp_year = 2001
+        #: The EXIF tag from which to pull datetime information
+        self.exif_datetime_tag = 'DateTimeOriginal'
+        #: Maps an image filename to a location string; None writes
+        #: every location as 'unknown'
+        from megadetector_tpu.utils.ct_utils import \
+            image_file_to_camera_folder
+        self.filename_to_location_function = image_file_to_camera_folder
+
+
+def exif_results_to_cct(exif_results, cct_output_file=None,
+                        options=None):
+    """
+    Convert EXIF harvest results (a list, or the .json filename written
+    by read_exif_from_folder) to a CCT dict with no annotations,
+    attaching image filenames to locations and datetimes
+    (reference: read_exif.py:964-1060). Datetimes in the future, within
+    the last 24 hours, or before options.min_valid_timestamp_year are
+    treated as invalid (None).
+    """
+
+    import datetime as _datetime
+
+    if options is None:
+        options = ExifResultsToCCTOptions()
+
+    if isinstance(exif_results, str):
+        with open(exif_results, 'r') as f:
+            exif_results = json.load(f)
+
+    now = _datetime.datetime.now()
 
     images = []
     for r in exif_results:
-        tags = r.get('exif_tags', {})
-        dt = tags.get('DateTimeOriginal', tags.get('DateTime'))
+        fn = r.get('file_name', r.get('file'))
+        tags = r.get('exif_tags') or {}
+
+        if options.filename_to_location_function is None:
+            location = 'unknown'
+        else:
+            location = options.filename_to_location_function(fn)
+
+        dt = tags.get(options.exif_datetime_tag)
+        if dt is not None:
+            parsed = parse_exif_datetime_string(str(dt))
+            if parsed is None:
+                dt = None
+            elif (now - parsed).total_seconds() <= 24 * 60 * 60 or \
+                    parsed.year < options.min_valid_timestamp_year:
+                print('Warning: datetime for {} is {}'.format(fn,
+                                                              parsed))
+                dt = None
+            else:
+                dt = parsed
+
         im = {
-            'id': r['file_name'],
-            'file_name': r['file_name'],
+            'id': fn,
+            'file_name': fn,
             'datetime': dt,
-            'location': os.path.dirname(r['file_name']),
+            'location': location,
         }
         gps = exif_gps_to_decimal_degrees(tags)
         if gps is not None:

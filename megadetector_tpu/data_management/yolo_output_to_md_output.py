@@ -20,6 +20,51 @@ from megadetector_tpu.utils.path_utils import find_images
 DEFAULT_DETECTOR_LABEL_MAP = {'1': 'animal', '2': 'person', '3': 'vehicle'}
 
 
+def read_classes_from_yolo_dataset_file(fn):
+    """
+    Read a {int category ID: name} dict from a YOLOv5/YOLOv8
+    dataset.yml/.yaml file, a .json dict of id->name, or a .txt flat
+    class list (reference: yolo_output_to_md_output.py:57-113).
+    """
+
+    import re
+
+    category_id_to_name = {}
+
+    if fn.endswith('.yml') or fn.endswith('.yaml'):
+        with open(fn, 'r') as f:
+            lines = f.readlines()
+        for s in lines:
+            if re.search(r'\d+:.+', s) is not None:
+                tokens = s.split(':')
+                assert len(tokens) == 2, \
+                    'Invalid token in category file {}'.format(fn)
+                category_id_to_name[int(tokens[0].strip())] = \
+                    tokens[1].strip()
+    elif fn.endswith('.json'):
+        with open(fn, 'r') as f:
+            d_in = json.load(f)
+        for k in d_in:
+            category_id_to_name[int(k)] = d_in[k]
+    elif fn.endswith('.txt'):
+        with open(fn, 'r') as f:
+            lines = f.readlines()
+        next_category_id = 0
+        for s in lines:
+            s = s.strip()
+            if len(s) == 0:
+                continue
+            category_id_to_name[next_category_id] = s
+            next_category_id += 1
+    else:
+        raise ValueError(
+            'Unrecognized class-list file type {}'.format(fn))
+
+    assert len(category_id_to_name) > 0, \
+        'Failed to read classes from {}'.format(fn)
+    return category_id_to_name
+
+
 def yolo_json_output_to_md_output(yolo_json_file, image_folder,
                                   output_file, yolo_category_id_to_name=None,
                                   detector_name='converted-from-yolo',

@@ -459,6 +459,35 @@ def strip_classifications_from_nonanimal_detections(
     return data
 
 
+def remove_classifications_from_non_animal_detections(
+        input_file, output_file, animal_category_names=None):
+    """
+    Remove classifications from non-animal detections in a MD .json
+    file, optionally writing the results to a new .json file (reference:
+    classification_postprocessing.py:1119-1136). Unlike
+    strip_classifications_from_nonanimal_detections (which takes
+    category IDs), [animal_category_names] is a list of detection
+    category NAMES, defaulting to just 'animal'.
+    """
+
+    if animal_category_names is None:
+        animal_category_names = ['animal']
+
+    if isinstance(input_file, str):
+        with open(input_file) as f:
+            data = json.load(f)
+    else:
+        data = input_file
+
+    animal_category_ids = tuple(
+        cat_id for cat_id, name in
+        data.get('detection_categories', {}).items()
+        if name in animal_category_names)
+
+    return strip_classifications_from_nonanimal_detections(
+        data, output_file, animal_categories=animal_category_ids)
+
+
 def _load_md(d):
     import copy
     if isinstance(d, dict):

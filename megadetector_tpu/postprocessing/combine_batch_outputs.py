@@ -44,6 +44,39 @@ def combine_batch_output_files(input_files, output_file=None,
     return merged
 
 
+def combine_batch_output_dictionaries(input_dicts,
+                                      require_uniqueness=True):
+    """
+    Merge a list of already-loaded MD results dicts into a single dict
+    (reference name: combine_batch_outputs.py:79).
+    """
+
+    return combine_batch_outputs(input_dicts,
+                                 require_uniqueness=require_uniqueness)
+
+
+def combine_api_shard_files(input_files, output_file=None):
+    """
+    Merge .json-formatted API shard files — each a JSON *list* of
+    per-image dicts from the mostly-deprecated batch API — into a
+    single list, optionally writing it to [output_file] (reference:
+    combine_batch_outputs.py:186-201). If you don't know what an API
+    shard file is, you don't want this function.
+    """
+
+    merged = []
+    for fn in input_files:
+        with open(fn) as f:
+            shard = json.load(f)
+        assert isinstance(shard, list), \
+            '{} is not an API shard file (expected a JSON list)'.format(fn)
+        merged.extend(shard)
+
+    if output_file is not None:
+        ct_utils.write_json(output_file, merged, force_str=True)
+    return merged
+
+
 def combine_batch_outputs(input_dicts, require_uniqueness=True,
                           verbose=False):
     """Merge already-loaded results dicts (see combine_batch_output_files)."""

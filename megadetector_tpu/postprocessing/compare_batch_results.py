@@ -28,15 +28,70 @@ class PairwiseBatchComparisonResults:
         self.categories_to_image_files = {}
         self.filename_a = None
         self.filename_b = None
+        #: The (possibly-derived) options used for this comparison
+        self.pairwise_options = None
+        #: Short identifier for this comparison (reference:
+        #: compare_batch_results.py:264-268)
+        self.comparison_short_name = None
+        self.comparison_friendly_name = None
+
+
+class PairwiseBatchComparisonOptions:
+    """
+    Options for a single pairwise comparison; a list of these can be
+    stored in BatchComparisonOptions.pairwise_options (reference:
+    compare_batch_results.py:77-121).
+    """
+
+    def __init__(self):
+        self.results_filename_a = None
+        self.results_filename_b = None
+        self.results_description_a = None
+        self.results_description_b = None
+        #: float or {category_name: float, ..., 'default': float}
+        self.detection_thresholds_a = {'animal': 0.15, 'person': 0.15,
+                                       'vehicle': 0.15, 'default': 0.15}
+        self.detection_thresholds_b = {'animal': 0.15, 'person': 0.15,
+                                       'vehicle': 0.15, 'default': 0.15}
+        self.rendering_confidence_threshold_a = 0.1
+        self.rendering_confidence_threshold_b = 0.1
+        self.classification_confidence_threshold_a = 0.3
+        self.classification_confidence_threshold_b = 0.3
+
+
+class BatchComparisonResults:
+    """
+    The results from a set of pairwise comparisons (reference:
+    compare_batch_results.py:273-286).
+    """
+
+    def __init__(self):
+        #: Filename containing HTML output
+        self.html_output_file = None
+        #: A list of PairwiseBatchComparisonResults
+        self.pairwise_results = None
 
 
 class BatchComparisonOptions:
-    """Options controlling compare_batch_results()."""
+    """
+    Options controlling compare_batch_results().
+
+    Two usage shapes are supported, matching the reference
+    (compare_batch_results.py:124): set the flat results_filename_a/b
+    fields for a single comparison, or populate .pairwise_options with
+    a list of PairwiseBatchComparisonOptions to run several comparisons
+    into one output tree.
+    """
 
     def __init__(self):
         self.output_folder = None
         self.image_folder = None
         self.job_name = 'comparison'
+
+        #: Optional list of PairwiseBatchComparisonOptions; when set,
+        #: compare_batch_results() runs every pair and returns a
+        #: BatchComparisonResults
+        self.pairwise_options = None
 
         self.results_filename_a = None
         self.results_filename_b = None
@@ -227,15 +282,86 @@ def _detection_summary(im, thresh):
     return '{} detections, max conf {:.3f}'.format(len(dets), max_conf)
 
 
+def _apply_pairwise_options(options, pairwise_options):
+    """
+    Flatten one PairwiseBatchComparisonOptions onto a copy of the shared
+    BatchComparisonOptions, producing the flat shape the single-pair
+    machinery consumes.
+    """
+
+    import copy
+    flat = copy.copy(options)
+    flat.pairwise_options = None
+    for field in ('results_filename_a', 'results_filename_b',
+                  'results_description_a', 'results_description_b',
+                  'detection_thresholds_a', 'detection_thresholds_b',
+                  'rendering_confidence_threshold_a',
+                  'rendering_confidence_threshold_b'):
+        setattr(flat, field, getattr(pairwise_options, field))
+    return flat
+
+
 def compare_batch_results(options):
     """
     Full pairwise comparison with HTML output: per-agreement-category
     pages showing each sampled image side by side with model A's and
     model B's boxes rendered (reference:
-    compare_batch_results.py:626-1627). Returns the
-    PairwiseBatchComparisonResults (with .html_output_file set when an
-    output folder was provided).
+    compare_batch_results.py:626-1627).
+
+    When options.pairwise_options is populated (the reference's
+    multi-comparison shape, compare_batch_results.py:1627-1697), runs
+    every pairwise comparison into pair_NN subfolders, writes a
+    top-level index, and returns a BatchComparisonResults. Otherwise
+    runs the single comparison described by the flat fields and returns
+    its PairwiseBatchComparisonResults (with .html_output_file set when
+    an output folder was provided).
     """
+
+    if getattr(options, 'pairwise_options', None) is not None:
+        pairwise_options_list = options.pairwise_options
+        if not isinstance(pairwise_options_list, list):
+            pairwise_options_list = [pairwise_options_list]
+
+        all_pairwise_results = []
+        index_lines = []
+        for i_comparison, pairwise_options in \
+                enumerate(pairwise_options_list):
+            flat = _apply_pairwise_options(options, pairwise_options)
+            short_name = 'pair_{:0>2d}'.format(i_comparison)
+            if options.output_folder is not None:
+                flat.output_folder = os.path.join(options.output_folder,
+                                                  short_name)
+            pairwise_results = compare_batch_results(flat)
+            pairwise_results.pairwise_options = pairwise_options
+            pairwise_results.comparison_short_name = short_name
+            desc_a = pairwise_options.results_description_a or \
+                os.path.basename(str(pairwise_options.results_filename_a))
+            desc_b = pairwise_options.results_description_b or \
+                os.path.basename(str(pairwise_options.results_filename_b))
+            pairwise_results.comparison_friendly_name = \
+                '{} vs {}'.format(desc_a, desc_b)
+            all_pairwise_results.append(pairwise_results)
+            if getattr(pairwise_results, 'html_output_file', None):
+                index_lines.append(
+                    '<li><a href="{}">{}</a></li>\n'.format(
+                        os.path.relpath(pairwise_results.html_output_file,
+                                        options.output_folder),
+                        pairwise_results.comparison_friendly_name))
+
+        results = BatchComparisonResults()
+        results.pairwise_results = all_pairwise_results
+        if options.output_folder is not None:
+            os.makedirs(options.output_folder, exist_ok=True)
+            index_html = os.path.join(options.output_folder,
+                                      'index.html')
+            with open(index_html, 'w') as f:
+                f.write('<html><body>\n<h1>Results comparison: {}</h1>'
+                        '\n<ul>\n'.format(options.job_name))
+                for line in index_lines:
+                    f.write(line)
+                f.write('</ul>\n</body></html>\n')
+            results.html_output_file = index_html
+        return results
 
     with open(options.results_filename_a) as f:
         results_a = json.load(f)
@@ -359,41 +485,87 @@ def compare_batch_results(options):
 
 
 def n_way_comparison(filenames, options, detection_thresholds=None,
-                     rendering_thresholds=None):
+                     rendering_thresholds=None, model_names=None):
     """
-    All-pairs comparison across N results files; returns a list of
-    pairwise results (reference: compare_batch_results.py:1700).
+    All-pairs comparison across N results files (reference:
+    compare_batch_results.py:1700). Populates options.pairwise_options
+    from [filenames] and defers to compare_batch_results(); returns a
+    BatchComparisonResults whose .pairwise_results holds one entry per
+    pair.
     """
 
     if detection_thresholds is None:
         detection_thresholds = [0.15] * len(filenames)
-    assert len(detection_thresholds) == len(filenames)
+    assert len(detection_thresholds) == len(filenames), \
+        '[detection_thresholds] should be the same length as [filenames]'
     if rendering_thresholds is not None:
-        assert len(rendering_thresholds) == len(filenames)
+        assert len(rendering_thresholds) == len(filenames), \
+            '[rendering_thresholds] should be the same length as ' \
+            '[filenames]'
+    else:
+        rendering_thresholds = [(x * 0.6666)
+                                for x in detection_thresholds]
+    if model_names is not None:
+        assert len(model_names) == len(filenames), \
+            '[model_names] should be the same length as [filenames]'
 
-    all_results = []
-    for i_a in range(len(filenames)):
-        for i_b in range(i_a + 1, len(filenames)):
-            pair_options = BatchComparisonOptions()
-            for k, v in vars(options).items():
-                setattr(pair_options, k, v)
-            pair_options.results_filename_a = filenames[i_a]
-            pair_options.results_filename_b = filenames[i_b]
-            pair_options.detection_thresholds_a = \
-                detection_thresholds[i_a]
-            pair_options.detection_thresholds_b = \
-                detection_thresholds[i_b]
-            if rendering_thresholds is not None:
-                pair_options.rendering_confidence_threshold_a = \
-                    rendering_thresholds[i_a]
-                pair_options.rendering_confidence_threshold_b = \
-                    rendering_thresholds[i_b]
-            if options.output_folder is not None:
-                pair_options.output_folder = os.path.join(
-                    options.output_folder,
-                    'pair_{:0>2d}_{:0>2d}'.format(i_a, i_b))
-            all_results.append(compare_batch_results(pair_options))
-    return all_results
+    import itertools
+    options.pairwise_options = []
+    for i_a, i_b in itertools.combinations(range(len(filenames)), 2):
+        pairwise_options = PairwiseBatchComparisonOptions()
+        pairwise_options.results_filename_a = filenames[i_a]
+        pairwise_options.results_filename_b = filenames[i_b]
+        if model_names is not None:
+            pairwise_options.results_description_a = model_names[i_a]
+            pairwise_options.results_description_b = model_names[i_b]
+        pairwise_options.detection_thresholds_a = \
+            detection_thresholds[i_a]
+        pairwise_options.detection_thresholds_b = \
+            detection_thresholds[i_b]
+        pairwise_options.rendering_confidence_threshold_a = \
+            rendering_thresholds[i_a]
+        pairwise_options.rendering_confidence_threshold_b = \
+            rendering_thresholds[i_b]
+        options.pairwise_options.append(pairwise_options)
+
+    return compare_batch_results(options)
+
+
+def find_image_level_detections_above_threshold(results, threshold=0.2,
+                                                category_names=None):
+    """
+    Images in the MD results [results] (a filename or a loaded dict)
+    with at least one detection above [threshold], optionally counting
+    only categories named in [category_names] (a list or a single name)
+    (reference: compare_batch_results.py:1766).
+    """
+
+    if isinstance(results, str):
+        with open(results, 'r') as f:
+            results = json.load(f)
+
+    category_ids_to_consider = None
+    if category_names is not None:
+        if isinstance(category_names, str):
+            category_names = [category_names]
+        name_to_id = ct_utils.invert_dictionary(
+            results['detection_categories'])
+        category_ids_to_consider = set()
+        for name in category_names:
+            assert name in name_to_id, \
+                'Unknown category name {}'.format(name)
+            category_ids_to_consider.add(name_to_id[name])
+
+    images_with_detections = []
+    for im in results['images']:
+        for d in im.get('detections') or []:
+            if category_ids_to_consider is not None and \
+                    d['category'] not in category_ids_to_consider:
+                continue
+            if d['conf'] >= threshold:
+                images_with_detections.append(im)
+                break
+    return images_with_detections
 
 
 def find_equivalent_threshold(results_filename_a, results_filename_b,

@@ -35,6 +35,61 @@ from megadetector_tpu.utils.write_html_image_list import \
 from megadetector_tpu.visualization import visualization_utils as vis_utils
 
 
+from enum import IntEnum
+
+
+class DetectionStatus(IntEnum):
+    """
+    Flags used to mark images as positive or negative for P/R analysis
+    according to ground truth and/or detector output (reference:
+    postprocess_batch_results.py:285-306).
+    """
+
+    DS_NEGATIVE = 0
+    DS_POSITIVE = 1
+    #: Anything greater than this isn't clearly positive or negative
+    DS_MAX_DEFINITIVE_VALUE = DS_POSITIVE
+    #: Image has annotations suggesting both negative and positive
+    DS_AMBIGUOUS = 2
+    #: Image is not annotated, or is annotated as unknown/unlabeled
+    DS_UNKNOWN = 3
+    #: Image has not yet been assigned a state
+    DS_UNASSIGNED = 4
+
+
+def is_sas_url(s):
+    """
+    Heuristically check whether [s] is an Azure SAS URL (reference:
+    postprocess_batch_results.py:406-415).
+    """
+
+    return (s.startswith(('http://', 'https://'))
+            and ('core.windows.net' in s) and ('?' in s))
+
+
+def relative_sas_url(folder_url, relative_path):
+    """
+    Given a container- or folder-level SAS URL, create a SAS URL to the
+    specified relative path (reference:
+    postprocess_batch_results.py:418-438). Returns None if [folder_url]
+    is not a SAS URL.
+    """
+
+    relative_path = relative_path.replace('%', '%25')
+    relative_path = relative_path.replace('#', '%23')
+    relative_path = relative_path.replace(' ', '%20')
+
+    if not is_sas_url(folder_url):
+        return None
+    tokens = folder_url.split('?')
+    assert len(tokens) == 2
+    if not tokens[0].endswith('/'):
+        tokens[0] = tokens[0] + '/'
+    if relative_path.startswith('/'):
+        relative_path = relative_path[1:]
+    return tokens[0] + relative_path + '?' + tokens[1]
+
+
 class PostProcessingOptions:
     """Options controlling process_batch_results()."""
 

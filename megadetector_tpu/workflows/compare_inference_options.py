@@ -366,7 +366,7 @@ def compute_job_agreement(options, jobs):
 
     pair_options = BatchComparisonOptions()
     pair_options.output_folder = None
-    pairwise = n_way_comparison(filenames, pair_options)
+    pairwise = n_way_comparison(filenames, pair_options).pairwise_results
 
     summaries = []
     for p in pairwise:

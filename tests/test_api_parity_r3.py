@@ -1,0 +1,441 @@
+"""
+Round-3 API-parity batch: exact reference module-level names that a
+migrating reference user would import (audited against
+/root/reference/megadetector with an AST top-level-def sweep).
+"""
+
+import json
+import os
+
+import pytest
+
+from megadetector_tpu.utils import ct_utils
+
+
+# %% postprocessing
+
+
+def test_combine_batch_output_dictionaries_and_shards(tmp_path):
+    from megadetector_tpu.postprocessing.combine_batch_outputs import (
+        combine_api_shard_files, combine_batch_output_dictionaries)
+
+    d1 = {'images': [{'file': 'a.jpg', 'detections': []}],
+          'detection_categories': {'1': 'animal'},
+          'info': {'format_version': '1.6'}}
+    d2 = {'images': [{'file': 'b.jpg', 'detections': []}],
+          'detection_categories': {'1': 'animal'},
+          'info': {'format_version': '1.6'}}
+    merged = combine_batch_output_dictionaries([d1, d2])
+    assert len(merged['images']) == 2
+
+    # Duplicate filenames violate uniqueness
+    with pytest.raises(Exception):
+        combine_batch_output_dictionaries([d1, d1])
+
+    # API shard files are JSON lists
+    s1 = str(tmp_path / 's1.json')
+    s2 = str(tmp_path / 's2.json')
+    ct_utils.write_json(s1, [{'file': 'a.jpg'}])
+    ct_utils.write_json(s2, [{'file': 'b.jpg'}, {'file': 'c.jpg'}])
+    out = str(tmp_path / 'merged.json')
+    merged = combine_api_shard_files([s1, s2], out)
+    assert len(merged) == 3
+    assert len(json.load(open(out))) == 3
+
+    # An MD results file is not a shard file
+    md = str(tmp_path / 'md.json')
+    ct_utils.write_json(md, d1)
+    with pytest.raises(AssertionError):
+        combine_api_shard_files([md])
+
+
+def test_remove_classifications_from_non_animal_detections(tmp_path):
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import remove_classifications_from_non_animal_detections
+
+    data = {
+        'images': [{'file': 'a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0, 0, 0.1, 0.1],
+             'classifications': [['0', 0.9]]},
+            {'category': '2', 'conf': 0.9, 'bbox': [0, 0, 0.1, 0.1],
+             'classifications': [['0', 0.9]]},
+        ]}],
+        'detection_categories': {'1': 'animal', '2': 'person'},
+        'classification_categories': {'0': 'deer'},
+        'info': {'format_version': '1.6'},
+    }
+    in_file = str(tmp_path / 'in.json')
+    out_file = str(tmp_path / 'out.json')
+    ct_utils.write_json(in_file, data)
+
+    # Category NAMES (not IDs) select what counts as an animal
+    out = remove_classifications_from_non_animal_detections(in_file,
+                                                            out_file)
+    dets = out['images'][0]['detections']
+    assert 'classifications' in dets[0]
+    assert 'classifications' not in dets[1]
+    assert os.path.isfile(out_file)
+
+
+def test_sas_url_helpers_and_detection_status():
+    from megadetector_tpu.postprocessing.postprocess_batch_results import (
+        DetectionStatus, is_sas_url, relative_sas_url)
+
+    assert DetectionStatus.DS_NEGATIVE == 0
+    assert DetectionStatus.DS_POSITIVE == 1
+    assert DetectionStatus.DS_AMBIGUOUS > \
+        DetectionStatus.DS_MAX_DEFINITIVE_VALUE
+
+    sas = 'https://acct.blob.core.windows.net/ct/folder?sv=2020&sig=x'
+    assert is_sas_url(sas)
+    assert not is_sas_url('https://example.com/x?y=1')
+    assert relative_sas_url('https://example.com/x?y=1', 'a.jpg') is None
+    rel = relative_sas_url(sas, 'cam 1/#5/img.jpg')
+    assert rel == ('https://acct.blob.core.windows.net/ct/folder/'
+                   'cam%201/%235/img.jpg?sv=2020&sig=x')
+
+
+# %% data_management
+
+
+def test_parse_datetimes_from_cct_dict(tmp_path):
+    from megadetector_tpu.data_management.cct_json_utils import \
+        parse_datetimes_from_cct_dict
+
+    import datetime
+    d = {'images': [
+        {'file_name': 'a.jpg', 'datetime': '2022-03-01 11:22:33'},
+        {'file_name': 'b.jpg', 'datetime': 'not-a-datetime'},
+    ]}
+    with pytest.raises(ValueError):
+        parse_datetimes_from_cct_dict(
+            json.loads(json.dumps(d)),
+            conversion_failure_behavior='error')
+
+    out = parse_datetimes_from_cct_dict(
+        json.loads(json.dumps(d)), conversion_failure_behavior='str')
+    assert isinstance(out['images'][0]['datetime'], datetime.datetime)
+    assert out['images'][1]['datetime'] == 'not-a-datetime'
+
+    out = parse_datetimes_from_cct_dict(
+        json.loads(json.dumps(d)), conversion_failure_behavior='none')
+    assert out['images'][1]['datetime'] is None
+
+    # Filename form
+    p = str(tmp_path / 'cct.json')
+    ct_utils.write_json(p, d)
+    out = parse_datetimes_from_cct_dict(p,
+                                        conversion_failure_behavior='none')
+    assert isinstance(out['images'][0]['datetime'], datetime.datetime)
+
+
+def test_lila_reference_readers(tmp_path):
+    """The reference's reader names work offline against staged files
+    (download_url skips existing destinations)."""
+
+    import zipfile
+
+    from megadetector_tpu.data_management.lila import lila_common
+
+    metadata_dir = str(tmp_path / 'lila_md')
+    os.makedirs(metadata_dir)
+
+    # read_lila_metadata via a staged index CSV
+    index_csv = os.path.join(metadata_dir,
+                             'lila_camera_trap_datasets.csv')
+    with open(index_csv, 'w') as f:
+        f.write('name,short_name,metadata_url_gcp\n')
+        f.write('Test Dataset,test,https://example.com/test.json\n')
+    table = lila_common.read_lila_metadata(
+        metadata_dir, local_index_file=index_csv)
+    assert 'Test Dataset' in table
+
+    # read_metadata_file_for_dataset via a local metadata_path entry
+    cct_path = os.path.join(metadata_dir, 'test_cct.json')
+    ct_utils.write_json(cct_path, {'images': [], 'annotations': [],
+                                   'categories': []})
+    table['Test Dataset']['metadata_path'] = cct_path
+    p = lila_common.read_metadata_file_for_dataset(
+        'Test Dataset', metadata_dir, metadata_table=table)
+    assert p == cct_path
+    # Convenience: an entry dict works as the first argument too
+    p = lila_common.read_metadata_file_for_dataset(
+        table['Test Dataset'], metadata_dir)
+    assert p == cct_path
+
+    # read_lila_all_images_file from a staged zip
+    csv_inner = 'lila_image_urls_and_labels.csv'
+    inner_path = os.path.join(metadata_dir, csv_inner)
+    zip_path = os.path.join(metadata_dir,
+                            'lila_image_urls_and_labels.csv.zip')
+    with zipfile.ZipFile(zip_path, 'w') as z:
+        z.writestr(csv_inner, 'url,label\nhttp://x/a.jpg,deer\n')
+    df = lila_common.read_lila_all_images_file(metadata_dir)
+    assert list(df['label']) == ['deer']
+    assert lila_common.read_lila_all_images_file(
+        metadata_dir, read_to_dataframe=False) is None
+    assert os.path.isfile(inner_path)
+
+    # read_lila_taxonomy_mapping from a staged csv
+    with open(os.path.join(metadata_dir,
+                           'lila-taxonomy-mapping_release.csv'),
+              'w') as f:
+        f.write('dataset_name,query,scientific_name\nTest,deer,'
+                'odocoileus\n')
+    df = lila_common.read_lila_taxonomy_mapping(metadata_dir)
+    assert df.iloc[0]['scientific_name'] == 'odocoileus'
+
+    # read_wildlife_insights_taxonomy_mapping from the cached csv
+    with open(os.path.join(metadata_dir, 'wi_taxonomy.csv'), 'w') as f:
+        f.write('id,class,commonNameEnglish\n1,Mammalia,Deer\n')
+    df = lila_common.read_wildlife_insights_taxonomy_mapping(
+        metadata_dir)
+    assert df.iloc[0]['commonNameEnglish'] == 'Deer'
+
+
+def test_animl_results_to_md_results(tmp_path):
+    from megadetector_tpu.data_management.animl_to_md import \
+        animl_results_to_md_results
+
+    csv_fn = str(tmp_path / 'animl.csv')
+    with open(csv_fn, 'w') as f:
+        f.write('file,category,detection_conf,bbox1,bbox2,bbox3,bbox4,'
+                'class,classification_conf\n')
+        f.write('im1.jpg,1,0.9,0.1,0.1,0.2,0.2,deer,0.8\n')
+        f.write('im1.jpg,1,0.85,0.5,0.5,0.1,0.1,elk,0.7\n')
+        f.write('im2.jpg,2,0.95,0.3,0.3,0.2,0.2,human,0.99\n')
+
+    out = animl_results_to_md_results(csv_fn)
+    assert out == csv_fn + '.json'
+    data = json.load(open(out))
+    assert len(data['images']) == 2
+    im1 = [im for im in data['images'] if im['file'] == 'im1.jpg'][0]
+    assert len(im1['detections']) == 2
+    # Classification categories accumulate in first-seen order
+    inv = {v: k for k, v in data['classification_categories'].items()}
+    assert im1['detections'][0]['classifications'] == [[inv['deer'],
+                                                        0.8]]
+    assert data['info']['detector'] == 'Animl'
+
+
+def test_zamba_results_to_md_results(tmp_path):
+    from megadetector_tpu.data_management.zamba_to_md import \
+        zamba_results_to_md_results
+
+    # Image results name file stems; image_folder resolves them
+    img_dir = tmp_path / 'imgs' / 'cam1'
+    img_dir.mkdir(parents=True)
+    (img_dir / 'vid_a.jpg').write_bytes(b'x')
+
+    csv_fn = str(tmp_path / 'zamba.csv')
+    with open(csv_fn, 'w') as f:
+        f.write('filepath,deer,blank\n')
+        f.write('vid_a,0.9,0.1\n')
+
+    out_fn = str(tmp_path / 'out.json')
+    out = zamba_results_to_md_results(csv_fn, out_fn,
+                                      image_folder=str(tmp_path / 'imgs'))
+    assert out == out_fn
+    data = json.load(open(out))
+    assert data['images'][0]['file'] == 'cam1/vid_a.jpg'
+
+
+def test_camtrap_dp_to_coco(tmp_path):
+    from megadetector_tpu.data_management.camtrap_dp_to_coco import (
+        CAMTRAP_DP_PROFILE, camtrap_dp_to_coco)
+
+    pkg = tmp_path / 'pkg'
+    pkg.mkdir()
+    ct_utils.write_json(str(pkg / 'datapackage.json'), {
+        'profile': CAMTRAP_DP_PROFILE,
+        'name': 'test-package',
+        'resources': [
+            {'name': 'deployments', 'path': 'deployments.csv'},
+            {'name': 'events', 'path': 'events.csv'},
+            {'name': 'media', 'path': 'media.csv'},
+            {'name': 'observations', 'path': 'observations.csv'},
+        ]})
+    (pkg / 'deployments.csv').write_text(
+        'deploymentID\ndep1\n')
+    (pkg / 'media.csv').write_text(
+        'mediaID,deploymentID,filePath,fileName,timestamp\n'
+        'm1,dep1,cam1,a.jpg,2022-01-01 10:00:01\n'
+        'm2,dep1,cam1,b.jpg,2022-01-01 10:00:00\n'
+        'm3,dep1,cam1,c.jpg,2022-01-01 11:00:00\n')
+    (pkg / 'events.csv').write_text(
+        'eventID,mediaID\nev1,m1\nev1,m2\nev2,m3\n')
+    (pkg / 'observations.csv').write_text(
+        'observationID,eventID,observationLevel,observationType,'
+        'scientificName\n'
+        'o1,ev1,event,animal,Odocoileus virginianus\n'
+        'o2,ev2,event,blank,\n')
+
+    out_fn = str(pkg / 'coco.json')
+    coco = camtrap_dp_to_coco(str(pkg), out_fn)
+    assert os.path.isfile(out_fn)
+    assert len(coco['images']) == 3
+
+    # 'empty' is always category 0
+    cats = {c['name']: c['id'] for c in coco['categories']}
+    assert cats['empty'] == 0
+    assert 'Odocoileus virginianus' in cats
+
+    # Events sort into frame numbers by timestamp
+    by_id = {im['id']: im for im in coco['images']}
+    assert by_id['m2']['frame_num'] == 0 and by_id['m1']['frame_num'] == 1
+    assert by_id['m1']['seq_id'] == 'ev1'
+    assert by_id['m1']['seq_num_frames'] == 2
+
+    # Event-level annotations propagate to every frame
+    anns_ev1 = [a for a in coco['annotations']
+                if a['image_id'] in ('m1', 'm2')]
+    assert len(anns_ev1) == 2
+    assert all(a['sequence_level_annotation'] for a in anns_ev1)
+    assert all(a['category_id'] == cats['Odocoileus virginianus']
+               for a in anns_ev1)
+
+    # Non-1.0 packages are rejected
+    ct_utils.write_json(str(pkg / 'datapackage.json'),
+                        {'profile': 'something-else', 'resources': []})
+    with pytest.raises(AssertionError):
+        camtrap_dp_to_coco(str(pkg))
+
+
+def test_get_labelme_dict_for_image_from_coco_record():
+    from megadetector_tpu.data_management.coco_to_labelme import \
+        get_labelme_dict_for_image_from_coco_record
+
+    im = {'id': 'im1', 'file_name': 'sub/im1.jpg', 'height': 100,
+          'width': 200}
+    categories = [{'id': 1, 'name': 'animal'}]
+    anns = [{'id': 'a1', 'image_id': 'im1', 'category_id': 1,
+             'bbox': [10, 20, 30, 40]},
+            {'id': 'a2', 'image_id': 'im1', 'category_id': 1}]
+    d = get_labelme_dict_for_image_from_coco_record(
+        im, anns, categories, info={'source': 'test'})
+    assert d['imagePath'] == 'im1.jpg'
+    assert d['imageHeight'] == 100 and d['imageWidth'] == 200
+    assert d['custom_info'] == {'source': 'test'}
+    assert d['coco_categories'] == categories
+    # Annotation without a bbox contributes no shape
+    assert len(d['shapes']) == 1
+    assert d['shapes'][0]['label'] == 'animal'
+    assert d['shapes'][0]['points'] == [[10, 20], [40, 60]]
+
+    # Mismatched image_id errors
+    with pytest.raises(AssertionError):
+        get_labelme_dict_for_image_from_coco_record(
+            im, [{'id': 'a3', 'image_id': 'other', 'category_id': 1,
+                  'bbox': [0, 0, 1, 1]}], categories)
+
+
+def test_labelme_file_and_folder_to_yolo(tmp_path):
+    from megadetector_tpu.data_management.labelme_to_yolo import (
+        labelme_file_to_yolo_file, labelme_folder_to_yolo)
+
+    def write_labelme(path, shapes, extra=None):
+        d = {'version': '5.3.0', 'flags': {}, 'shapes': shapes,
+             'imagePath': os.path.basename(path).replace('.json',
+                                                         '.jpg'),
+             'imageData': None, 'imageHeight': 100, 'imageWidth': 200}
+        if extra:
+            d.update(extra)
+        ct_utils.write_json(str(path), d)
+
+    shape = {'label': 'deer', 'shape_type': 'rectangle',
+             'points': [[150, 80], [50, 20]]}  # arbitrarily sorted
+    write_labelme(tmp_path / 'a.json', [shape], {'reviewed': True})
+    write_labelme(tmp_path / 'b.json',
+                  [{'label': 'elk', 'shape_type': 'rectangle',
+                    'points': [[0, 0], [10, 10]]}])
+
+    r = labelme_file_to_yolo_file(str(tmp_path / 'a.json'),
+                                  {'deer': 0, 'elk': 1})
+    assert r['status'] == 'converted'
+    line = open(tmp_path / 'a.txt').read().strip()
+    tokens = line.split()
+    assert tokens[0] == '0'
+    # Normalization is over (dim - 1) per the reference
+    assert float(tokens[1]) == pytest.approx((150 + 50) / 2 / 199,
+                                             abs=1e-3)
+    assert float(tokens[3]) == pytest.approx(100 / 199, abs=1e-3)
+
+    # skip-exists honors overwrite_behavior
+    r = labelme_file_to_yolo_file(str(tmp_path / 'a.json'),
+                                  {'deer': 0},
+                                  overwrite_behavior='skip')
+    assert r['status'] == 'skip-exists'
+
+    # required_token gates conversion
+    r = labelme_file_to_yolo_file(str(tmp_path / 'b.json'),
+                                  {'deer': 0, 'elk': 1},
+                                  required_token='reviewed')
+    assert r['status'] == 'skip-no-required-token'
+
+    # Folder conversion builds the mapping when absent
+    os.remove(tmp_path / 'a.txt')
+    out = labelme_folder_to_yolo(str(tmp_path))
+    assert out['category_name_to_category_id'] == {'deer': 0, 'elk': 1}
+    statuses = sorted(r['status'] for r in out['image_results'])
+    assert statuses == ['converted', 'converted']
+
+    # required_token filters at the folder level
+    out = labelme_folder_to_yolo(str(tmp_path),
+                                 required_token='reviewed')
+    assert len(out['image_results']) == 1
+
+
+def test_read_classes_from_yolo_dataset_file(tmp_path):
+    from megadetector_tpu.data_management.yolo_output_to_md_output import \
+        read_classes_from_yolo_dataset_file
+
+    yaml_fn = str(tmp_path / 'dataset.yaml')
+    with open(yaml_fn, 'w') as f:
+        f.write('path: /data\nnames:\n  0: animal\n  1: person\n')
+    assert read_classes_from_yolo_dataset_file(yaml_fn) == \
+        {0: 'animal', 1: 'person'}
+
+    json_fn = str(tmp_path / 'classes.json')
+    ct_utils.write_json(json_fn, {'0': 'animal', '1': 'person'})
+    assert read_classes_from_yolo_dataset_file(json_fn) == \
+        {0: 'animal', 1: 'person'}
+
+    txt_fn = str(tmp_path / 'classes.txt')
+    with open(txt_fn, 'w') as f:
+        f.write('animal\nperson\n\n')
+    assert read_classes_from_yolo_dataset_file(txt_fn) == \
+        {0: 'animal', 1: 'person'}
+
+    with pytest.raises(ValueError):
+        read_classes_from_yolo_dataset_file(str(tmp_path / 'x.csv'))
+
+
+def test_exif_results_to_cct_options():
+    from megadetector_tpu.data_management.read_exif import (
+        ExifResultsToCCTOptions, exif_results_to_cct)
+
+    import datetime
+    results = [
+        {'file_name': 'loc1/im1.jpg',
+         'exif_tags': {'DateTimeOriginal': '2022:03:01 11:22:33'}},
+        {'file_name': 'loc1/im2.jpg',
+         'exif_tags': {'DateTimeOriginal': '1999:01:01 00:00:00'}},
+        {'file_name': 'loc2/im3.jpg', 'exif_tags': {}},
+    ]
+    cct = exif_results_to_cct(results)
+    ims = {im['file_name']: im for im in cct['images']}
+    assert isinstance(ims['loc1/im1.jpg']['datetime'],
+                      datetime.datetime)
+    # Pre-2001 default timestamps are junk
+    assert ims['loc1/im2.jpg']['datetime'] is None
+    assert ims['loc2/im3.jpg']['datetime'] is None
+    assert ims['loc1/im1.jpg']['location'] == 'loc1'
+
+    options = ExifResultsToCCTOptions()
+    options.min_valid_timestamp_year = 1990
+    options.filename_to_location_function = None
+    cct = exif_results_to_cct(results, options=options)
+    ims = {im['file_name']: im for im in cct['images']}
+    assert isinstance(ims['loc1/im2.jpg']['datetime'],
+                      datetime.datetime)
+    assert ims['loc1/im1.jpg']['location'] == 'unknown'

@@ -400,3 +400,89 @@ def test_confusion_matrix_respects_threshold(tmp_path):
     assert cm['empty'].get('empty', 0) == 1
     assert cm['empty'].get('animal', 0) == 0
     assert cm['animal'].get('animal', 0) == 1
+
+
+def test_compare_batch_results_pairwise_options_shape(tmp_path):
+    """The reference's multi-comparison API shape
+    (compare_batch_results.py:77-286,1627-1766): pairwise_options lists,
+    BatchComparisonResults, n_way_comparison, and
+    find_image_level_detections_above_threshold."""
+
+    from megadetector_tpu.postprocessing.compare_batch_results import (
+        BatchComparisonOptions, BatchComparisonResults,
+        PairwiseBatchComparisonOptions, compare_batch_results,
+        find_image_level_detections_above_threshold, n_way_comparison)
+
+    box = [0.1, 0.1, 0.2, 0.2]
+
+    def file_with(images, name):
+        p = str(tmp_path / name)
+        ct_utils.write_json(p, _results(images))
+        return p
+
+    file_a = file_with([
+        {'file': 'x.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': box}]},
+        {'file': 'y.jpg', 'detections': []}], 'a.json')
+    file_b = file_with([
+        {'file': 'x.jpg', 'detections': [
+            {'category': '1', 'conf': 0.85, 'bbox': box}]},
+        {'file': 'y.jpg', 'detections': []}], 'b.json')
+    file_c = file_with([
+        {'file': 'x.jpg', 'detections': [
+            {'category': '2', 'conf': 0.4, 'bbox': box}]},
+        {'file': 'y.jpg', 'detections': []}], 'c.json')
+
+    # Multi-pair mode through pairwise_options
+    options = BatchComparisonOptions()
+    options.output_folder = str(tmp_path / 'cmp_multi')
+    pair_1 = PairwiseBatchComparisonOptions()
+    pair_1.results_filename_a = file_a
+    pair_1.results_filename_b = file_b
+    pair_2 = PairwiseBatchComparisonOptions()
+    pair_2.results_filename_a = file_a
+    pair_2.results_filename_b = file_c
+    pair_2.results_description_a = 'model A'
+    pair_2.results_description_b = 'model C'
+    options.pairwise_options = [pair_1, pair_2]
+
+    results = compare_batch_results(options)
+    assert isinstance(results, BatchComparisonResults)
+    assert len(results.pairwise_results) == 2
+    assert os.path.isfile(results.html_output_file)
+    assert results.pairwise_results[0].comparison_short_name == 'pair_00'
+    assert results.pairwise_results[1].comparison_friendly_name == \
+        'model A vs model C'
+    assert 'common_detections' in \
+        results.pairwise_results[0].categories_to_image_files
+    for p in results.pairwise_results:
+        assert os.path.isfile(p.html_output_file)
+    index_html = open(results.html_output_file).read()
+    assert 'model A vs model C' in index_html
+
+    # n_way_comparison returns BatchComparisonResults over all pairs
+    options = BatchComparisonOptions()
+    options.output_folder = None
+    nway = n_way_comparison([file_a, file_b, file_c], options,
+                            model_names=['ma', 'mb', 'mc'])
+    assert isinstance(nway, BatchComparisonResults)
+    assert len(nway.pairwise_results) == 3
+    # Default rendering thresholds derive from detection thresholds
+    assert nway.pairwise_results[0].pairwise_options.\
+        rendering_confidence_threshold_a == pytest.approx(0.15 * 0.6666)
+
+    # find_image_level_detections_above_threshold: filename or dict,
+    # category filtering by name
+    ims = find_image_level_detections_above_threshold(file_c,
+                                                      threshold=0.2)
+    assert [im['file'] for im in ims] == ['x.jpg']
+    ims = find_image_level_detections_above_threshold(
+        file_c, threshold=0.2, category_names='animal')
+    assert ims == []
+    ims = find_image_level_detections_above_threshold(
+        json.load(open(file_c)), threshold=0.2,
+        category_names=['person'])
+    assert [im['file'] for im in ims] == ['x.jpg']
+    with pytest.raises(AssertionError):
+        find_image_level_detections_above_threshold(
+            file_c, category_names='no-such-category')

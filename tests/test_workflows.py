@@ -161,10 +161,47 @@ def test_detector_calibration(tmp_path):
     fa = write(images_a, 'a.json')
     fb = write(images_b, 'b.json')
 
-    pairs = compare_model_confidence_values(fa, fb)
+    from megadetector_tpu.postprocessing.detector_calibration import (
+        CalibrationMatchColumns, CalibrationOptions, CalibrationResults)
+
+    results = compare_model_confidence_values(fa, fb)
+    assert isinstance(results, CalibrationResults)
+    pairs = results.category_to_matched_confidence_values()
     assert '1' in pairs
     a, b = pairs['1']
     np.testing.assert_allclose(b, a * 0.5, atol=0.01)
+
+    # Match-tuple layout per the reference's CalibrationMatchColumns
+    m = results.calibration_matches[0]
+    assert m[CalibrationMatchColumns.COLUMN_IOU] >= 0.6
+    assert m[CalibrationMatchColumns.COLUMN_CATEGORY_ID] == '1'
+    assert m[CalibrationMatchColumns.COLUMN_MATCHES_GT] is None
+
+    # With COCO ground truth, matches_gt becomes a bool: im0's GT box
+    # overlaps the detections, im1's GT box does not
+    gt = {'images': [
+              {'id': 0, 'file_name': 'im0.jpg', 'width': 100,
+               'height': 100},
+              {'id': 1, 'file_name': 'im1.jpg', 'width': 100,
+               'height': 100}],
+          'categories': [{'id': 5, 'name': 'animal'}],
+          'annotations': [
+              {'id': 0, 'image_id': 0, 'category_id': 5,
+               'bbox': [10, 10, 20, 20]},
+              {'id': 1, 'image_id': 1, 'category_id': 5,
+               'bbox': [70, 70, 20, 20]}]}
+    results_gt = compare_model_confidence_values(fa, fb, gt)
+    by_image = {m[CalibrationMatchColumns.COLUMN_I_IMAGE]:
+                m[CalibrationMatchColumns.COLUMN_MATCHES_GT]
+                for m in results_gt.calibration_matches}
+    assert by_image[0] is True
+    assert by_image[1] is False
+
+    # return_data populates the loaded dicts
+    opts = CalibrationOptions()
+    opts.return_data = True
+    results_d = compare_model_confidence_values(fa, fb, options=opts)
+    assert results_d.data_a['detection_categories'] == {'1': 'animal'}
 
     t = calibrate_threshold(fa, fb, 0.6)
     assert t == pytest.approx(0.3, abs=0.05)
