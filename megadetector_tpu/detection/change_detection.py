@@ -42,6 +42,29 @@ class ThresholdMethod:
     ADAPTIVE = 'adaptive'
 
 
+#: Reference names for the two enums
+#: (reference: change_detection.py:33-51)
+DetectionMethod = ChangeDetectionMethod
+ThresholdType = ThresholdMethod
+
+
+def create_background_subtractor(options=None):
+    """
+    Create the background subtractor matching options.method
+    (reference: change_detection.py:185-215); returns None for methods
+    that don't use one (frame differencing, motion history).
+    """
+
+    assert cv2 is not None, 'OpenCV is required for change detection'
+    if options is None:
+        options = ChangeDetectionOptions()
+    if options.method == ChangeDetectionMethod.MOG2:
+        return cv2.createBackgroundSubtractorMOG2(detectShadows=False)
+    if options.method == ChangeDetectionMethod.KNN:
+        return cv2.createBackgroundSubtractorKNN(detectShadows=False)
+    return None
+
+
 class ChangeDetectionOptions:
     """Options controlling process_folders()."""
 
@@ -132,15 +155,9 @@ def detect_motion(images, options=None):
         options = ChangeDetectionOptions()
 
     results = []
-    subtractor = None
+    subtractor = create_background_subtractor(options)
     motion_state = None
-    if options.method == ChangeDetectionMethod.MOG2:
-        subtractor = cv2.createBackgroundSubtractorMOG2(
-            detectShadows=False)
-    elif options.method == ChangeDetectionMethod.KNN:
-        subtractor = cv2.createBackgroundSubtractorKNN(
-            detectShadows=False)
-    elif options.method == ChangeDetectionMethod.MOTION_HISTORY:
+    if options.method == ChangeDetectionMethod.MOTION_HISTORY:
         motion_state = MotionHistoryState(
             buffer_size=options.mhi_buffer_size)
 

@@ -106,6 +106,18 @@ def get_patch_boundaries(image_size, patch_size, patch_stride=None):
     return positions
 
 
+def patch_info_to_patch_name(image_name, patch_x_min, patch_y_min):
+    """
+    Unique string name for an x/y patch coordinate, e.g.
+    ("a.jpg", 10, 20) -> "a.jpg_0010_0020" (reference:
+    run_tiled_inference.py:185-200).
+    """
+
+    return '{}_{}_{}'.format(image_name,
+                             str(patch_x_min).zfill(4),
+                             str(patch_y_min).zfill(4))
+
+
 def extract_patch_from_image(im, patch_xy, patch_size,
                              patch_image_fn=None, patch_folder=None,
                              image_name=None, overwrite=True):
@@ -133,8 +145,8 @@ def extract_patch_from_image(im, patch_xy, patch_size,
         assert image_name is not None
         if patch_image_fn is None:
             patch_image_fn = os.path.join(
-                patch_folder, '{}_{:0>4d}_{:0>4d}.jpg'.format(
-                    path_utils.flatten_path(image_name), x, y))
+                patch_folder, patch_info_to_patch_name(
+                    path_utils.flatten_path(image_name), x, y) + '.jpg')
         patch_info['patch_fn'] = patch_image_fn
         if overwrite or not os.path.isfile(patch_image_fn):
             os.makedirs(os.path.dirname(patch_image_fn), exist_ok=True)

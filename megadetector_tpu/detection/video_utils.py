@@ -408,25 +408,76 @@ def frames_to_video(images, fs, output_file_name, codec_spec='mp4v'):
 #%% Frame results -> video results
 
 
+class FrameToVideoOptions:
+    """
+    Options controlling frame_results_to_video_results() (reference:
+    video_utils.py:1081-1105).
+    """
+
+    def __init__(self):
+        #: One-indexed indicator of which frame-level confidence value
+        #: determines each category's video-level detection, i.e. 1
+        #: means "use the highest-confidence frame"
+        self.nth_highest_confidence = 1
+        #: Keep every processed frame's detections (with frame_number)
+        #: rather than one canonical detection per category
+        self.include_all_processed_frames = False
+        #: 'error' or 'skip_with_warning' for results entries whose
+        #: parent folder is not a video
+        self.non_video_behavior = 'error'
+        #: Require a frame rate for every video
+        self.frame_rates_are_required = False
+        self.verbose = False
+
+
 def frame_results_to_video_results(input_file, output_file,
+                                   options=None,
                                    video_filename_to_frame_rate=None,
                                    fs_default=None):
     """
     Convert an MD results file computed on frame images (named
     video/frame%06d.jpg) into a video-level results file
-    (reference: video_utils.py:1108).
+    (reference: video_utils.py:1108-1260). By default each video keeps
+    one canonical detection per category, chosen by
+    options.nth_highest_confidence; options.include_all_processed_frames
+    keeps every frame's detections instead (every detection carries its
+    frame_number either way). Also populates the repo's video fields:
+    frame_rate (from [video_filename_to_frame_rate], else [fs_default],
+    else -1), frames_processed, and per-video failure propagation.
     """
 
     import json
     from megadetector_tpu.utils.ct_utils import write_json
 
+    if options is None:
+        options = FrameToVideoOptions()
+
+    if options.frame_rates_are_required:
+        assert video_filename_to_frame_rate is not None, \
+            'You specified that frame rates are required, but did not ' \
+            'supply video_filename_to_frame_rate'
+
     with open(input_file) as f:
         data = json.load(f)
+
+    detection_categories = data.get('detection_categories', {})
 
     video_to_frames_map = {}
     for im in data['images']:
         fn = im['file']
         video_name = os.path.dirname(fn).replace('\\', '/')
+        if not is_video_file(video_name):
+            if options.non_video_behavior == 'error':
+                raise ValueError(
+                    '{} is not a video file'.format(video_name))
+            elif options.non_video_behavior == 'skip_with_warning':
+                print('Warning: {} is not a video file'.format(
+                    video_name))
+                continue
+            else:
+                raise ValueError(
+                    'Unrecognized non-video handling behavior: '
+                    '{}'.format(options.non_video_behavior))
         video_to_frames_map.setdefault(video_name, []).append(im)
 
     video_images = []
@@ -435,6 +486,13 @@ def frame_results_to_video_results(input_file, output_file,
         frame_rate = None
         if video_filename_to_frame_rate is not None:
             frame_rate = video_filename_to_frame_rate.get(video_name)
+            if frame_rate is None:
+                s = 'Could not determine frame rate for {}'.format(
+                    video_name)
+                if options.frame_rates_are_required:
+                    raise ValueError(s)
+                elif options.verbose:
+                    print('Warning: {}'.format(s))
         if frame_rate is None:
             frame_rate = fs_default if fs_default is not None else -1
         im_out['frame_rate'] = frame_rate
@@ -454,7 +512,27 @@ def frame_results_to_video_results(input_file, output_file,
                 det['frame_number'] = frame_number
                 detections.append(det)
         im_out['frames_processed'] = sorted(im_out['frames_processed'])
-        im_out['detections'] = None if failed else detections
+
+        if failed:
+            im_out['detections'] = None
+        elif options.include_all_processed_frames:
+            im_out['detections'] = detections
+        else:
+            # One canonical detection per category, by
+            # nth-highest confidence (reference: video_utils.py:1240)
+            canonical_detections = []
+            for category_id in detection_categories:
+                category_detections = [d for d in detections
+                                       if d['category'] == category_id]
+                if len(category_detections) >= \
+                        options.nth_highest_confidence:
+                    by_confidence = sorted(category_detections,
+                                           key=lambda d: d['conf'],
+                                           reverse=True)
+                    canonical_detections.append(
+                        by_confidence[options.nth_highest_confidence
+                                      - 1])
+            im_out['detections'] = canonical_detections
         video_images.append(im_out)
 
     data['images'] = sort_list_of_dicts_by_key(video_images, 'file')

@@ -627,6 +627,50 @@ def wsl_path_to_windows_path(path):
     return '{}:{}'.format(drive, rest.replace('/', '\\'))
 
 
+def open_file_in_chrome(filename):
+    """
+    Open a file in Chrome regardless of file type (reference:
+    path_utils.py:813-960; typically used to preview .html/.md files).
+    Tries the usual per-platform Chrome binaries, then falls back to
+    the OS default handler. Returns whether an open command was issued.
+    """
+
+    import platform
+    import shutil
+    import subprocess
+
+    abs_path = os.path.abspath(filename)
+    system = platform.system()
+    if system == 'Windows':
+        url = 'file:///{}'.format(abs_path.replace(os.sep, '/'))
+        candidates = ['chrome', 'chrome.exe']
+    elif system == 'Darwin':
+        url = 'file://{}'.format(abs_path)
+        candidates = [
+            '/Applications/Google Chrome.app/Contents/MacOS/'
+            'Google Chrome']
+    else:
+        url = 'file://{}'.format(abs_path)
+        candidates = ['google-chrome', 'google-chrome-stable',
+                      'chromium', 'chromium-browser']
+
+    for candidate in candidates:
+        chrome = shutil.which(candidate) or (
+            candidate if os.path.isfile(candidate) else None)
+        if chrome is not None:
+            try:
+                subprocess.Popen([chrome, url],
+                                 stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.DEVNULL)
+                return True
+            except Exception:
+                continue
+
+    # Fall back to the OS default handler
+    open_file(filename)
+    return True
+
+
 def open_file(filename, attempt_to_open_in_wsl_host=False,
               browser_name=None):
     """

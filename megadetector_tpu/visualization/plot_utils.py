@@ -91,6 +91,35 @@ def expected_calibration_error(y_true, y_scores, n_bins=10):
     return float(ece)
 
 
+def calibration_ece(true_scores, pred_scores, num_bins):
+    """
+    Expected calibration error per eq. (3) of Guo et al. 2017
+    (reference: plot_utils.py:209-251). Returns (accs, confs, ece):
+    per-bin accuracy and mean confidence (empty bins dropped, so the
+    arrays can be shorter than [num_bins]) plus the scalar ECE.
+    """
+
+    assert len(true_scores) == len(pred_scores)
+    true_scores = np.asarray(true_scores, float)
+    pred_scores = np.asarray(pred_scores, float)
+
+    bins = np.linspace(0., 1. + 1e-8, num=num_bins + 1)
+    binids = np.digitize(pred_scores, bins) - 1
+
+    bin_sums = np.bincount(binids, weights=pred_scores,
+                           minlength=len(bins))
+    bin_true = np.bincount(binids, weights=true_scores,
+                           minlength=len(bins))
+    bin_total = np.bincount(binids, minlength=len(bins))
+
+    nonzero = bin_total != 0
+    accs = bin_true[nonzero] / bin_total[nonzero]
+    confs = bin_sums[nonzero] / bin_total[nonzero]
+    weights = bin_total[nonzero] / len(pred_scores)
+    ece = float(np.sum(weights * np.abs(accs - confs)))
+    return accs, confs, ece
+
+
 def plot_calibration_curve(y_true, y_scores, output_file=None, n_bins=10,
                            title='Calibration'):
     """Reliability diagram; returns the ECE."""

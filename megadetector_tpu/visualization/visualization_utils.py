@@ -254,6 +254,73 @@ def _get_font(size):
     return ImageFont.load_default()
 
 
+def get_text_size(font, s):
+    """
+    Expected (width, height) in pixels when rendering the string [s] in
+    [font] (reference: visualization_utils.py:865-892 — the getbbox
+    right/bottom values track Pillow 9's getsize most closely).
+    """
+
+    try:
+        left, top, right, bottom = font.getbbox(s)
+        return right, bottom
+    except Exception:
+        return font.getsize(s)
+
+
+def draw_bounding_boxes_on_image(image, boxes, classes,
+                                 thickness=DEFAULT_BOX_THICKNESS,
+                                 expansion=0, display_strs=None,
+                                 colormap=None,
+                                 label_font_size=DEFAULT_LABEL_FONT_SIZE):
+    """
+    Draw bounding boxes on a PIL image, in place (reference:
+    visualization_utils.py:801-862). [boxes] is an [N, 4] numpy array
+    of normalized (ymin, xmin, ymax, xmax) rows; [classes] is a
+    same-length list of ints (or string-formatted ints) used only for
+    color selection; [display_strs] is an optional list (per box) of
+    lists of label strings.
+    """
+
+    import numpy as np
+    boxes = np.asarray(boxes)
+    if not boxes.shape or len(boxes.shape) != 2 or boxes.shape[1] != 4:
+        return
+    for i in range(boxes.shape[0]):
+        display_str_list = ()
+        if display_strs:
+            display_str_list = display_strs[i]
+        draw_bounding_box_on_image(
+            image, boxes[i, 0], boxes[i, 1], boxes[i, 2], boxes[i, 3],
+            clss=classes[i], thickness=thickness, expansion=expansion,
+            display_str_list=display_str_list,
+            label_font_size=label_font_size,
+            colormap=colormap or DEFAULT_COLORS)
+
+
+def render_megadb_bounding_boxes(boxes_info, image):
+    """
+    Render boxes in the mostly-deprecated MegaDB format — dicts with a
+    category NAME and a normalized [x_min, y_min, w, h] bbox — onto a
+    PIL image, in place (reference:
+    visualization_utils.py:1146-1184).
+    """
+
+    name_to_id = {'animal': 1, 'person': 2, 'vehicle': 3}
+    display_boxes = []
+    display_strs = []
+    classes = []
+    for b in boxes_info:
+        x_min, y_min, w_rel, h_rel = b['bbox']
+        display_boxes.append([y_min, x_min, y_min + h_rel,
+                              x_min + w_rel])
+        display_strs.append([b['category']])
+        classes.append(name_to_id.get(b['category'], 1))
+    import numpy as np
+    draw_bounding_boxes_on_image(image, np.array(display_boxes),
+                                 classes, display_strs=display_strs)
+
+
 def draw_bounding_box_on_image(image, ymin, xmin, ymax, xmax, clss=None,
                                thickness=DEFAULT_BOX_THICKNESS,
                                expansion=0, display_str_list=(),

@@ -81,8 +81,13 @@ def process_video_folder_via_frames(options):
                                   '\\', '/')
         video_fn_to_fs[rel] = fs
 
+    # Keep per-frame detections (rather than one canonical detection
+    # per category) so downstream visualization can render every frame
+    frame_to_video_options = video_utils.FrameToVideoOptions()
+    frame_to_video_options.include_all_processed_frames = True
     data = video_utils.frame_results_to_video_results(
         frame_results_file, options.output_json_file,
+        options=frame_to_video_options,
         video_filename_to_frame_rate=video_fn_to_fs)
 
     if not options.keep_frames:

@@ -439,3 +439,253 @@ def test_exif_results_to_cct_options():
     assert isinstance(ims['loc1/im2.jpg']['datetime'],
                       datetime.datetime)
     assert ims['loc1/im1.jpg']['location'] == 'unknown'
+
+
+# %% visualization
+
+
+def test_get_text_size_and_draw_bounding_boxes_on_image():
+    import numpy as np
+    from PIL import Image, ImageFont
+
+    from megadetector_tpu.visualization.visualization_utils import (
+        draw_bounding_boxes_on_image, get_text_size,
+        render_megadb_bounding_boxes)
+
+    font = ImageFont.load_default()
+    w, h = get_text_size(font, 'animal 95%')
+    assert w > 0 and h > 0
+    assert get_text_size(font, 'animal 95% longer')[0] > w
+
+    im = Image.new('RGB', (100, 80), (0, 0, 0))
+    boxes = np.array([[0.1, 0.1, 0.5, 0.5], [0.6, 0.6, 0.9, 0.9]])
+    draw_bounding_boxes_on_image(im, boxes, classes=[1, 2],
+                                 display_strs=[['animal'], ['person']])
+    assert np.asarray(im).sum() > 0
+
+    # Degenerate shapes are a silent no-op per the reference
+    im2 = Image.new('RGB', (10, 10), (0, 0, 0))
+    draw_bounding_boxes_on_image(im2, np.zeros((0,)), classes=[])
+    draw_bounding_boxes_on_image(im2, np.zeros((2, 3)), classes=[1, 2])
+    assert np.asarray(im2).sum() == 0
+
+    im3 = Image.new('RGB', (100, 80), (0, 0, 0))
+    render_megadb_bounding_boxes(
+        [{'category': 'animal', 'bbox': [0.2, 0.2, 0.4, 0.4]}], im3)
+    assert np.asarray(im3).sum() > 0
+
+
+def test_calibration_ece():
+    from megadetector_tpu.visualization.plot_utils import calibration_ece
+
+    # Perfectly calibrated at the bin level
+    true_scores = [1, 0, 1, 0]
+    pred_scores = [0.55, 0.45, 0.52, 0.48]
+    accs, confs, ece = calibration_ece(true_scores, pred_scores, 2)
+    assert len(accs) == len(confs) == 2
+    assert 0.0 <= ece <= 1.0
+
+    # Maximally miscalibrated: confident and always wrong
+    accs, confs, ece = calibration_ece([0, 0], [0.99, 0.98], 10)
+    assert ece > 0.9
+
+
+# %% detection
+
+
+def test_frame_to_video_options_canonical(tmp_path):
+    from megadetector_tpu.detection.video_utils import (
+        FrameToVideoOptions, frame_results_to_video_results)
+
+    frame_data = {
+        'images': [
+            {'file': 'v1.mp4/frame000000.jpg',
+             'detections': [
+                 {'category': '1', 'conf': 0.9,
+                  'bbox': [0.1, 0.1, 0.2, 0.2]},
+                 {'category': '1', 'conf': 0.7,
+                  'bbox': [0.3, 0.3, 0.2, 0.2]},
+                 {'category': '2', 'conf': 0.5,
+                  'bbox': [0.5, 0.5, 0.2, 0.2]}]},
+            {'file': 'v1.mp4/frame000004.jpg',
+             'detections': [
+                 {'category': '1', 'conf': 0.8,
+                  'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        ],
+        'detection_categories': {'1': 'animal', '2': 'person'},
+        'info': {'format_version': '1.6'},
+    }
+    input_file = str(tmp_path / 'frames.json')
+    ct_utils.write_json(input_file, frame_data)
+
+    # Default: one canonical detection per category
+    out = frame_results_to_video_results(input_file,
+                                         str(tmp_path / 'v.json'))
+    v1 = out['images'][0]
+    assert len(v1['detections']) == 2
+    by_cat = {d['category']: d for d in v1['detections']}
+    assert by_cat['1']['conf'] == 0.9
+    assert by_cat['1']['frame_number'] == 0
+    assert by_cat['2']['conf'] == 0.5
+
+    # nth_highest_confidence = 2: second-highest animal is frame 4's 0.8;
+    # person has only one detection, so it drops out
+    options = FrameToVideoOptions()
+    options.nth_highest_confidence = 2
+    out = frame_results_to_video_results(input_file,
+                                         str(tmp_path / 'v2.json'),
+                                         options=options)
+    v1 = out['images'][0]
+    assert len(v1['detections']) == 1
+    assert v1['detections'][0]['conf'] == 0.8
+
+    # include_all_processed_frames keeps everything
+    options = FrameToVideoOptions()
+    options.include_all_processed_frames = True
+    out = frame_results_to_video_results(input_file,
+                                         str(tmp_path / 'v3.json'),
+                                         options=options)
+    assert len(out['images'][0]['detections']) == 4
+
+    # Non-video parent folders error by default, skip on request
+    frame_data['images'].append(
+        {'file': 'notavideo.txt/frame000000.jpg', 'detections': []})
+    ct_utils.write_json(input_file, frame_data)
+    with pytest.raises(ValueError):
+        frame_results_to_video_results(input_file,
+                                       str(tmp_path / 'v4.json'))
+    options = FrameToVideoOptions()
+    options.non_video_behavior = 'skip_with_warning'
+    out = frame_results_to_video_results(input_file,
+                                         str(tmp_path / 'v5.json'),
+                                         options=options)
+    assert len(out['images']) == 1
+
+
+def test_pytorch_detector_compat(tmp_path):
+    import numpy as np
+
+    from megadetector_tpu.detection.pytorch_detector import (
+        PTDetector, add_metadata_to_megadetector_model_file, nms,
+        read_metadata_from_megadetector_model_file)
+    from megadetector_tpu.models.detector import TPUDetector
+
+    assert PTDetector is TPUDetector
+
+    # nms: two overlapping boxes of the same class keep the stronger;
+    # a distant box survives. Predictions are [B, A, 5+C] center-format.
+    pred = np.zeros((1, 3, 7), np.float32)
+    pred[0, 0] = [100, 100, 50, 50, 0.9, 0.8, 0.1]
+    pred[0, 1] = [102, 102, 50, 50, 0.8, 0.7, 0.1]   # suppressed
+    pred[0, 2] = [300, 300, 40, 40, 0.7, 0.1, 0.9]
+    out = nms(pred, conf_thres=0.25, iou_thres=0.45)
+    assert len(out) == 1
+    kept = out[0]
+    assert kept.shape[1] == 6
+    assert kept.shape[0] == 2
+    assert kept[0][4] == pytest.approx(0.9 * 0.8, abs=1e-5)
+    assert {int(c) for c in kept[:, 5]} == {0, 1}
+
+    # Metadata round trip through the registry-backed names
+    import numpy as _np
+    model_file = str(tmp_path / 'model.npz')
+    _np.savez(model_file, dummy=_np.zeros(1))
+    add_metadata_to_megadetector_model_file(
+        model_file, model_file, {'image_size': 960})
+    md = read_metadata_from_megadetector_model_file(model_file)
+    assert md['image_size'] == 960
+
+
+def test_rfdetr_detector_compat():
+    from megadetector_tpu.detection.rfdetr_detector import (
+        RFDETRDetector, convert_detections_to_md_format)
+    from megadetector_tpu.models.detector import TPUDetector
+
+    assert RFDETRDetector is TPUDetector
+
+    class FakeDetections:
+        def __init__(self):
+            import numpy as np
+            self.xyxy = np.array([[10., 20., 110., 220.],
+                                  [-5., -5., 2000., 2000.]])
+            self.confidence = np.array([0.87654, 0.5])
+            self.class_id = np.array([0, 2])
+
+        def __len__(self):
+            return len(self.confidence)
+
+    dets = convert_detections_to_md_format(FakeDetections(), 1000, 500)
+    assert len(dets) == 2
+    assert dets[0]['category'] == '0'
+    assert dets[0]['conf'] == 0.877
+    assert dets[0]['bbox'] == [0.01, 0.04, 0.1, 0.4]
+    # Out-of-image boxes clamp into the unit square
+    assert dets[1]['bbox'][0] >= 0 and \
+        dets[1]['bbox'][0] + dets[1]['bbox'][2] <= 1.0
+
+    assert convert_detections_to_md_format(None, 100, 100) == []
+
+
+def test_run_md_and_speciesnet_options(tmp_path):
+    from megadetector_tpu.detection.run_md_and_speciesnet import (
+        RunMDSpeciesNetOptions, run_md_and_speciesnet)
+
+    options = RunMDSpeciesNetOptions()
+    # Reference-named fields exist
+    assert options.overwrite_handling == 'overwrite'
+    assert hasattr(options, 'norollup')
+    # ...alongside the underlying options fields
+    assert hasattr(options, 'classifier_batch_size')
+
+    # skip-handling returns the existing output without running anything
+    out_file = str(tmp_path / 'results.json')
+    ct_utils.write_json(out_file, {'images': [], 'info': {}})
+    options.source = str(tmp_path)
+    options.output_file = out_file
+    options.overwrite_handling = 'skip'
+    result = run_md_and_speciesnet(options)
+    assert result == {'images': [], 'info': {}}
+    # Reference->underlying field mapping happened
+    assert options.input_folder == str(tmp_path)
+
+    options.overwrite_handling = 'error'
+    with pytest.raises(ValueError):
+        run_md_and_speciesnet(options)
+
+
+def test_change_detection_compat_names():
+    pytest.importorskip('cv2')
+    from megadetector_tpu.detection.change_detection import (
+        ChangeDetectionMethod, ChangeDetectionOptions, DetectionMethod,
+        ThresholdMethod, ThresholdType, create_background_subtractor)
+
+    assert DetectionMethod is ChangeDetectionMethod
+    assert ThresholdType is ThresholdMethod
+
+    options = ChangeDetectionOptions()
+    options.method = ChangeDetectionMethod.MOG2
+    assert create_background_subtractor(options) is not None
+    options.method = ChangeDetectionMethod.FRAME_DIFF
+    assert create_background_subtractor(options) is None
+
+
+def test_patch_info_to_patch_name():
+    from megadetector_tpu.detection.run_tiled_inference import \
+        patch_info_to_patch_name
+
+    assert patch_info_to_patch_name('a.jpg', 10, 20) == 'a.jpg_0010_0020'
+
+
+def test_open_file_in_chrome(monkeypatch, tmp_path):
+    import shutil
+    from megadetector_tpu.utils import path_utils
+
+    f = tmp_path / 'x.html'
+    f.write_text('<html></html>')
+
+    launched = []
+    monkeypatch.setattr(shutil, 'which', lambda name: None)
+    monkeypatch.setattr(path_utils, 'open_file',
+                        lambda fn, **kw: launched.append(fn))
+    assert path_utils.open_file_in_chrome(str(f)) is True
+    assert launched == [str(f)]
