@@ -46,6 +46,82 @@ def diagnose_one(path):
         ImageFile.LOAD_TRUNCATED_IMAGES = old
 
 
+def check_image_condition(img_path, truncated_images_lock=None,
+                          account=None, container=None, sas_token=None,
+                          datasets_table=None):
+    """
+    Diagnose one image file; returns (img_path, status) with status one
+    of 'nonexistent', 'non_image', 'good', 'truncated', or 'bad'
+    (reference: analyze_failed_images.py:38-112 — there Azure blobs;
+    here local paths, so the Azure arguments must be None).
+    """
+
+    assert account is None and container is None and \
+        sas_token is None and datasets_table is None, \
+        'Azure Blob Storage access is not supported; use local paths'
+
+    from megadetector_tpu.utils.path_utils import is_image_file
+    if not is_image_file(img_path):
+        return img_path, 'non_image'
+    if not os.path.isfile(img_path):
+        return img_path, 'nonexistent'
+
+    _, status = diagnose_one(img_path)
+    if status == 'ok':
+        return img_path, 'good'
+    if status == 'truncated':
+        # Re-check: can PIL open it at all with truncation allowed?
+        from PIL import Image, ImageFile
+        old = ImageFile.LOAD_TRUNCATED_IMAGES
+        ImageFile.LOAD_TRUNCATED_IMAGES = True
+        try:
+            with Image.open(img_path) as im:
+                im.load()
+            return img_path, 'truncated'
+        except Exception:
+            return img_path, 'bad'
+        finally:
+            ImageFile.LOAD_TRUNCATED_IMAGES = old
+    if status == 'missing':
+        return img_path, 'nonexistent'
+    return img_path, 'bad'
+
+
+def analyze_images(url_or_path, json_keys=None, account=None,
+                   container=None, sas_token=None, images_dir=None,
+                   output_json=None, threads=1):
+    """
+    Diagnose every image named in [url_or_path] — a text file of paths
+    (one per line) or a .json file (a list, or a dict whose
+    [json_keys] values are lists) (reference:
+    analyze_failed_images.py:115-175, minus the Azure access). Returns
+    the analyze_failed_images report.
+    """
+
+    assert account is None and container is None and \
+        sas_token is None, \
+        'Azure Blob Storage access is not supported; use local paths'
+
+    if url_or_path.endswith('.json'):
+        with open(url_or_path) as f:
+            js = json.load(f)
+        if json_keys is None:
+            assert isinstance(js, list)
+            image_paths = js
+        else:
+            image_paths = []
+            for key in json_keys:
+                image_paths.extend(js[key])
+    else:
+        with open(url_or_path) as f:
+            image_paths = [line.strip() for line in f
+                           if line.strip()]
+
+    return analyze_failed_images(image_paths, images_dir=images_dir,
+                                 output_json=output_json,
+                                 threads=threads)
+
+
 def analyze_failed_images(image_paths, images_dir=None, output_json=None,
                           threads=1):
     """

@@ -120,6 +120,280 @@ def split_locations(rows, split_fractions=(0.7, 0.15, 0.15), seed=0):
     return splits
 
 
+def create_classification_csv(queried_images_json_path,
+                              detector_output_cache_base_dir,
+                              detector_version,
+                              cropped_images_dir,
+                              confidence_threshold,
+                              min_locs=None, append_df=None,
+                              exclude_locs=None):
+    """
+    Build the classification dataset as a pandas DataFrame with columns
+    path,dataset,location,dataset_class,confidence,label, reading
+    per-dataset cached MD results from
+    <detector_output_cache_base_dir>/v<detector_version>/<dataset>.json
+    (reference: create_classification_dataset.py:189-340). Returns
+    (df, log) where log lists images missing detections, images
+    without confident detections, and missing crops.
+    """
+
+    import pandas as pd
+
+    from megadetector_tpu.classification.detect_and_crop import \
+        load_detection_cache
+
+    assert 0 <= confidence_threshold <= 1
+    columns = ['path', 'dataset', 'location', 'dataset_class',
+               'confidence', 'label']
+    if append_df is not None:
+        assert list(append_df.columns) == columns
+
+    with open(queried_images_json_path, 'r') as f:
+        js = json.load(f)
+
+    detector_output_cache_dir = os.path.join(
+        detector_output_cache_base_dir, 'v{}'.format(detector_version))
+    datasets = set(img_path.split('/', 1)[0] for img_path in js)
+    detection_cache, cat_id_to_name = load_detection_cache(
+        detector_output_cache_dir, datasets)
+
+    missing_detections = []
+    images_no_confident_detections = []
+    images_missing_crop = []
+    all_rows = []
+
+    for img_path, img_info in js.items():
+        ds, img_file = img_path.split('/', maxsplit=1)
+
+        if 'bbox' in img_info:
+            bbox_dicts = img_info['bbox']
+            is_ground_truth = True
+        else:
+            if img_file in detection_cache.get(ds, {}):
+                bbox_dicts = list(
+                    detection_cache[ds][img_file].get('detections')
+                    or [])
+                # Convert category IDs to names for the animal filter
+                bbox_dicts = [
+                    dict(d, category=cat_id_to_name.get(d['category'],
+                                                        d['category']))
+                    for d in bbox_dicts]
+            else:
+                missing_detections.append(img_path)
+                continue
+            is_ground_truth = False
+
+        rows = []
+        for i, bbox_dict in enumerate(bbox_dicts):
+            conf = 1.0 if is_ground_truth else bbox_dict['conf']
+            if conf < confidence_threshold:
+                continue
+            if not is_ground_truth and \
+                    bbox_dict.get('category') != 'animal':
+                continue
+            crop_path = crop_filename(
+                img_path, i,
+                None if is_ground_truth else detector_version)
+            if not os.path.exists(os.path.join(cropped_images_dir,
+                                               crop_path)):
+                images_missing_crop.append((img_path, i))
+                continue
+            rows.append([crop_path, ds,
+                         img_info.get('location', 'unknown_location'),
+                         img_info.get('class', ''),
+                         conf, ','.join(img_info.get('label', []))])
+        if len(rows) == 0:
+            images_no_confident_detections.append(img_path)
+            continue
+        all_rows += rows
+
+    df = pd.DataFrame(data=all_rows, columns=columns)
+
+    if min_locs is not None and len(df) > 0:
+        nlocs_per_label = df.groupby('label').apply(
+            lambda xdf: len(xdf[['dataset',
+                                 'location']].drop_duplicates()))
+        valid_labels = nlocs_per_label.index[nlocs_per_label >=
+                                             min_locs]
+        df = df[df['label'].isin(valid_labels)]
+    if exclude_locs is not None and len(df) > 0:
+        mask = ~pd.Series(list(zip(df['dataset'], df['location'])),
+                          index=df.index).isin(set(exclude_locs))
+        df = df[mask]
+    if append_df is not None:
+        df = pd.concat([df, append_df], ignore_index=True)
+
+    log = {
+        'images missing detections': missing_detections,
+        'images without confident detections':
+            images_no_confident_detections,
+        'missing crops': images_missing_crop,
+    }
+    return df, log
+
+
+def sort_locs_by_size(loc_to_size, prioritize=None):
+    """
+    Sort (dataset, location) keys smallest-size-first, optionally
+    putting locations from the [prioritize] datasets first
+    (reference: create_classification_dataset.py:512-539). Modifies
+    [loc_to_size] in place when prioritizing.
+    """
+
+    result = []
+    if prioritize is not None:
+        prioritized = {loc: loc_to_size.pop(loc)
+                       for loc in list(loc_to_size.keys())
+                       if loc[0] in prioritize}
+        result = sort_locs_by_size(prioritized)
+    result += sorted(loc_to_size, key=loc_to_size.__getitem__)
+    return result
+
+
+def create_splits_random(df, val_frac, test_frac=0., test_split=None,
+                         n_iterations=10000, seed=None):
+    """
+    Randomized-search location splits: sample candidate
+    train/val(/test) partitions of the (dataset, location) set and keep
+    the one whose per-label crop and location fractions land closest to
+    the targets (reference: create_classification_dataset.py:343-423).
+    [df] has columns dataset/location/label, one row per image.
+    Returns {'train'|'val'|'test': [(dataset, location), ...]}.
+    [n_iterations] and [seed] are knobs over the reference's fixed
+    10,000 unseeded draws.
+    """
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    if test_split is not None:
+        assert test_frac == 0
+    train_frac = 1. - val_frac - test_frac
+    targets = {'train': train_frac, 'val': val_frac, 'test': test_frac}
+
+    df = df.copy()
+    df['dataset_location'] = df['dataset'] + '/' + df['location']
+    loc_label_counts = (df.groupby(['label', 'dataset_location'])
+                        .size().unstack('label', fill_value=0))
+    num_locs = len(loc_label_counts)
+
+    label_count = loc_label_counts.sum()
+    loc_count = (loc_label_counts > 0).sum()
+
+    best_score = float('inf')
+    best_splits = None
+    for _ in range(n_iterations):
+        num_train = int(num_locs *
+                        (train_frac + rng.uniform(-.03, .03)))
+        if test_frac > 0:
+            num_val = int(num_locs *
+                          (val_frac + rng.uniform(-.03, .03)))
+        else:
+            num_val = num_locs - num_train
+        permuted_locs = \
+            loc_label_counts.index[rng.permutation(num_locs)]
+        split_to_locs = {
+            'train': permuted_locs[:num_train],
+            'val': permuted_locs[num_train:num_train + num_val]}
+        if test_frac > 0:
+            split_to_locs['test'] = \
+                permuted_locs[num_train + num_val:]
+
+        score = 0.
+        for split, locs in split_to_locs.items():
+            split_df = loc_label_counts.loc[locs]
+            target = targets[split]
+            # SSE for images per label (2x weight), plus locations
+            # per label
+            crop_frac = split_df.sum() / label_count
+            score += 2 * ((crop_frac - target) ** 2).sum()
+            loc_frac = (split_df > 0).sum() / loc_count
+            score += ((loc_frac - target) ** 2).sum()
+        if score < best_score:
+            best_score = score
+            best_splits = split_to_locs
+
+    assert best_splits is not None
+    split_to_locs = {
+        s: sorted(tuple(x.split('/', maxsplit=1)) for x in locs)
+        for s, locs in best_splits.items()}
+    if test_split is not None:
+        split_to_locs['test'] = test_split
+    return split_to_locs
+
+
+def create_splits_smallest_label_first(df, val_frac, test_frac=0.,
+                                       label_spec_json_path=None,
+                                       test_split=None):
+    """
+    Greedy location splits, rarest label first: walk labels from
+    smallest to largest and assign each label's locations
+    (smallest-first, optionally prioritizing datasets from the label
+    spec) to test until it reaches its target fraction, then val, then
+    train (reference: create_classification_dataset.py:425-509; the
+    reference iterates labels where it means locations in its final
+    filter — an upstream bug — so this implementation filters the
+    location list as intended). Returns
+    {'train'|'val'|'test': [(dataset, location), ...]}.
+    """
+
+    prioritize = {}
+    if label_spec_json_path is not None:
+        with open(label_spec_json_path, 'r') as f:
+            label_spec_js = json.load(f)
+        for label, label_spec in label_spec_js.items():
+            if 'prioritize' in label_spec:
+                datasets = []
+                for level in label_spec['prioritize']:
+                    datasets += level
+                prioritize[label] = datasets
+
+    df = df.copy()
+    df['dataset_location'] = list(zip(df['dataset'], df['location']))
+    loc_to_label_sizes = df.groupby(['dataset_location',
+                                     'label']).size()
+
+    seen_locs = set()
+    split_to_locs = dict(train=[], val=[], test=[])
+    label_sizes_by_split = {label: dict(train=0, val=0, test=0)
+                            for label in df['label'].unique()}
+    if test_split is not None:
+        assert test_frac == 0
+        split_to_locs['test'] = list(test_split)
+        seen_locs.update(test_split)
+
+    def add_loc_to_split(loc, split):
+        split_to_locs[split].append(loc)
+        for label, label_size in loc_to_label_sizes[loc].items():
+            label_sizes_by_split[label][split] += label_size
+
+    ordered_labels = df.groupby('label').size().sort_values()
+    for label, label_size in ordered_labels.items():
+        split_sizes = label_sizes_by_split[label]
+        test_thresh = test_frac * label_size
+        val_thresh = val_frac * label_size
+
+        mask = df['label'] == label
+        ordered_locs = sort_locs_by_size(
+            loc_to_size=df[mask].groupby(
+                'dataset_location').size().to_dict(),
+            prioritize=prioritize.get(label, None))
+        ordered_locs = [loc for loc in ordered_locs
+                        if loc not in seen_locs]
+
+        for loc in ordered_locs:
+            seen_locs.add(loc)
+            if split_sizes['test'] < test_thresh:
+                split = 'test'
+            elif split_sizes['val'] < val_thresh:
+                split = 'val'
+            else:
+                split = 'train'
+            add_loc_to_split(loc, split)
+
+    return {s: sorted(locs) for s, locs in split_to_locs.items()}
+
+
 def create_classification_dataset(queried_images_json,
                                   cropped_images_dir,
                                   output_dir,

@@ -117,6 +117,84 @@ def crop_image_array(img, bbox_norm, square_crop=False):
     return crop
 
 
+def load_local_image(img_path):
+    """
+    Load an image from a local path (or file-like object); returns the
+    PIL image, or None on failure (reference:
+    crop_detections.py:296-308).
+    """
+
+    from PIL import Image
+    try:
+        with Image.open(img_path) as img:
+            img.load()
+        return img
+    except OSError as e:
+        print('Unable to load {}. {}: {}'.format(
+            img_path, type(e).__name__, e))
+    return None
+
+
+def save_crop(img, bbox_norm, square_crop, save):
+    """
+    Crop a loaded PIL image with the normalized [x, y, w, h] box and
+    save the crop to [save]; returns whether a crop was saved
+    (reference: crop_detections.py:407-456).
+    """
+
+    from PIL import Image
+
+    crop = crop_image_array(np.asarray(img.convert('RGB')), bbox_norm,
+                            square_crop=square_crop)
+    if crop is None:
+        return False
+    os.makedirs(os.path.dirname(save) or '.', exist_ok=True)
+    Image.fromarray(crop).save(save)
+    return True
+
+
+def load_and_crop(img_path, images_dir, container_client, bbox_dicts,
+                  confidence_threshold, crop_path_template,
+                  save_full_image=False, square_crops=False,
+                  check_crops_valid=False):
+    """
+    Given an image and its bounding boxes, save any crops that don't
+    already exist (reference: crop_detections.py:311-404).
+    [crop_path_template] contains {img_path} and {n} placeholders.
+    The reference's Azure download path ([container_client]) is not
+    supported in this offline-first framework — images must exist
+    locally under [images_dir]. Returns (did_download, n_crops_saved);
+    did_download is always False here.
+    """
+
+    assert container_client is None, \
+        'Azure Blob Storage download is not supported; stage images ' \
+        'locally under images_dir'
+
+    n_crops_saved = 0
+    img = None
+    full_path = os.path.join(images_dir, img_path) \
+        if images_dir is not None else img_path
+
+    for i_box, bbox_dict in enumerate(bbox_dicts):
+        if bbox_dict.get('conf', 1.0) < confidence_threshold:
+            continue
+        crop_path = crop_path_template.format(img_path=img_path,
+                                              n=i_box)
+        if os.path.isfile(crop_path):
+            if not check_crops_valid or \
+                    load_local_image(crop_path) is not None:
+                continue
+        if img is None:
+            img = load_local_image(full_path)
+            if img is None:
+                return False, n_crops_saved
+        if save_crop(img, bbox_dict['bbox'], square_crops, crop_path):
+            n_crops_saved += 1
+
+    return False, n_crops_saved
+
+
 def crop_detections(detections_json_path,
                     cropped_images_dir,
                     images_dir,

@@ -18,6 +18,38 @@ from megadetector_tpu.classification.crop_detections import \
     crop_detections
 
 
+def load_detection_cache(detector_output_cache_dir, datasets):
+    """
+    Load cached per-dataset detector outputs (one MD results .json per
+    dataset under [detector_output_cache_dir]); returns
+    (detection_cache, detection_categories) where detection_cache maps
+    dataset -> {image file -> image entry} (empty for datasets with no
+    cache file) (reference: detect_and_crop.py:273-320).
+    """
+
+    import json
+
+    detection_cache = {}
+    detection_categories = {}
+    for ds in datasets:
+        cache_path = os.path.join(detector_output_cache_dir,
+                                  '{}.json'.format(ds))
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                js = json.load(f)
+            detection_cache[ds] = {im['file']: im
+                                   for im in js['images']}
+            categories = js.get('detection_categories', {})
+            assert (not detection_categories) or \
+                detection_categories == categories, \
+                'Incompatible detection categories across cached files'
+            detection_categories = categories
+        else:
+            print('No detection cache found for {}'.format(ds))
+            detection_cache[ds] = {}
+    return detection_cache, detection_categories
+
+
 def detect_and_crop(model_file, images_dir, cropped_images_dir,
                     detections_json_path=None, threshold=0.8,
                     square_crops=False, detector_version=None,

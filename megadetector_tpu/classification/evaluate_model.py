@@ -80,6 +80,33 @@ def _topk_accuracy(probs, labels, weights, k):
     return acc, acc_w
 
 
+def calc_per_label_stats(cm, label_names):
+    """
+    Per-label precision/recall from a confusion matrix C (C[i, j] =
+    observations of group i predicted as group j); returns a DataFrame
+    indexed by 'label' with 'precision' and 'recall' columns (recall is
+    NaN for labels with zero ground-truth observations) (reference:
+    evaluate_model.py:126-153).
+    """
+
+    import numpy as np
+    import pandas as pd
+
+    cm = np.asarray(cm)
+    tp = np.diag(cm)
+    predicted_positives = cm.sum(axis=0, dtype=np.float64)
+    predicted_positives[predicted_positives == 0] += 1e-8
+    all_positives = cm.sum(axis=1, dtype=np.float64)
+    all_positives[all_positives == 0] = np.nan
+
+    df = pd.DataFrame()
+    df['label'] = list(label_names)
+    df['precision'] = tp / predicted_positives
+    df['recall'] = tp / all_positives
+    df.set_index('label', inplace=True)
+    return df
+
+
 def evaluate_model(checkpoint_path, dataset_dir, cropped_images_dir,
                    output_dir, splits=None, batch_size=32,
                    label_index_path=None):

@@ -22,6 +22,28 @@ import sys
 from collections import defaultdict
 
 
+def get_candidates_df(outputs_csv_path, label_names, margin):
+    """
+    DataFrame of crops whose predicted-label confidence beats the
+    ground-truth label's confidence by at least [margin] — the
+    mislabeled candidates (reference:
+    identify_mislabeled_candidates.py:109-123). Adds 'pred',
+    'pred_conf', and 'label_conf' columns.
+    """
+
+    import numpy as np
+    import pandas as pd
+
+    df = pd.read_csv(outputs_csv_path, float_precision='high')
+    probs = df[list(label_names)].to_numpy()
+    pred_idx = probs.argmax(axis=1)
+    df['pred'] = [label_names[i] for i in pred_idx]
+    df['pred_conf'] = probs[np.arange(len(df)), pred_idx]
+    label_idx = [list(label_names).index(lb) for lb in df['label']]
+    df['label_conf'] = probs[np.arange(len(df)), label_idx]
+    return df[df['pred_conf'] >= df['label_conf'] + margin].copy()
+
+
 def identify_mislabeled_candidates(outputs_csv_path, split, logdir,
                                    margin=0.5,
                                    include_dataset_in_filename=False):

@@ -111,6 +111,45 @@ def validate_json(input_js, taxonomy=None, allow_multilabel=False):
     return label_to_inclusions
 
 
+def get_output_json(label_to_inclusions, mislabeled_images_dir=None,
+                    image_source=None):
+    """
+    Build the queried-images JSON for a validated label spec
+    (reference: json_validator.py:281-360 — there a MegaDB query; here
+    the local [image_source] mapping '<dataset>/<file>' ->
+    {'dataset', 'class', 'location', ...}). When
+    [mislabeled_images_dir] holds per-dataset CSVs of known mislabeled
+    images (megadb_mislabeled/<dataset>.csv with a 'file' column,
+    see save_mislabeled.update_mislabeled_images), those images are
+    excluded.
+    """
+
+    assert image_source is not None, \
+        'get_output_json requires a local image_source mapping'
+    output_js = build_queried_images(label_to_inclusions, image_source)
+
+    if mislabeled_images_dir is not None and \
+            os.path.isdir(mislabeled_images_dir):
+        import csv as _csv
+        mislabeled = set()
+        for fn in os.listdir(mislabeled_images_dir):
+            if not fn.endswith('.csv'):
+                continue
+            ds = os.path.splitext(fn)[0]
+            with open(os.path.join(mislabeled_images_dir, fn),
+                      newline='') as f:
+                for row in _csv.DictReader(f):
+                    mislabeled.add('{}/{}'.format(ds, row['file']))
+        n_before = len(output_js)
+        output_js = {k: v for k, v in output_js.items()
+                     if k not in mislabeled}
+        if n_before != len(output_js):
+            print('Excluded {} known-mislabeled images'.format(
+                n_before - len(output_js)))
+
+    return dict(sorted(output_js.items()))
+
+
 def build_queried_images(label_to_inclusions, image_source):
     """
     The local-source replacement for the reference's MegaDB query:

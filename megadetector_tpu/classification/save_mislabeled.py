@@ -62,6 +62,64 @@ def save_mislabeled(ledger_path, entries):
     return ledger
 
 
+def update_mislabeled_images(container_path, input_csv_path):
+    """
+    Fold a Timelapse-review CSV (columns RelativePath, File,
+    mislabeled (bool), correct_class) into per-dataset mislabeled
+    ledgers <container_path>/megadb_mislabeled/<dataset>.csv with
+    columns file,correct_class (reference:
+    save_mislabeled.py:43-100; the reference writes to Azure — here
+    [container_path] is a local folder). Existing entries for the same
+    file are replaced.
+    """
+
+    import pathlib
+
+    with open(input_csv_path, newline='') as f:
+        rows = list(csv.DictReader(f))
+
+    def to_bool(v):
+        return str(v).strip().lower() in ('true', '1', 'yes')
+
+    # Any row with a correct_class must be marked mislabeled
+    for r in rows:
+        if r.get('correct_class'):
+            assert to_bool(r.get('mislabeled')), \
+                'Row for {} has correct_class but is not marked ' \
+                'mislabeled'.format(r.get('File'))
+
+    rows = [r for r in rows if to_bool(r.get('mislabeled'))]
+
+    by_dataset = {}
+    for r in rows:
+        rel = pathlib.PureWindowsPath(r['RelativePath']).as_posix()
+        dataset, blob_dirname = rel.split('/', 1)
+        file_name = blob_dirname + '/' + r['File']
+        by_dataset.setdefault(dataset, {})[file_name] = \
+            r.get('correct_class', '')
+
+    out_dir = os.path.join(container_path, 'megadb_mislabeled')
+    os.makedirs(out_dir, exist_ok=True)
+    for ds, file_to_class in by_dataset.items():
+        ledger_path = os.path.join(out_dir, '{}.csv'.format(ds))
+        existing = {}
+        if os.path.exists(ledger_path):
+            with open(ledger_path, newline='') as f:
+                existing = {r['file']: r.get('correct_class', '')
+                            for r in csv.DictReader(f)}
+        existing.update(file_to_class)
+        with open(ledger_path, 'w', newline='') as f:
+            writer = csv.DictWriter(f,
+                                    fieldnames=['file',
+                                                'correct_class'])
+            writer.writeheader()
+            for file_name in sorted(existing):
+                writer.writerow({'file': file_name,
+                                 'correct_class':
+                                     existing[file_name]})
+        print('{}: {} mislabeled images'.format(ds, len(existing)))
+
+
 def filter_queried_images(queried_images_json, ledger_path,
                           output_json=None):
     """
