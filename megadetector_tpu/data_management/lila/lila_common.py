@@ -216,6 +216,24 @@ def read_wildlife_insights_taxonomy_mapping(metadata_dir,
     return df
 
 
+def azure_url_to_gcp_http_url(url, error_if_not_azure_url=True):
+    """
+    Convert a LILA Azure blob URL to the corresponding GCP http URL —
+    most files are mirrored on both (reference:
+    create_lila_blank_set.py:334-347).
+    """
+
+    lila_azure_storage_account = \
+        'https://lilawildlife.blob.core.windows.net'
+    gcp_bucket_api_url = \
+        'https://storage.googleapis.com/public-datasets-lila'
+    if error_if_not_azure_url:
+        assert url.startswith(lila_azure_storage_account), \
+            'Not a LILA Azure URL: {}'.format(url)
+    return url.replace(lila_azure_storage_account, gcp_bucket_api_url,
+                       1)
+
+
 def lila_image_url(dataset_entry, image_file_name, preferred_cloud='gcp'):
     """Construct the public URL for one image of a LILA dataset."""
 

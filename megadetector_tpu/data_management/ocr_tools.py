@@ -124,6 +124,63 @@ def _default_ocr_fn():
         return None
 
 
+def find_text_in_crops(rough_crops, options=None,
+                       tesseract_config_string=None, ocr_fn=None):
+    """
+    OCR every rough crop (the top/bottom info-bar strips); returns
+    {'top': {'text', 'crop_to_solid_region_results'}, 'bottom': ...}
+    (reference: ocr_tools.py:295-358). [rough_crops] is either the
+    reference's {'top': image, 'bottom': image} dict or the list of
+    {'image', 'location'} dicts from make_rough_crops.
+    [tesseract_config_string] is passed to pytesseract when the default
+    engine is in use; [ocr_fn] overrides the OCR engine entirely.
+    """
+
+    if options is None:
+        options = DatetimeExtractionOptions()
+
+    if ocr_fn is None:
+        if tesseract_config_string is not None:
+            try:
+                import pytesseract
+                from PIL import Image
+
+                def ocr_fn(arr):
+                    return pytesseract.image_to_string(
+                        Image.fromarray(arr),
+                        config=tesseract_config_string)
+            except ImportError:
+                ocr_fn = None
+        else:
+            ocr_fn = _default_ocr_fn()
+    if ocr_fn is None:
+        raise RuntimeError(
+            'No OCR engine: install pytesseract or pass ocr_fn')
+
+    if isinstance(rough_crops, dict):
+        location_to_crop = rough_crops
+    else:
+        location_to_crop = {r['location']: r['image']
+                            for r in rough_crops}
+
+    results = {}
+    for crop_location in ('top', 'bottom'):
+        results[crop_location] = {
+            'text': '',
+            'crop_to_solid_region_results': None,
+        }
+        rough_crop = location_to_crop.get(crop_location)
+        if rough_crop is None:
+            continue
+        solid, region = crop_to_solid_region(
+            np.asarray(rough_crop), options)
+        results[crop_location]['crop_to_solid_region_results'] = region
+        if solid is None:
+            continue
+        results[crop_location]['text'] = ocr_fn(solid).strip()
+    return results
+
+
 def get_datetime_from_image(image, options=None, ocr_fn=None):
     """
     Full pipeline for one image: rough crops -> solid-region crops ->

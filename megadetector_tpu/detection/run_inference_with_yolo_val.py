@@ -199,6 +199,52 @@ def run_inference_with_yolo_val(options):
     return md
 
 
+def get_stats_for_category(filename, category='all'):
+    """
+    Parse the per-category statistics row from YOLO val console output
+    stored in [filename]; returns a dict with category, n_images,
+    n_labels, P, R, mAP50, and mAP50-95, or None when the category
+    isn't found (reference:
+    run_inference_with_yolov5_val.py:227-283).
+    """
+
+    with open(filename, 'r', encoding='utf-8') as f:
+        lines = f.readlines()
+
+    # Hedge against a YOLO version that used different IoU thresholds
+    # in the console output
+    found_map50 = False
+    found_map5095 = False
+
+    for line in lines:
+        s = line.strip()
+        if ' map50 ' in s.lower() or ' map@.5 ' in s.lower():
+            found_map50 = True
+        if 'map50-95' in s.lower() or 'map@.5:.95' in s.lower():
+            found_map5095 = True
+
+        if not s.startswith(category):
+            continue
+        tokens_filtered = list(filter(None, s.split(' ')))
+        if len(tokens_filtered) != 7:
+            continue
+        assert found_map50 and found_map5095, \
+            'Parsing error in YOLO console output file {}'.format(
+                filename)
+        assert category == tokens_filtered[0]
+        return {
+            'category': category,
+            'n_images': int(tokens_filtered[1]),
+            'n_labels': int(tokens_filtered[2]),
+            'P': float(tokens_filtered[3]),
+            'R': float(tokens_filtered[4]),
+            'mAP50': float(tokens_filtered[5]),
+            'mAP50-95': float(tokens_filtered[6]),
+        }
+
+    return None
+
+
 def _write_dataset_yaml(image_folder):
     """Minimal dataset.yaml pointing val.py's 'test' split at a folder."""
 

@@ -16,6 +16,81 @@ from collections import defaultdict
 from megadetector_tpu.utils import ct_utils
 
 
+class AnalysisResults(dict):
+    """
+    Results returned by analyze_classification_results() (reference:
+    analyze_classification_results.py:219-244). A dict (the repo's
+    established result shape) that also exposes the reference's
+    attribute names.
+    """
+
+    @property
+    def per_category_results(self):
+        """{category: {'precision', 'recall', 'f1', 'n_ground_truth',
+        'n_predicted'}}."""
+
+        out = {}
+        confusion = self.get('confusion_matrix', {})
+        for name, stats in self.get('per_category', {}).items():
+            p, r = stats['precision'], stats['recall']
+            out[name] = {
+                'precision': p,
+                'recall': r,
+                'f1': round(2 * p * r / (p + r), 4) if (p + r) > 0
+                else 0.0,
+                'n_ground_truth': stats['support'],
+                'n_predicted': sum(
+                    row.get(name, 0) for row in confusion.values()),
+            }
+        return out
+
+    @property
+    def active_categories(self):
+        """Ordered category names, the matrix's row/column order."""
+
+        confusion = self.get('confusion_matrix', {})
+        return sorted(set(list(confusion.keys()) +
+                          [p for row in confusion.values()
+                           for p in row]))
+
+    @property
+    def confusion_matrix_array(self):
+        """The confusion matrix as a 2D numpy array (rows = truth)."""
+
+        import numpy as np
+        names = self.active_categories
+        cm = np.zeros((len(names), len(names)), dtype=int)
+        confusion = self.get('confusion_matrix', {})
+        for i, t in enumerate(names):
+            for j, p in enumerate(names):
+                cm[i, j] = confusion.get(t, {}).get(p, 0)
+        return cm
+
+    @property
+    def accuracy(self):
+        return self.get('accuracy')
+
+    @property
+    def macro_f1(self):
+        per_cat = self.per_category_results
+        if not per_cat:
+            return None
+        return round(sum(v['f1'] for v in per_cat.values()) /
+                     len(per_cat), 4)
+
+    @property
+    def micro_f1(self):
+        # Single-label multi-class: micro-P == micro-R == accuracy
+        return self.accuracy
+
+    micro_precision = micro_f1
+    micro_recall = micro_f1
+
+    @property
+    def html_output_file(self):
+        return self.get('html_output_file')
+
+
 class ClassificationAnalysisOptions:
 
     def __init__(self):
@@ -123,14 +198,64 @@ def analyze_classification_results(options):
             for (t, p), fns in mispredictions.items()},
     }
 
+    results = AnalysisResults(results)
     if options.output_dir is not None:
         os.makedirs(options.output_dir, exist_ok=True)
         ct_utils.write_json(
             os.path.join(options.output_dir,
                          'classification_analysis.json'),
-            results, force_str=True)
+            dict(results), force_str=True)
         _write_html_report(results, options)
+        results['html_output_file'] = os.path.join(options.output_dir,
+                                                   'index.html')
     return results
+
+
+def render_misprediction_pages(options, cells_to_render,
+                               max_images_per_cell=2000):
+    """
+    Render detailed per-cell HTML pages for specific misprediction
+    cells — typically with a much larger image cap than the summary
+    report — for deep-dive review (reference:
+    analyze_classification_results.py:1826+). [cells_to_render] is a
+    list of (true_category, predicted_category) tuples. Returns
+    {cell: html path}.
+    """
+
+    deep_options = ClassificationAnalysisOptions()
+    deep_options.__dict__.update(options.__dict__)
+    deep_options.max_mispredictions_per_cell = max_images_per_cell
+    deep_options.output_dir = None
+    results = analyze_classification_results(deep_options)
+
+    assert options.output_dir is not None, \
+        'render_misprediction_pages requires options.output_dir'
+    os.makedirs(options.output_dir, exist_ok=True)
+
+    cell_to_page = {}
+    for true_name, predicted in cells_to_render:
+        key = '{}|{}'.format(true_name, predicted)
+        fns = results['mispredictions'].get(key, [])
+        page = os.path.join(
+            options.output_dir,
+            'misprediction_{}_as_{}.html'.format(true_name, predicted))
+        html = ['<html><head><title>{} predicted as {}</title></head>'
+                '<body>'.format(true_name, predicted)]
+        html.append('<h1>{} predicted as {} ({} images)</h1>'.format(
+            true_name, predicted, len(fns)))
+        for fn in fns:
+            if options.image_base_dir:
+                src = os.path.join(options.image_base_dir, fn)
+                html.append('<div><img src="{}" style="max-width:600px">'
+                            '<br/>{}</div>'.format(src, fn))
+            else:
+                html.append('<div>{}</div>'.format(fn))
+        html.append('</body></html>')
+        with open(page, 'w') as f:
+            f.write('\n'.join(html))
+        cell_to_page[(true_name, predicted)] = page
+        print('Wrote misprediction page {}'.format(page))
+    return cell_to_page
 
 
 def _write_html_report(results, options):

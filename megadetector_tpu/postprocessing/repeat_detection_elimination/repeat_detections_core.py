@@ -103,6 +103,105 @@ class RepeatDetectionResults:
 #%% Spatial grid index
 
 
+class IndexedDetection:
+    """
+    A single detection event on a single image (reference:
+    repeat_detections_core.py:318-350). The dict-based pipeline in this
+    module uses {'filename', 'i_detection', 'bbox', 'conf'} instances;
+    this is the object view for code written against the reference.
+    """
+
+    def __init__(self, i_detection=-1, filename='', bbox=None,
+                 confidence=-1, category='unknown'):
+        if bbox is None:
+            bbox = []
+        assert isinstance(i_detection, int)
+        assert isinstance(filename, str)
+        assert isinstance(bbox, list)
+        assert isinstance(category, str)
+
+        #: index of this detection within its image's detections
+        self.i_detection = i_detection
+        self.filename = filename
+        #: [x_min, y_min, width_of_box, height_of_box]
+        self.bbox = bbox
+        self.confidence = confidence
+        #: category ID (not name)
+        self.category = category
+
+    @classmethod
+    def from_instance_dict(cls, d, category='unknown'):
+        return cls(i_detection=d['i_detection'],
+                   filename=d['filename'], bbox=list(d['bbox']),
+                   confidence=d['conf'], category=category)
+
+    def __repr__(self):
+        return 'IndexedDetection({}, {}, conf={})'.format(
+            self.filename, self.i_detection, self.confidence)
+
+
+class DetectionLocation:
+    """
+    A unique-ish detection location within one directory; detections
+    within the IoU threshold of self.bbox accumulate in
+    self.instances (reference:
+    repeat_detections_core.py:352-412).
+    """
+
+    def __init__(self, instance, detection, relative_dir,
+                 category=None, id=None):
+        assert isinstance(detection, dict)
+        assert isinstance(instance, IndexedDetection)
+        assert isinstance(relative_dir, str)
+
+        #: IndexedDetections matching this location
+        self.instances = [instance]
+        #: category ID (not name)
+        self.category = category if category is not None \
+            else detection.get('category', instance.category)
+        #: bbox as x, y, w, h
+        self.bbox = detection['bbox']
+        #: relative folder (i.e. camera name)
+        self.relativeDir = relative_dir
+        #: relative path to the canonical sample image
+        self.sampleImageRelativeFileName = ''
+        self.id = id
+
+    @classmethod
+    def from_candidate_dict(cls, candidate):
+        """Object view of this module's candidate dicts."""
+
+        instances = [IndexedDetection.from_instance_dict(
+            d, category=candidate['category'])
+            for d in candidate['instances']]
+        loc = cls(instances[0],
+                  {'bbox': candidate['bbox'],
+                   'category': candidate['category']},
+                  candidate.get('relative_dir', ''))
+        loc.instances = instances
+        return loc
+
+    def to_api_detection(self):
+        """
+        This location as an MD 'detection' dict, using the
+        highest-confidence instance's confidence (reference:
+        repeat_detections_core.py:394-420); instances must already be
+        sorted confidence-descending.
+        """
+
+        confidences = [i.confidence for i in self.instances]
+        assert confidences[0] == max(confidences), \
+            'Cannot convert an unsorted DetectionLocation to an API ' \
+            'detection'
+        return {'category': self.category,
+                'conf': confidences[0],
+                'bbox': self.bbox}
+
+    def __repr__(self):
+        return 'DetectionLocation({}, {} instances)'.format(
+            self.relativeDir, len(self.instances))
+
+
 class GridIndex:
     """
     Uniform grid-hash over normalized [0,1] box space. insert() registers a

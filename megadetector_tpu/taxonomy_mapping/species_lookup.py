@@ -122,18 +122,36 @@ HYPHENATED_TERMS = ['tailed', 'backed', 'breasted', 'crowned', 'eared',
 
 class TaxonomicMatch:
     """One resolved match: the node plus its full ancestor level map
-    (the reference's TaxonomicMatch, species_lookup.py:662)."""
+    (the reference's TaxonomicMatch, species_lookup.py:662), including
+    the reference's serialized taxonomy_string
+    ("[(id, level, name, (common,)), ...]", lowest taxon first) and its
+    field aliases (taxonomic_level, common_name, source)."""
 
-    def __init__(self, query, node, taxonomy):
+    def __init__(self, query, node, taxonomy, source='', match=None):
         self.query = query
         self.node = node
+        self.match = match
+        self.source = source
         self.scientific_name = node.name if node is not None else ''
         self.level = node.level if node is not None else ''
+        self.common_name = ''
         self.taxonomy_levels = {}
+        ancestry = []
         if node is not None and taxonomy is not None:
             self.taxonomy_levels[node.level] = node.name
+            ancestry.append(node)
             for ancestor in taxonomy.ancestors(node):
                 self.taxonomy_levels[ancestor.level] = ancestor.name
+                ancestry.append(ancestor)
+        self.taxonomy_string = str([
+            (getattr(n, 'taxon_id', None), n.level, n.name, ())
+            for n in ancestry]) if ancestry else ''
+
+    @property
+    def taxonomic_level(self):
+        """Reference alias for .level."""
+
+        return self.level
 
     def __repr__(self):
         return 'TaxonomicMatch({} -> {} [{}])'.format(
@@ -185,6 +203,164 @@ def get_preferred_taxonomic_match(query, lookup, retry=True):
         q = q.replace(rank, '').strip()
     node = lookup.lookup(q)
     return TaxonomicMatch(q, node, lookup.taxonomy)
+
+
+def get_scientific_name_from_row(r):
+    """
+    Scientific name from a taxonomy-table row (dict or pandas Series):
+    canonicalName when present and non-empty, else scientificName
+    (reference: species_lookup.py:433-442).
+    """
+
+    if 'canonicalName' in r and len(r['canonicalName']) > 0:
+        return r['canonicalName']
+    return r['scientificName']
+
+
+def taxonomy_row_to_string(r):
+    """
+    '<rank> <scientific name> (<vernacular>)' for a taxonomy-table row
+    (reference: species_lookup.py:445-456).
+    """
+
+    common_string = ''
+    if 'vernacularName' in r:
+        common_string = ' (' + r['vernacularName'] + ')'
+    return r['taxonRank'] + ' ' + get_scientific_name_from_row(r) + \
+        common_string
+
+
+def traverse_taxonomy(node, taxonomy, source, query):
+    """
+    Walk from [node] to the taxonomy root, producing the reference's
+    match-dict shape (species_lookup.py:459-555, whose row-table
+    machinery is replaced by the TaxonomyGraph walk):
+    {'source', 'query', 'taxonomy': [(taxon_id, level, name,
+    (common names,)), ...]} with the lowest taxon first.
+    """
+
+    chain = [node] + taxonomy.ancestors(node)
+    return {
+        'source': source,
+        'query': query,
+        'taxonomy': [(getattr(n, 'taxon_id', None), n.level, n.name,
+                      ()) for n in chain],
+    }
+
+
+def get_taxonomic_info(query, lookups=None):
+    """
+    Taxonomic matches for [query] (scientific or common name) from
+    every loaded taxonomy; returns a list of match dicts (see
+    traverse_taxonomy), GBIF matches first (reference:
+    species_lookup.py:558-599). [lookups] is the
+    {'gbif': SpeciesLookup, 'inat': SpeciesLookup} dict from
+    initialize_taxonomy_lookup (the reference keeps these as module
+    globals; here they're explicit).
+    """
+
+    assert lookups is not None, \
+        'Pass the lookups dict from initialize_taxonomy_lookup()'
+    query = query.strip().lower()
+
+    matches = []
+    for source in sorted(lookups):  # 'gbif' before 'inat'
+        lookup = lookups[source]
+        node = lookup.lookup(query)
+        if node is not None:
+            matches.append(traverse_taxonomy(node, lookup.taxonomy,
+                                             source, query))
+    return matches
+
+
+def print_taxonomy_matches(matches, verbose=False):
+    """
+    Console-friendly printing of get_taxonomic_info matches as
+    indented trees (reference: species_lookup.py:602-636); only the
+    lowest level prints unless [verbose].
+    """
+
+    for m in matches:
+        source = m['source']
+        for i_level, level_info in enumerate(m['taxonomy']):
+            taxonomy_level = level_info[1]
+            name = level_info[2]
+            common = level_info[3]
+            if i_level > 0:
+                print('\t', end='')
+            print('{} {} ({})'.format(taxonomy_level, name, common),
+                  end='')
+            print(' ({})'.format(source) if i_level == 0 else '')
+            if not verbose:
+                break
+
+
+def slugify(value, allow_unicode=False):
+    """
+    Django-style slugify: normalize unicode, lowercase, collapse
+    non-alphanumerics to single hyphens (reference:
+    species_lookup.py:644-683).
+    """
+
+    import unicodedata
+
+    value = str(value)
+    if allow_unicode:
+        value = unicodedata.normalize('NFKC', value)
+    else:
+        value = unicodedata.normalize('NFKD', value).encode(
+            'ascii', 'ignore').decode('ascii')
+    value = re.sub(r'[^\w\s-]', '', value.lower())
+    return re.sub(r'[-\s]+', '-', value).strip('-_')
+
+
+def pop_levels(m, n_levels=1):
+    """
+    Remove [n_levels] levels from the bottom of a TaxonomicMatch,
+    typically to drop silly subgenera; returns a new TaxonomicMatch
+    whose name/level/taxonomy_string reflect the popped ancestry
+    (reference: species_lookup.py:686-712).
+    """
+
+    import ast
+
+    v = ast.literal_eval(m.taxonomy_string)
+    assert v[0][1] == m.taxonomic_level
+    assert v[0][2] == m.scientific_name
+    popped_v = v[n_levels:]
+    assert popped_v, 'Cannot pop every level from a match'
+
+    popped = TaxonomicMatch(m.query, None, None, source=m.source)
+    popped.level = popped_v[0][1]
+    popped.scientific_name = popped_v[0][2]
+    common_name = popped_v[0][3]
+    popped.common_name = common_name[0] if common_name else ''
+    popped.taxonomy_string = str(popped_v)
+    popped.taxonomy_levels = {t[1]: t[2] for t in popped_v}
+    return popped
+
+
+def validate_and_convert(data):
+    """
+    Recursively validate that [data] contains only tuples/lists/ints/
+    strings/np.int64, converting np.int64 to int (reference:
+    species_lookup.py:762-789). Raises TypeError otherwise.
+    """
+
+    import numpy as np
+
+    if isinstance(data, np.int64):
+        return int(data)
+    elif isinstance(data, (int, str)):
+        return data
+    elif isinstance(data, (list, tuple)):
+        container_type = type(data)
+        return container_type(validate_and_convert(item)
+                              for item in data)
+    else:
+        raise TypeError(
+            'Invalid type encountered: {}. Only int, np.int64, str, '
+            'list, and tuple are allowed.'.format(type(data).__name__))
 
 
 def load_gbif_backbone(taxon_tsv, max_rows=None,

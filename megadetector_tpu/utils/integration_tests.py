@@ -98,6 +98,123 @@ def _build_test_package(options):
     return scratch, image_dir, video_dir, model_file
 
 
+#: The reference's hosted test package; downloads activate when egress
+#: exists (reference: md_tests.py:83)
+TEST_DATA_URL = 'https://lila.science/public/md-test-package.zip'
+
+
+def download_test_data(options=None):
+    """
+    Stage the test-data package into options.scratch_dir (reference:
+    md_tests.py:221-316): download + unzip TEST_DATA_URL when the
+    hosted package is reachable, else fall back to the hermetic
+    synthetic package builder (the zero-egress default in this
+    framework). Returns (scratch, image_dir, video_dir, model_file).
+    """
+
+    import zipfile
+
+    if options is None:
+        options = MDTestOptions()
+
+    test_data_url = getattr(options, 'test_data_url', TEST_DATA_URL)
+    if options.scratch_dir is not None:
+        zip_path = os.path.join(options.scratch_dir,
+                                test_data_url.split('/')[-1])
+        try:
+            if not os.path.isfile(zip_path):
+                from megadetector_tpu.utils.url_utils import \
+                    download_url
+                download_url(test_data_url, zip_path)
+            with zipfile.ZipFile(zip_path) as zf:
+                zf.extractall(options.scratch_dir)
+            print('Staged test package from {}'.format(test_data_url))
+        except Exception as e:
+            print('Hosted test package unavailable ({}); building the '
+                  'synthetic package'.format(e))
+
+    return _build_test_package(options)
+
+
+def get_expected_results_filename(gpu_is_available,
+                                  model_string='mdv5a',
+                                  test_type='image', augment=False,
+                                  options=None):
+    """
+    Expected-results filename for the current inference environment
+    (reference: md_tests.py:155-219 — there keyed by GPU availability
+    and torch major version; here by accelerator backend and jax
+    major.minor, since XLA toolchain revs are what move results on this
+    stack).
+    """
+
+    hw_string = 'tpu' if gpu_is_available else 'cpu'
+    import jax
+    jax_version = '.'.join(jax.__version__.split('.')[:2])
+    backend_string = 'jax{}'.format(jax_version)
+
+    aug_string = 'augment-' if augment else ''
+    if test_type == 'image':
+        fn = '{}-{}{}-{}-{}.json'.format(model_string, aug_string,
+                                         test_type, hw_string,
+                                         backend_string)
+    else:
+        fn = '{}-{}.json'.format(model_string, test_type)
+
+    if options is not None and options.scratch_dir is not None:
+        fn = os.path.join(options.scratch_dir, fn)
+    return fn
+
+
+def run_download_tests(options=None):
+    """
+    Test model downloads through the registry (reference:
+    md_tests.py:1604-1694): every known model downloads by canonical
+    version and by short name, and the downloaded file's sniffed
+    version matches. Models whose URLs are unreachable (zero-egress
+    hosts) are reported as skipped rather than failed. Returns
+    {model: 'ok'|'skipped: ...'}.
+    """
+
+    from megadetector_tpu.models.registry import (
+        get_detector_version_from_model_file, known_models,
+        model_string_to_model_version, try_download_known_detector)
+
+    if options is None:
+        options = MDTestOptions()
+
+    status = {}
+    for model_name in known_models:
+        try:
+            fn = try_download_known_detector(model_name,
+                                             force_download=False,
+                                             verbose=False)
+            assert fn is not None and os.path.exists(fn)
+            version_string = get_detector_version_from_model_file(fn)
+            assert version_string.replace('.0.1', '.0.0') == \
+                model_name.replace('.0.1', '.0.0')
+            status[model_name] = 'ok'
+        except Exception as e:
+            status[model_name] = 'skipped: {}'.format(e)
+
+    for short_name in model_string_to_model_version:
+        assert model_string_to_model_version[short_name] in \
+            known_models
+    return status
+
+
+def run_python_tests(options=None):
+    """
+    The Python-API test tiers (reference: md_tests.py:788-1111) —
+    run_tests() without the CLI tier.
+    """
+
+    if options is None:
+        options = MDTestOptions()
+    options.skip_cli_tests = True
+    return run_tests(options)
+
+
 def run_tests(options=None):
     """
     Run the integration tiers. Raises AssertionError on the first
