@@ -107,6 +107,20 @@ def calc_per_label_stats(cm, label_names):
     return df
 
 
+def check_override(params, key, override):
+    """
+    Return params[key], or [override] when given (printing what was
+    overridden) (reference: evaluate_model.py:74-84).
+    """
+
+    if override is None:
+        return params[key]
+    saved = params.get(key, None)
+    print('Overriding saved {}. Saved: {}. Override with: {}.'.format(
+        key, saved, override))
+    return override
+
+
 def evaluate_model(checkpoint_path, dataset_dir, cropped_images_dir,
                    output_dir, splits=None, batch_size=32,
                    label_index_path=None):

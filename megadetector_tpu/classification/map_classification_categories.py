@@ -20,7 +20,10 @@ import argparse
 import json
 import sys
 
-from megadetector_tpu.classification.json_validator import parse_spec
+from collections import defaultdict
+
+from megadetector_tpu.classification.json_validator import \
+    parse_spec as _parse_label_spec
 
 
 def map_classification_categories(desired_spec, classifier_spec,
@@ -33,9 +36,9 @@ def map_classification_categories(desired_spec, classifier_spec,
     assert 'other' not in desired_spec, \
         'the desired spec must not define a target named "other"'
 
-    target_pairs = {t: parse_spec(t, s, taxonomy)
+    target_pairs = {t: _parse_label_spec(t, s, taxonomy)
                     for t, s in desired_spec.items()}
-    category_pairs = {c: parse_spec(c, s, taxonomy)
+    category_pairs = {c: _parse_label_spec(c, s, taxonomy)
                       for c, s in classifier_spec.items()}
 
     mapping = {t: [] for t in desired_spec}
@@ -66,6 +69,110 @@ def map_classification_categories(desired_spec, classifier_spec,
     if other:
         mapping['other'] = sorted(other)
     return mapping
+
+
+#%% TaxonNode-based spec resolution
+#
+# The reference resolves label specs against the taxonomy *graph*
+# (TaxonNode sets, megadetector/classification/
+# map_classification_categories.py:114-236) rather than (dataset, label)
+# pairs; both views are provided here. These operate on
+# taxonomy_graph.TaxonNode objects.
+
+
+def parse_spec(spec_dict, taxon_to_node, label_to_node):
+    """
+    Resolve one label spec to the set of TaxonNodes it selects
+    (reference: map_classification_categories.py:153-197): each entry in
+    spec_dict['taxa'] ((level, name), case-insensitive) and each
+    (dataset, dataset_label) in spec_dict['dataset_labels'] contributes
+    its node and all graph descendants; spec_dict['exclude'] is a nested
+    spec whose nodes are subtracted. Unknown taxa are skipped with a
+    warning; an empty result raises ValueError.
+    """
+
+    import networkx as nx
+
+    result = set()
+    if 'taxa' in spec_dict:
+        for taxon in spec_dict['taxa']:
+            key = (taxon['level'].lower(), taxon['name'].lower())
+            if key in taxon_to_node:
+                node = taxon_to_node[key]
+                result.add(node)
+                result |= nx.descendants(node.graph, node)
+            else:
+                print('Taxon {} not found in taxonomy graph. '
+                      'Ignoring.'.format(key))
+    if 'dataset_labels' in spec_dict:
+        for ds, ds_labels in spec_dict['dataset_labels'].items():
+            ds = ds.lower()
+            for ds_label in ds_labels:
+                node = label_to_node[(ds, ds_label.lower())]
+                result.add(node)
+                result |= nx.descendants(node.graph, node)
+    if 'exclude' in spec_dict:
+        result -= parse_spec(spec_dict['exclude'], taxon_to_node,
+                             label_to_node)
+    if len(result) == 0:
+        raise ValueError(
+            'specification matched no TaxonNode: {}'.format(spec_dict))
+    return result
+
+
+def label_spec_to_nodes(label_spec_js, taxon_to_node, label_to_node):
+    """
+    Convert a label-spec JSON dict to {label: set of TaxonNodes}
+    (reference: map_classification_categories.py:200-236). Raises
+    ValueError when two labels select overlapping node sets.
+    """
+
+    seen_nodes = set()
+    label_to_nodes = {}
+    for label, spec_dict in label_spec_js.items():
+        include_set = parse_spec(spec_dict, taxon_to_node, label_to_node)
+        if include_set.isdisjoint(seen_nodes):
+            label_to_nodes[label] = include_set
+            seen_nodes |= include_set
+        else:
+            for label_b, set_b in label_to_nodes.items():
+                shared = include_set.intersection(set_b)
+                if len(shared) > 0:
+                    print('Labels {} and {} share nodes: {}'.format(
+                        label, label_b, shared))
+                    raise ValueError('Intersection between sets!')
+    return label_to_nodes
+
+
+def map_target_to_classifier(target_label_to_nodes,
+                             classifier_label_to_nodes):
+    """
+    Assign each classifier category to the target whose node set
+    contains it (reference:
+    map_classification_categories.py:114-150): full containment maps,
+    partial overlap raises ValueError, and categories contained by no
+    target collect under 'other'. Returns {target: sorted [classifier
+    labels]}.
+    """
+
+    remaining_classifier_labels = set(classifier_label_to_nodes.keys())
+    target_to_classifier_labels = defaultdict(set)
+    for target, target_nodes in target_label_to_nodes.items():
+        for label, classifier_nodes in classifier_label_to_nodes.items():
+            overlap = classifier_nodes & target_nodes
+            if len(overlap) == len(classifier_nodes):
+                target_to_classifier_labels[target].add(label)
+                remaining_classifier_labels.discard(label)
+            elif 0 < len(overlap) < len(classifier_nodes):
+                raise ValueError(
+                    'Only partial overlap between target {} and '
+                    'classifier label {}'.format(target, label))
+    if len(remaining_classifier_labels) > 0:
+        target_to_classifier_labels['other'] = \
+            remaining_classifier_labels
+    return {target: sorted(labels_set)
+            for target, labels_set in
+            sorted(target_to_classifier_labels.items())}
 
 
 def main():

@@ -25,6 +25,98 @@ from megadetector_tpu.utils import ct_utils
 from megadetector_tpu.utils.ct_utils import round_float
 
 
+class SimpleDataset:
+    """
+    Very simple dataset over image files (reference:
+    run_classifier.py:56-84): indexing returns (img, img_file), where
+    img is the loaded (and optionally transformed) image. Torch-free —
+    images load via PIL into HWC arrays.
+    """
+
+    def __init__(self, img_files, images_dir=None, transform=None):
+        self.img_files = list(img_files)
+        self.images_dir = images_dir
+        self.transform = transform
+
+    def __getitem__(self, index):
+        from PIL import Image
+
+        img_file = self.img_files[index]
+        img_path = os.path.join(self.images_dir, img_file) \
+            if self.images_dir is not None else img_file
+        with Image.open(img_path) as img:
+            img = img.convert('RGB')
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, img_file
+
+    def __len__(self):
+        return len(self.img_files)
+
+
+def create_loader(cropped_images_dir, detections_json_path, img_size,
+                  batch_size, num_workers=0):
+    """
+    Batched loader over a crop folder (reference:
+    run_classifier.py:89-160): enumerate crops (all files when
+    [detections_json_path] is None, else only crops of images in the
+    detections file), resize each to img_size x img_size, and yield
+    (batch float32 NHWC in [0,1], [crop files]) tuples. Replaces the
+    reference's torch DataLoader with a generator feeding fixed-shape
+    batches to the JAX classifier.
+    """
+
+    import numpy as np
+    from PIL import Image
+
+    crop_files = []
+    if detections_json_path is None:
+        for subdir, _, files in os.walk(cropped_images_dir):
+            rel_dir = os.path.relpath(subdir, cropped_images_dir)
+            for file_name in files:
+                rel = file_name if rel_dir == '.' \
+                    else os.path.join(rel_dir, file_name)
+                crop_files.append(rel)
+    else:
+        with open(detections_json_path) as f:
+            js = json.load(f)
+        # Crop names replace the image extension
+        # (gt.jpg -> gt___crop00.jpg), so match on the stem too
+        image_files = set()
+        for im in js['images']:
+            image_files.add(im['file'])
+            image_files.add(os.path.splitext(im['file'])[0])
+        for subdir, _, files in os.walk(cropped_images_dir):
+            rel_dir = os.path.relpath(subdir, cropped_images_dir)
+            for file_name in files:
+                rel = file_name if rel_dir == '.' \
+                    else os.path.join(rel_dir, file_name)
+                parsed = parse_crop_filename(rel)
+                if parsed is None:
+                    continue
+                if parsed[0] in image_files:
+                    crop_files.append(rel)
+    crop_files = sorted(crop_files)
+
+    dataset = SimpleDataset(crop_files, images_dir=cropped_images_dir)
+
+    def loader():
+        batch_imgs, batch_files = [], []
+        for i in range(len(dataset)):
+            img, img_file = dataset[i]
+            img = img.resize((img_size, img_size), Image.BILINEAR)
+            batch_imgs.append(
+                np.asarray(img, dtype=np.float32) / 255.0)
+            batch_files.append(img_file)
+            if len(batch_imgs) == batch_size:
+                yield np.stack(batch_imgs), batch_files
+                batch_imgs, batch_files = [], []
+        if batch_imgs:
+            yield np.stack(batch_imgs), batch_files
+
+    return loader()
+
+
 def run_classifier(detections_json_path, cropped_images_dir,
                    checkpoint_path, output_json_path=None,
                    output_csv_path=None, batch_size=32, top_k=5,

@@ -12,6 +12,45 @@ from megadetector_tpu.data_management.lila.lila_common import (
     read_metadata_file_for_dataset, select_lila_images_by_species)
 
 
+def find_items(row, species_of_interest, ds_name_to_urls,
+               common_name_to_count=None, preferred_provider='gcp'):
+    """
+    Row filter over the LILA combined per-image-labels table
+    (reference: download_lila_subset.py:64-83): when the row's
+    common_name contains any name in [species_of_interest], append the
+    row's preferred-provider URL to ds_name_to_urls[dataset_name] and
+    bump common_name_to_count. Apply with df.apply(..., axis=1).
+    """
+
+    common_name = row.get('common_name')
+    if common_name is None or (isinstance(common_name, float)):
+        return
+    for species_name in species_of_interest:
+        if species_name in common_name:
+            if common_name_to_count is not None:
+                common_name_to_count[species_name] = \
+                    common_name_to_count.get(species_name, 0) + 1
+            ds_name_to_urls.setdefault(row['dataset_name'], []).append(
+                row['url_' + preferred_provider])
+            return
+
+
+def find_images_for_species(df, species_of_interest,
+                            preferred_provider='gcp'):
+    """
+    Returns ({dataset_name: [urls]}, {species: count}) for every row of
+    [df] whose common_name matches a species of interest (the driver
+    around find_items in the reference, download_lila_subset.py:82-91).
+    """
+
+    ds_name_to_urls = {}
+    common_name_to_count = {}
+    for _, row in df.iterrows():
+        find_items(row, species_of_interest, ds_name_to_urls,
+                   common_name_to_count, preferred_provider)
+    return ds_name_to_urls, common_name_to_count
+
+
 def main():
     parser = argparse.ArgumentParser(
         description='Download all images of given species from a LILA '

@@ -50,6 +50,43 @@ class RunMDSpeciesNetOptions(MDAndClassifierOptions):
         self.ignore_videos = False
 
 
+class CropMetadata:
+    """
+    Metadata for one crop extracted from an image detection (reference:
+    run_md_and_speciesnet.py:199-223).
+    """
+
+    def __init__(self, image_file, detection_index, bbox,
+                 original_width, original_height):
+        self.image_file = image_file
+        #: Index of this detection within its image's detections
+        self.detection_index = detection_index
+        #: Normalized [x_min, y_min, width, height]
+        self.bbox = bbox
+        self.original_width = original_width
+        self.original_height = original_height
+
+
+class CropBatch:
+    """
+    A batch of crops plus their metadata, bound for the classifier
+    (reference: run_md_and_speciesnet.py:226-250).
+    """
+
+    def __init__(self):
+        #: Preprocessed crop arrays
+        self.crops = []
+        #: CropMetadata objects, parallel to crops
+        self.metadata = []
+
+    def add_crop(self, crop_data, metadata):
+        self.crops.append(crop_data)
+        self.metadata.append(metadata)
+
+    def __len__(self):
+        return len(self.crops)
+
+
 def run_md_and_speciesnet(options):
     """
     Run the two-stage MegaDetector + classifier pipeline (reference:

@@ -37,8 +37,10 @@ class TaxonNode:
         self.level = level
         self.name = name
         self.graph = graph if graph is not None else nx.DiGraph()
-        if graph is None:
-            self.graph.add_node(self)
+        # Register immediately so isolated nodes (no edges yet) are
+        # still members of the graph — descendants() on a fresh node
+        # must return the empty set, not raise
+        self.graph.add_node(self)
         self.ids = set()
         self.dataset_labels = set()
         # TaxonomyGraph-wrapper extras

@@ -595,3 +595,23 @@ def environment_is_wsl():
             return 'microsoft' in f.read().lower()
     except OSError:
         return False
+
+
+def run_all_module_tests():
+    """
+    Convenience wrapper that runs this module's test suite (reference:
+    ct_utils.py:1820-1838 — there the tests are embedded in the module;
+    here they live in tests/test_ct_utils.py). Not invoked by pytest;
+    for interactive debugging.
+    """
+
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    test_file = os.path.join(repo_root, 'tests', 'test_ct_utils.py')
+    assert os.path.isfile(test_file), \
+        'Test file not found: {}'.format(test_file)
+    return subprocess.call(
+        [sys.executable, '-m', 'pytest', '-q', test_file])

@@ -159,3 +159,87 @@ def get_url_sizes(urls, n_workers=8, timeout=30):
             sizes = list(pool.map(
                 lambda u: get_url_size(u, timeout=timeout), urls))
     return dict(zip(urls, sizes))
+
+
+#%% Progress + local-server helpers
+
+
+class DownloadProgressBar:
+    """
+    urlretrieve-style progress callback (reference:
+    url_utils.py:37-66): an instance is passed as the reporthook and
+    renders a progress bar. Uses tqdm (always available here) rather
+    than the reference's optional progressbar2.
+    """
+
+    def __init__(self):
+        self.pbar = None
+
+    def __call__(self, block_num, block_size, total_size):
+        from tqdm import tqdm
+        if self.pbar is None:
+            self.pbar = tqdm(total=total_size if total_size > 0 else None,
+                             unit='B', unit_scale=True,
+                             desc='Downloading')
+        downloaded = block_num * block_size
+        if total_size > 0 and downloaded >= total_size:
+            self.pbar.update(self.pbar.total - self.pbar.n)
+            self.pbar.close()
+            self.pbar = None
+        else:
+            self.pbar.update(block_size)
+
+
+import http.server  # noqa: E402
+
+
+class QuietHTTPRequestHandler(http.server.SimpleHTTPRequestHandler):
+    """
+    SimpleHTTPRequestHandler subclass that suppresses console printouts
+    (reference: url_utils.py:462-470).
+    """
+
+    def log_message(self, format, *args):
+        pass
+
+
+class SingletonHTTPServer:
+    """
+    HTTP server serving one local folder on a local port, as a
+    singleton: starting a server on a new folder stops the previous one
+    (reference: url_utils.py:473-544 — used to serve preview folders
+    whose file paths exceed browser URL-length comfort).
+    """
+
+    _server = None
+    _thread = None
+
+    @classmethod
+    def start_server(cls, directory, port=8000, host='localhost'):
+        """Start (or restart) the server; returns the base URL."""
+
+        import socketserver
+        import threading
+        from functools import partial
+
+        cls.stop_server()
+        handler = partial(QuietHTTPRequestHandler, directory=directory)
+        socketserver.TCPServer.allow_reuse_address = True
+        cls._server = socketserver.TCPServer((host, port), handler)
+        cls._thread = threading.Thread(target=cls._server.serve_forever)
+        cls._thread.daemon = True
+        cls._thread.start()
+        print('Serving {} at http://{}:{}'.format(directory, host, port))
+        return 'http://{}:{}'.format(host, port)
+
+    @classmethod
+    def stop_server(cls):
+        """Stop the running server instance, if any."""
+
+        if cls._server is not None:
+            cls._server.shutdown()
+            cls._server.server_close()
+            cls._server = None
+        if cls._thread is not None:
+            cls._thread.join(timeout=5)
+            cls._thread = None
