@@ -121,6 +121,44 @@ def check_override(params, key, override):
     return override
 
 
+def trace_model(model_name, ckpt_path, num_classes, img_size):
+    """
+    Compile the trained classifier into a standalone serialized
+    artifact (reference: evaluate_model.py:87-120 — there a TorchScript
+    trace; the JAX-native equivalent is a serialized jax.export
+    StableHLO program, parameters baked in). Writes
+    <root>_compiled<ext> next to [ckpt_path] (reused if present) and
+    returns its path; load with jax.export.deserialize.
+    """
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from megadetector_tpu.models import efficientnet
+    from megadetector_tpu.models.convert_weights import load_checkpoint
+
+    root, ext = os.path.splitext(ckpt_path)
+    compiled_path = root + '_compiled' + ext
+    if os.path.exists(compiled_path):
+        return compiled_path
+
+    params, metadata = load_checkpoint(ckpt_path)
+    arch = (metadata or {}).get('arch', model_name)
+    config = efficientnet.EfficientNetConfig(arch,
+                                             num_classes=num_classes)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def forward(x):
+        return efficientnet.apply(config, params, x)
+
+    exported = jax_export.export(jax.jit(forward))(
+        jax.ShapeDtypeStruct((1, img_size, img_size, 3), jnp.float32))
+    with open(compiled_path, 'wb') as f:
+        f.write(exported.serialize())
+    return compiled_path
+
+
 def evaluate_model(checkpoint_path, dataset_dir, cropped_images_dir,
                    output_dir, splits=None, batch_size=32,
                    label_index_path=None):

@@ -150,3 +150,30 @@ def test_main_end_to_end(dataset, tmp_path):
     from megadetector_tpu.models.classifier import SpeciesClassifier
     clf = SpeciesClassifier(os.path.join(logdir, 'params.npz'))
     assert clf.class_names == ['bear', 'deer']
+
+
+def test_trace_model(dataset, tmp_path):
+    import jax
+    import numpy as np
+    from jax import export as jax_export
+
+    from megadetector_tpu.classification.evaluate_model import \
+        trace_model
+    from megadetector_tpu.classification.train_classifier import main
+
+    ds_dir, crops_dir = dataset
+    logdir = str(tmp_path / 'run')
+    main(ds_dir, crops_dir, epochs=1, batch_size=2, img_size=32,
+         logdir=logdir)
+
+    ckpt = os.path.join(logdir, 'params.npz')
+    compiled = trace_model('efficientnetv2_s', ckpt, 2, 32)
+    assert compiled.endswith('_compiled.npz')
+    # Reuse on second call
+    assert trace_model('efficientnetv2_s', ckpt, 2, 32) == compiled
+
+    with open(compiled, 'rb') as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    logits = exported.call(x)
+    assert np.asarray(logits).shape == (1, 2)
