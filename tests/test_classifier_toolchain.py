@@ -308,3 +308,59 @@ def test_run_classifier_over_crops(world, tmp_path_factory):
     header = open(csv_path).readline().strip()
     assert header == 'path,deer,bear,other'
     assert len(open(csv_path).readlines()) == 9
+
+
+def test_cache_batchapi_outputs(tmp_path):
+    import json
+    import os
+
+    from megadetector_tpu.classification.cache_batchapi_outputs import (
+        cache_detections, cache_json)
+
+    def md(files):
+        return {
+            'info': {'format_version': '1.6',
+                     'detector': 'md_v5a.0.0.pt'.replace('.pt', '')},
+            'detection_categories': {'1': 'animal'},
+            'images': [{'file': f, 'detections': []} for f in files],
+        }
+
+    base = str(tmp_path / 'cache')
+    det_file = str(tmp_path / 'det.json')
+    with open(det_file, 'w') as f:
+        json.dump(md(['a.jpg', 'b.jpg']), f)
+
+    cache_json(det_file, is_detections=True, dataset='ds1',
+               detector_output_cache_base_dir=base)
+    cache_path = os.path.join(base, 'v5a.0.0', 'ds1.json')
+    assert os.path.isfile(cache_path)
+    with open(cache_path) as f:
+        assert len(json.load(f)['images']) == 2
+
+    # Second cache call merges (non-unique files allowed)
+    msg = cache_detections(md(['b.jpg', 'c.jpg']), 'ds1',
+                           os.path.join(base, 'v5a.0.0'))
+    assert 'Merging' in msg
+    with open(cache_path) as f:
+        files = [im['file'] for im in json.load(f)['images']]
+    assert set(files) == {'a.jpg', 'b.jpg', 'c.jpg'}
+
+    # Version mismatch raises
+    import pytest
+    with pytest.raises(AssertionError):
+        cache_json(det_file, is_detections=True, dataset='ds1',
+                   detector_output_cache_base_dir=base,
+                   detector_version='4.1')
+
+    # Batch API response path resolves through fetch_fn
+    resp_file = str(tmp_path / 'resp.json')
+    with open(resp_file, 'w') as f:
+        json.dump({
+            'Status': {'request_status': 'completed', 'message': {
+                'output_file_urls': {
+                    'detections': 'http://x/task7/detections.json'}}},
+            'TaskId': 'task7'}, f)
+    cache_json(resp_file, is_detections=False, dataset='ds2',
+               detector_output_cache_base_dir=base,
+               fetch_fn=lambda url: md(['z.jpg']))
+    assert os.path.isfile(os.path.join(base, 'v5a.0.0', 'ds2.json'))
