@@ -160,6 +160,14 @@ def download_and_crop(queried_images_json, detection_cache,
         if detector_version is not None else ''
 
     def process_one(item):
+        # Any per-image failure must land in images_failed, never
+        # abort the pool
+        try:
+            return _process_one_inner(item)
+        except Exception as e:
+            return (item[0], 0, '{}: {}'.format(type(e).__name__, e))
+
+    def _process_one_inner(item):
         img_path, info = item
         if img_path in skip:
             return (img_path, 0, 'missing detections')

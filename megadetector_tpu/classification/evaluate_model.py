@@ -140,8 +140,21 @@ def trace_model(model_name, ckpt_path, num_classes, img_size):
 
     root, ext = os.path.splitext(ckpt_path)
     compiled_path = root + '_compiled' + ext
+    sidecar_path = root + '_compiled.trace.json'
+    trace_key = {'model_name': model_name, 'num_classes': num_classes,
+                 'img_size': img_size,
+                 'ckpt_mtime': os.path.getmtime(ckpt_path)}
     if os.path.exists(compiled_path):
-        return compiled_path
+        # Reuse only when the artifact matches this exact request and
+        # the checkpoint hasn't been rewritten since
+        try:
+            with open(sidecar_path) as f:
+                if json.load(f) == trace_key:
+                    return compiled_path
+        except (OSError, ValueError):
+            pass
+        print('Stale compiled artifact at {}; re-tracing'.format(
+            compiled_path))
 
     params, metadata = load_checkpoint(ckpt_path)
     arch = (metadata or {}).get('arch', model_name)
@@ -156,6 +169,8 @@ def trace_model(model_name, ckpt_path, num_classes, img_size):
         jax.ShapeDtypeStruct((1, img_size, img_size, 3), jnp.float32))
     with open(compiled_path, 'wb') as f:
         f.write(exported.serialize())
+    with open(sidecar_path, 'w') as f:
+        json.dump(trace_key, f)
     return compiled_path
 
 

@@ -404,14 +404,11 @@ def run_epoch(step_fn, params, opt_state, loader, num_classes,
                                                  imgs, labels)
             m = jax.device_get(metrics)
             loss_meter.update(float(m['loss']), n)
+            # Only top-1 during training — it comes free from the
+            # jitted step; a second forward per batch just for top-k
+            # would cost ~50% extra compute and measure post-update
+            # params inconsistently. Eval epochs report all of [top].
             acc_meters[1].update(float(m['accuracy']) * 100.0, n)
-            if len(top) > 1 and forward_fn is not None:
-                logits = np.asarray(jax.device_get(
-                    forward_fn(params, imgs)))
-                c = correct(logits, labels, top=top)
-                for k in top:
-                    if k != 1:
-                        acc_meters[k].update(100.0 * c[k] / n, n)
         else:
             assert forward_fn is not None
             logits = np.asarray(jax.device_get(
@@ -450,7 +447,8 @@ def log_run(split, epoch, writer, metrics):
     vals = {}
     for name, m in metrics.items():
         if isinstance(m, AverageMeter):
-            vals[name] = m.avg
+            if m.count > 0:
+                vals[name] = m.avg
         elif isinstance(m, (int, float)):
             vals[name] = float(m)
     line = '{} epoch {}: '.format(split, epoch) + ', '.join(

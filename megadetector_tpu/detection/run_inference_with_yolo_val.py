@@ -228,10 +228,13 @@ def get_stats_for_category(filename, category='all'):
         tokens_filtered = list(filter(None, s.split(' ')))
         if len(tokens_filtered) != 7:
             continue
+        # startswith() above is only a cheap prefilter: 'all' must not
+        # match an 'alligator' row
+        if tokens_filtered[0] != category:
+            continue
         assert found_map50 and found_map5095, \
             'Parsing error in YOLO console output file {}'.format(
                 filename)
-        assert category == tokens_filtered[0]
         return {
             'category': category,
             'n_images': int(tokens_filtered[1]),

@@ -14,6 +14,7 @@ import argparse
 import json
 import os
 import sys
+import threading
 
 from tqdm import tqdm
 
@@ -176,6 +177,7 @@ def write_status(options, s):
 
 
 n_images_processed = 0
+_progress_lock = threading.Lock()
 
 
 def _write_hierarchical_subject(img_path, image_categories):
@@ -234,7 +236,10 @@ def update_xmp_metadata(categories, options, rename_cats, n_images,
                         float(options.min_threshold):
                     image_categories.append(cat)
                     original_image_cats.append(cat_name)
-            if have_threshold and detection['conf'] > \
+            # Track the max confidence per category unconditionally:
+            # the rename check below needs it whether or not a
+            # min_threshold was set
+            if detection['conf'] > \
                     original_image_cats_conf.get(cat_name, 0):
                 original_image_cats_conf[cat_name] = detection['conf']
 
@@ -262,10 +267,15 @@ def update_xmp_metadata(categories, options, rename_cats, n_images,
                     parent_folder, base + '_check' + ext))
 
         if options.xmp_gui is not None:
-            n_images_processed += 1
-            percentage = round(n_images_processed / n_images * 100)
-            options.xmp_gui.progress_bar['value'] = percentage
-            options.xmp_gui.root.update_idletasks()
+            with _progress_lock:
+                n_images_processed += 1
+                percentage = round(n_images_processed / n_images * 100)
+
+            # Worker threads must not touch tkinter widgets directly;
+            # root.after() queues the update onto the GUI event loop
+            def _update(pct=percentage):
+                options.xmp_gui.progress_bar['value'] = pct
+            options.xmp_gui.root.after(0, _update)
 
     except Exception as e:
         s = 'Error processing image {}: {}'.format(filename, str(e))

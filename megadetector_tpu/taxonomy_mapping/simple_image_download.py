@@ -108,15 +108,15 @@ class Downloader:
     def search_urls(self, keywords, limit=1, verbose=False, cache=True,
                     timer=None):
         """
-        Search for each whitespace-separated keyword and cache
-        {file_name: [folder, (url, content)]} entries for the hits that
-        fetch as images (reference:
-        simple_image_download.py:123-150).
+        Search for each comma-separated keyword (a keyword may be a
+        multi-word query) and cache {file_name: [folder, (url,
+        content)]} entries for the hits that fetch as images
+        (reference: simple_image_download.py:123-150).
         """
 
         cache_out = {}
         search = [str(item).strip()
-                  for item in keywords.split(',')][0].split()
+                  for item in keywords.split(',') if str(item).strip()]
         for query in search:
             path = self.generate_dir(query)
             image_urls = self._search_fn(query, limit + 1)

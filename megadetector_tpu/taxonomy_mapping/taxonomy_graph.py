@@ -192,8 +192,10 @@ def build_taxonomy_graph(taxonomy_df):
     for row in rows:
         ds = row['dataset_name'].lower()
         ds_label = row['query'].lower()
+        # Empty source cells read as float NaN from pandas (truthy!) —
+        # only a non-empty string overrides the default
         id_source = row['source'] if 'source' in row and \
-            row['source'] else 'inat'
+            isinstance(row['source'], str) and row['source'] else 'inat'
         taxa_ancestry = row['taxonomy_string']
         if taxa_ancestry is None or (not isinstance(taxa_ancestry, str)
                                      and taxa_ancestry != taxa_ancestry):
@@ -222,11 +224,14 @@ def build_taxonomy_graph(taxonomy_df):
                 node.add_child(taxon_child)
             node.add_id(id_source, int(taxon_id))
             if i == 0:
-                assert row['taxonomy_level'] == taxon_level, \
+                # Compare case-insensitively: taxon_level/taxon_name
+                # were lowercased above, and capitalized CSV cells are
+                # semantically identical
+                assert row['taxonomy_level'].lower() == taxon_level, \
                     'taxonomy CSV level: {}, level from ' \
                     'taxonomy_string: {}'.format(row['taxonomy_level'],
                                                  taxon_level)
-                assert row['scientific_name'] == taxon_name
+                assert row['scientific_name'].lower() == taxon_name
                 node.add_dataset_label(ds, ds_label)
                 label_to_node[(ds, ds_label)] = node
             taxon_child = node

@@ -129,6 +129,37 @@ def download_test_data(options=None):
             with zipfile.ZipFile(zip_path) as zf:
                 zf.extractall(options.scratch_dir)
             print('Staged test package from {}'.format(test_data_url))
+
+            # Use the hosted package's own folders: any extracted
+            # directory containing images/videos becomes the test set
+            from megadetector_tpu.utils.path_utils import find_images
+            scratch = options.scratch_dir
+            image_dir = None
+            video_dir = None
+            for entry in sorted(os.listdir(scratch)):
+                p = os.path.join(scratch, entry)
+                if not os.path.isdir(p):
+                    continue
+                if image_dir is None and len(find_images(
+                        p, recursive=True)) > 0:
+                    image_dir = p
+                if video_dir is None and any(
+                        f.lower().endswith(('.mp4', '.avi', '.mov'))
+                        for _, _, files in os.walk(p) for f in files):
+                    video_dir = p
+            if image_dir is not None:
+                model_file = options.model_file
+                if model_file is None:
+                    # The hosted package carries expected-results files
+                    # but no model; the registry supplies it
+                    from megadetector_tpu.models.registry import \
+                        try_download_known_detector
+                    model_file = try_download_known_detector('MDV5A')
+                if video_dir is None:
+                    options.skip_video_tests = True
+                return scratch, image_dir, video_dir, model_file
+            print('Extracted package contains no images; building the '
+                  'synthetic package')
         except Exception as e:
             print('Hosted test package unavailable ({}); building the '
                   'synthetic package'.format(e))

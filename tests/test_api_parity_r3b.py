@@ -396,3 +396,89 @@ def test_misc_parity_names():
     batch.add_crop(np.zeros((8, 8, 3)), md)
     assert len(batch) == 1
     assert batch.metadata[0].original_width == 640
+
+
+# %% Regression tests for review findings
+
+
+def test_get_stats_for_category_prefix_collision(tmp_path):
+    from megadetector_tpu.detection.run_inference_with_yolo_val import \
+        get_stats_for_category
+
+    console = tmp_path / 'val.txt'
+    console.write_text(
+        'Class Images Labels P R mAP50 mAP50-95\n'
+        'alligator 10 12 0.5 0.6 0.55 0.4\n'
+        'all 30 40 0.7 0.8 0.75 0.6\n')
+    stats = get_stats_for_category(str(console), 'all')
+    assert stats['n_images'] == 30 and stats['mAP50'] == 0.75
+
+
+def test_xmp_rename_without_min_threshold(tmp_path):
+    from megadetector_tpu.integration.xmp_integration import (
+        process_input_data, xmp_integration_options)
+
+    images_dir = str(tmp_path / 'images')
+    _write_image(os.path.join(images_dir, 'hi.jpg'))
+    _write_image(os.path.join(images_dir, 'lo.jpg'))
+    results = _results_file(tmp_path, images_dir, [
+        {'file': 'hi.jpg', 'detections': [
+            {'category': '1', 'conf': 0.99,
+             'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'lo.jpg', 'detections': [
+            {'category': '1', 'conf': 0.2,
+             'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+    ])
+
+    options = xmp_integration_options()
+    options.image_folder = images_dir
+    options.input_file = results
+    options.rename_conf = '0.5'
+    options.rename_cats = 'all'
+    # No min_threshold: a confident image must NOT be renamed
+    process_input_data(options)
+    assert os.path.isfile(os.path.join(images_dir, 'hi.jpg'))
+    assert os.path.isfile(os.path.join(images_dir, 'lo_check.jpg'))
+
+
+def test_download_and_crop_contains_failures(tmp_path):
+    from megadetector_tpu.classification.detect_and_crop import \
+        download_and_crop
+
+    images_dir = str(tmp_path / 'images')
+    _write_image(os.path.join(images_dir, 'ds1', 'ok.jpg'))
+    queried = {
+        'ds1/ok.jpg': {'bbox': [{'bbox': [0.1, 0.1, 0.5, 0.5]}]},
+        # Malformed record (bbox not a list) must fail only this image
+        'ds1/bad.jpg': {'bbox': None},
+    }
+    failed, _, n_crops = download_and_crop(
+        queried, {}, {}, '5.0', str(tmp_path / 'crops'),
+        confidence_threshold=0.5, images_dir=images_dir)
+    assert failed == ['ds1/bad.jpg']
+    assert n_crops == 1
+
+
+def test_trace_model_invalidates_stale_cache(tmp_path):
+    import time
+
+    from megadetector_tpu.classification.evaluate_model import \
+        trace_model
+    from megadetector_tpu.models import efficientnet
+    from megadetector_tpu.models.convert_weights import save_checkpoint
+
+    config = efficientnet.EfficientNetConfig('efficientnetv2_s',
+                                             num_classes=2)
+    params = efficientnet.init_params(config)
+    ckpt = str(tmp_path / 'p.npz')
+    save_checkpoint(params, ckpt, {'arch': 'efficientnetv2_s'})
+
+    c1 = trace_model('efficientnetv2_s', ckpt, 2, 32)
+    mtime1 = os.path.getmtime(c1)
+    # Same request: reused
+    assert trace_model('efficientnetv2_s', ckpt, 2, 32) == c1
+    assert os.path.getmtime(c1) == mtime1
+    # Different img_size: re-traced
+    time.sleep(0.05)
+    trace_model('efficientnetv2_s', ckpt, 2, 48)
+    assert os.path.getmtime(c1) != mtime1
