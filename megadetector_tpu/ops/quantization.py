@@ -123,6 +123,16 @@ def is_quantized(params):
 # is elementwise and fuses into the conv, and maxpool / upsample /
 # concat operate on int8 directly. Activations then cost 1/2 the HBM
 # bytes of bf16 and convs run on the 2x int8 MXU path.
+#
+# Convs consume int8 inputs AT THE PRODUCER'S SCALE (scale folding):
+# since scales are trace-time Python floats and conv is linear in x,
+# the producer's scale folds into the epilogue multiplier, so no
+# int8->int8 requant ever runs before a conv. Requants exist only where
+# a single common grid is structurally required (concat of mixed-scale
+# pieces). This is both faster (a materialized requant costs a full
+# int8 HBM round trip; they used to appear after every concat/add/pool
+# node, whose output scale differs from the calibrated input absmax)
+# and strictly more accurate (requantization can only lose precision).
 
 
 @jax.tree_util.register_pytree_node_class
@@ -278,10 +288,20 @@ def qt_upsample2x(x):
 
 def chained_conv(params, x, stride, pad, act=True):
     """
-    int8-in / int8-out conv: requant (or quantize) the input to the
-    node's calibrated x_scale, int8 x int8 -> int32 on the MXU, f32
+    int8-in / int8-out conv: int8 x int8 -> int32 on the MXU, f32
     dequant + bias + SiLU epilogue (fused into the conv by XLA), output
     requantized to the node's calibrated y_scale.
+
+    QTensor inputs are consumed AT THEIR OWN static scale — the conv is
+    linear in x, so the producer's scale folds into the epilogue
+    multiplier. The calibrated x_scale is used only to quantize float
+    inputs (chain entry). Requantizing an int8 tensor onto the
+    calibrated grid could only lose information (round-tripping through
+    a different grid) and costs a full extra int8 HBM round trip per
+    materialized requant (after every concat/add/pool node, whose
+    output scale differs from the calibrated input absmax); folding
+    removes both. i32 accumulation cannot overflow: 9*1024 products of
+    |q| <= 127 stay < 2^31.
 
     params: {'w_q' int8 HWIO, 'w_scale' f32 [c_out], 'b' f32,
              'x_scale' float, 'y_scale' float}
@@ -290,10 +310,11 @@ def chained_conv(params, x, stride, pad, act=True):
     Returns QTensor (scale y_scale).
     """
 
-    x_scale = float(params['x_scale'])
     if isinstance(x, QTensor):
-        xq = qt_requant(x, x_scale).q
+        x_scale = float(x.scale)
+        xq = x.q
     else:
+        x_scale = float(params['x_scale'])
         xq = qt_quantize(x, x_scale).q
 
     from megadetector_tpu.models.yolov5 import conv_geom

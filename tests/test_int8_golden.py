@@ -84,21 +84,32 @@ def _tolerant_match(expected, got):
     matched = 0
     used = set()
     for d in exp:
+        # Best-IoU matching, not first-fit: random-weight models emit
+        # walls of near-tied overlapping boxes, and first-fit pairing
+        # can consume a candidate another expected box needed, under-
+        # counting matches even when the two sets are nearly identical.
+        best_j, best_iou = None, -1.0
         for j, e in enumerate(cand):
             if j in used or e['category'] != d['category']:
                 continue
             if abs(e['conf'] - d['conf']) > INT8_CONF_TOL:
                 continue
-            try:
-                iou = ct_utils.get_iou(d['bbox'], e['bbox'])
-            except AssertionError:
+            if not all(abs(a - b) <= INT8_COORD_TOL
+                       for a, b in zip(d['bbox'], e['bbox'])):
                 continue
-            if iou >= INT8_IOU_MATCH and all(
-                    abs(a - b) <= INT8_COORD_TOL
-                    for a, b in zip(d['bbox'], e['bbox'])):
-                matched += 1
-                used.add(j)
-                break
+            # Degenerate (zero-area) boxes — candidates clipped to the
+            # canvas edge, common with random weights — have no defined
+            # IoU; the coord-tolerance check above is the whole match.
+            if min(d['bbox'][2], d['bbox'][3],
+                   e['bbox'][2], e['bbox'][3]) <= 0:
+                iou = 1.0
+            else:
+                iou = ct_utils.get_iou(d['bbox'], e['bbox'])
+            if iou >= INT8_IOU_MATCH and iou > best_iou:
+                best_j, best_iou = j, iou
+        if best_j is not None:
+            matched += 1
+            used.add(best_j)
     return len(exp), matched
 
 

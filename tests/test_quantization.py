@@ -337,3 +337,54 @@ def test_quantize_checkpoint_rejects_non_yolov5(tmp_path):
                     {'arch': 'yolov8l', 'num_classes': 3})
     with pytest.raises(ValueError, match='yolov5'):
         quantize_checkpoint(path, str(tmp_path / 'q.npz'))
+
+
+def test_chained_conv_folds_producer_scale():
+    """
+    Scale folding: a chained conv must consume a QTensor at the
+    producer's own static scale (folded into the epilogue multiplier)
+    rather than requantizing onto the calibrated x_scale grid. Feeding
+    the same underlying values at two different producer scales must
+    give identical outputs, and the result must equal the explicit
+    linear-algebra reference at the producer's scale.
+    """
+
+    import jax.numpy as jnp
+
+    from megadetector_tpu.ops import quantization as q
+
+    rng = np.random.RandomState(7)
+    w = rng.uniform(-0.5, 0.5, (3, 3, 128, 128)).astype(np.float32)
+    w_q, w_scale = q.quantize_conv_weight(w)
+    params = q.QConvParams({
+        'w_q': jnp.asarray(w_q), 'w_scale': jnp.asarray(w_scale),
+        'b': jnp.zeros((128,), jnp.float32),
+        # deliberately different from the producer scales below: with
+        # requant-to-x_scale semantics the two runs would disagree
+        'x_scale': 0.0123, 'y_scale': 0.02})
+
+    q_vals = rng.randint(-100, 101, (1, 16, 16, 128)).astype(np.int8)
+    s1 = 0.005
+    x1 = q.QTensor(jnp.asarray(q_vals), s1)
+
+    y1 = np.asarray(q.chained_conv(params, x1, 1, 1).q)
+    # the x_scale param must not influence QTensor consumption
+    params_other = q.QConvParams(dict(params, x_scale=0.9))
+    y1b = np.asarray(q.chained_conv(params_other, x1, 1, 1).q)
+    assert np.array_equal(y1, y1b), \
+        'calibrated x_scale leaked into QTensor consumption'
+
+    # explicit reference at the producer's scale
+    import jax as _jax
+    acc = _jax.lax.conv_general_dilated(
+        x1.q, params['w_q'], window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+    yf = np.asarray(acc, np.float32) * (np.asarray(w_scale) * s1)
+    yf = yf * (1.0 / (1.0 + np.exp(-yf)))
+    ref = np.clip(np.round(yf / 0.02), -127, 127).astype(np.int8)
+    mismatch = (ref.astype(np.int32) - y1.astype(np.int32))
+    # f32 sigmoid rounding may flip a cell by 1 ulp of the int8 grid
+    assert np.abs(mismatch).max() <= 1
+    assert (mismatch != 0).mean() < 0.01
