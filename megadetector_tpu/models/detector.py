@@ -165,6 +165,7 @@ class TPUDetector:
         # 'pre_nms_truncation' field with the true count
         self.n_truncated_images = 0
         self._fused_decode = False  # set per-architecture in _load_model
+        self._conv_backend = 'xla'  # may be overridden in _load_model
 
         # Pad partial batches up to this size so one compiled program
         # serves every step (tail batches otherwise each trigger a new
@@ -290,6 +291,14 @@ class TPUDetector:
             if _to_bool(options.get('folded_early', not strict)):
                 from megadetector_tpu.ops import folding
                 params = folding.fold_early_params(params, self.config)
+            # Chained-int8 conv backend: 'xla' (default) or 'pallas'
+            # (TPU-only custom kernel for the 3x3 stride-1 chain convs;
+            # see ops/pallas_conv.py). Trace-time and process-global —
+            # re-asserted before every program build below.
+            self._conv_backend = str(
+                options.get('conv_backend', 'xla')).lower()
+            from megadetector_tpu.ops import quantization as _q
+            _q.set_conv_backend(self._conv_backend)
         self.letterbox_stride = int(self.config.max_stride)
 
         image_size = options.get('image_size',
@@ -324,12 +333,24 @@ class TPUDetector:
 
     #%% Compiled program management
 
+    def _assert_trace_globals(self):
+        """
+        Re-assert this instance's process-global trace-time settings
+        (currently the chained-conv backend) before building a program,
+        so two detectors with different options in one process each
+        trace with their own choice.
+        """
+
+        from megadetector_tpu.ops import quantization as _q
+        _q.set_conv_backend(getattr(self, '_conv_backend', 'xla'))
+
     def _get_compiled(self, batch_size, height, width,
                       pre_nms_topk=None):
         pre_nms_topk = pre_nms_topk or self.pre_nms_topk
         key = (batch_size, height, width, pre_nms_topk)
         if key in self._compiled:
             return self._compiled[key]
+        self._assert_trace_globals()
 
         config = self.config
         dtype = self.compute_dtype
@@ -403,6 +424,7 @@ class TPUDetector:
         key = ('aug', batch_size, height, width)
         if key in self._compiled:
             return self._compiled[key]
+        self._assert_trace_globals()
 
         config = self.config
         dtype = self.compute_dtype
@@ -479,6 +501,7 @@ class TPUDetector:
                pre_nms_topk)
         if key in self._compiled:
             return self._compiled[key]
+        self._assert_trace_globals()
 
         from megadetector_tpu.ops.preprocess_device import letterbox_one
 
@@ -1035,4 +1058,16 @@ def tta_concatenated_predictions(config, apply_fn, params, x, height,
 def _to_bool(v):
     if isinstance(v, bool):
         return v
-    return str(v).strip().lower() in ('true', '1', 'yes')
+    s = str(v).strip().lower()
+    if s in ('true', '1', 'yes'):
+        return True
+    if s in ('false', '0', 'no', ''):
+        return False
+    # A garbage boolean silently meaning False is dangerous: a quoted
+    # --detector_options "force_cpu=true conv_backend=pallas" parses as
+    # force_cpu='true conv_backend=pallas' and would silently run on
+    # the accelerator. Options are space-separated k=v tokens.
+    raise ValueError(
+        "Unrecognized boolean option value {!r}; use true/false "
+        "(detector options are space-separated key=value tokens, e.g. "
+        "--detector_options force_cpu=true conv_backend=pallas)".format(v))

@@ -319,6 +319,11 @@ def chained_conv(params, x, stride, pad, act=True):
 
     from megadetector_tpu.models.yolov5 import conv_geom
     strides, pads = conv_geom(stride, pad, params['w_q'].shape[0])
+
+    routed = _pallas_chain_conv(params, xq, x_scale, strides, pads, act)
+    if routed is not None:
+        return routed
+
     y_i32 = jax.lax.conv_general_dilated(
         xq, params['w_q'],
         window_strides=strides,
@@ -333,6 +338,52 @@ def chained_conv(params, x, stride, pad, act=True):
     if act:
         y = y * jax.nn.sigmoid(y)
     return qt_quantize(y, float(params['y_scale']))
+
+
+# Conv execution backend for chained int8 convs: 'xla' (default),
+# 'pallas' (TPU-only; XLA fallback off-TPU and for unsupported shapes),
+# or 'pallas-interpret' (tests: Pallas semantics on any backend).
+# Process-global because it is a trace-time choice deep inside the
+# model apply functions; TPUDetector re-asserts its own setting before
+# every program build.
+_CONV_BACKEND = 'xla'
+
+
+def set_conv_backend(backend):
+    """Select the chained-conv execution backend (see _CONV_BACKEND)."""
+
+    global _CONV_BACKEND
+    assert backend in ('xla', 'pallas', 'pallas-interpret'), backend
+    _CONV_BACKEND = backend
+
+
+def get_conv_backend():
+    return _CONV_BACKEND
+
+
+def _pallas_chain_conv(params, xq, x_scale, strides, pads, act):
+    """
+    Route a chained conv to the Pallas kernel when selected and
+    supported. Returns a QTensor or None (caller falls back to XLA).
+    """
+
+    if _CONV_BACKEND == 'xla' or not act:
+        return None
+    interpret = _CONV_BACKEND == 'pallas-interpret'
+    if not interpret and jax.default_backend() != 'tpu':
+        return None
+    if strides != (1, 1) or list(map(tuple, pads)) != [(1, 1), (1, 1)]:
+        return None
+    from megadetector_tpu.ops import pallas_conv
+    if not pallas_conv.supports(xq.shape, params['w_q'].shape, 1, 1):
+        return None
+    y_scale = float(params['y_scale'])
+    scale = (jnp.asarray(params['w_scale'], jnp.float32)
+             * np.float32(x_scale))
+    y_q = pallas_conv.conv3x3_chain(
+        xq, params['w_q'], scale, params['b'], y_scale,
+        interpret=interpret)
+    return QTensor(y_q, y_scale)
 
 
 DEFAULT_FLOAT_STORE_LAYERS = ('l0', 'l1', 'l2')
