@@ -21,6 +21,20 @@ backends the XLA path is used regardless). Numerics: identical math to
 the XLA path (f32 epilogue, same rounding); interpret-mode tests pin
 exact equality.
 
+STATUS (2026-08-18, hardware-measured): correct and opt-in, NOT the
+default. Isolated conv chains win +4-9% over XLA, but the full
+production step measures e2e-neutral (384.0 vs 386.4 img/s @b64,
+experiments/exp_e2e_pallas_conv.py): the pallas_call boundary blocks
+XLA's cross-op fusion of the surrounding concat/add epilogues, and
+producer-scale folding already removed the input-requant advantage the
+isolated benchmark included. The known next lever — a bf16 VPU
+epilogue, worth ~15% at the high-res layers (exp_pallas_conv3x3b nosilu
+bound) — is blocked by a Mosaic verifier bug on this toolchain: ANY
+bf16 vector math in the epilogue (even sigmoid alone, with explicit
+2D broadcasts) fails with "'vector.broadcast' op failed to verify"
+(exp_pallas_conv3x3d.py). Revisit on toolchain updates; flip the
+default only if e2e wins and the int8 stored golden holds.
+
 No reference counterpart: the reference runs torch convs
 (megadetector/detection/pytorch_detector.py:1313); this is TPU-side
 layout engineering for the same operation.
