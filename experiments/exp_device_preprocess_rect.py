@@ -29,6 +29,11 @@ i.e. 93% of the post-letterbox 439.5 img/s with the host doing only
 scaled JPEG decode. This is the production serving configuration on
 CPU-poor TPU hosts: --use_native_loader +
 --detector_options preprocess_mode=device.
+
+REFRESH (2026-08-18, after producer-scale folding in the int8 chain):
+    device-preprocess (dct staging) int8 batch 64:  400.4 img/s
+    device-preprocess (dct staging) int8 batch 128: 423.9 img/s
+(91% of the folded post-letterbox 464.5; exp_device_preprocess_dct2.py)
 """
 
 import sys
