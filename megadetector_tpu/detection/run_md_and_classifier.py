@@ -36,7 +36,12 @@ from megadetector_tpu.visualization import visualization_utils as vis_utils
 
 DEFAULT_CLASSIFICATION_THRESHOLD = 0.1
 DEFAULT_OUTPUT_THRESHOLD = 0.005
-DEFAULT_CLASSIFIER_BATCH_SIZE = 8
+# The reference defaults to 8 for its GPU classifier
+# (run_md_and_speciesnet.py:69); the TPU wants larger batches —
+# hardware-measured at 480px bf16: b32 = 1078 crops/s, b64 = 1427
+# (experiments/exp_classifier_throughput.py). Tail batches pad to this
+# size so one compiled program serves every flush.
+DEFAULT_CLASSIFIER_BATCH_SIZE = 64
 
 # Only animal detections get classified by default
 # (reference: run_md_and_speciesnet.py)
@@ -113,7 +118,8 @@ def _consume_crop_queue(crop_q, n_producers, classifier, options):
             return
         dets = [p[0] for p in pending]
         crops = [p[1] for p in pending]
-        probs = classifier.classify_batch(crops)
+        probs = classifier.classify_batch(
+            crops, pad_to=options.classifier_batch_size)
         for det, p in zip(dets, probs):
             det['classifications'] = classifier.top_k(
                 p, k=options.top_k_classifications)

@@ -109,10 +109,14 @@ class SpeciesClassifier:
         out, _, _ = letterbox(crop, (s, s), auto=False, scaleup=True)
         return out
 
-    def classify_batch(self, crops):
+    def classify_batch(self, crops, pad_to=None):
         """
         Classify a list of HWC uint8 crops (pre-resized or raw). Returns
         [N, num_classes] numpy probabilities.
+
+        pad_to: when set, pad the batch with zero crops up to this size
+        so one compiled program serves every flush — without it, each
+        distinct tail-batch size triggers its own XLA compile.
         """
 
         if len(crops) == 0:
@@ -126,9 +130,15 @@ class SpeciesClassifier:
             processed.append(crop)
         batch = np.stack(processed).astype(np.uint8)
 
+        n = batch.shape[0]
+        if pad_to is not None and n < pad_to:
+            batch = np.concatenate(
+                [batch, np.zeros((pad_to - n,) + batch.shape[1:],
+                                 np.uint8)], axis=0)
+
         fn = self._get_compiled(batch.shape[0])
         probs = fn(self.params, batch)
-        return np.asarray(jax.device_get(probs), np.float32)
+        return np.asarray(jax.device_get(probs), np.float32)[:n]
 
     def top_k(self, probs, k=5):
         """[(class_id_str, conf), ...] descending, for one probs row."""

@@ -45,6 +45,35 @@ def tiny_detector(tmp_path_factory):
     return path
 
 
+def test_classify_batch_pad_to(tiny_classifier):
+    """pad_to pads tail batches up to one compiled size; results must
+    equal running the same crops through the full-size program manually
+    (same program, so bit-identical), trimmed to N. Comparing against
+    the UNpadded 3-crop program instead would be wrong-headed: that is
+    a different XLA program, and random-init nets amplify f32
+    reduction-order differences into argmax flips."""
+
+    from megadetector_tpu.models.classifier import SpeciesClassifier
+    classifier = SpeciesClassifier(tiny_classifier)
+    rng = np.random.RandomState(1)
+    crops = [rng.randint(0, 255, (40, 30, 3), dtype=np.uint8)
+             for _ in range(3)]
+    padded = classifier.classify_batch(crops, pad_to=8)
+    assert padded.shape == (3, 4)
+    # one program exists, at the padded size (no tail-size compile)
+    assert list(classifier._compiled.keys()) == [8]
+    # manual reference through the same 8-wide program
+    s = classifier.image_size
+    zero = np.zeros((s, s, 3), np.uint8)
+    manual = classifier.classify_batch(
+        [classifier.preprocess_crop(c) for c in crops] + [zero] * 5)
+    assert list(classifier._compiled.keys()) == [8]
+    np.testing.assert_array_equal(padded, manual[:3])
+    # pad_to smaller than the batch is a no-op
+    same = classifier.classify_batch(crops, pad_to=2)
+    assert same.shape == (3, 4)
+
+
 def test_classifier_batch(tiny_classifier):
     from megadetector_tpu.models.classifier import SpeciesClassifier
     classifier = SpeciesClassifier(tiny_classifier)
