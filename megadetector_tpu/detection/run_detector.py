@@ -229,6 +229,17 @@ def load_detector(model_file, force_cpu=False, detector_options=None,
         elapsed = time.time() - start
         print('Loaded model in {:.2f} seconds'.format(elapsed))
         return detector
+    elif model_file.endswith('.mdpkg'):
+        # AOT artifact: serialized StableHLO programs with weights baked
+        # in (detection/export_detector.py)
+        from megadetector_tpu.detection.export_detector import \
+            ExportedDetector
+        detector = ExportedDetector(model_file,
+                                    detector_options=detector_options,
+                                    verbose=verbose)
+        elapsed = time.time() - start
+        print('Loaded model in {:.2f} seconds'.format(elapsed))
+        return detector
 
     detector = TPUDetector(model_file, detector_options=detector_options,
                            verbose=verbose)
