@@ -169,6 +169,54 @@ def test_failure_containment(artifact):
     assert 'failure' in results[0]
 
 
+def test_cross_platform_export(tiny_checkpoint, tmp_path):
+    """A CPU host can export artifacts that also carry TPU lowerings
+    (build the .mdpkg on a CPU box, ship it to the TPU fleet)."""
+
+    import json
+    from megadetector_tpu.detection.export_detector import (
+        export_detector, ExportedDetector, MANIFEST_NAME)
+    out = str(tmp_path / 'xplat.mdpkg')
+    manifest = export_detector(
+        tiny_checkpoint, out, batch_sizes=[1], aspects=[],
+        platforms=['cpu', 'tpu'])
+    assert manifest['platforms'] == ['cpu', 'tpu']
+    with zipfile.ZipFile(out) as z:
+        assert json.loads(z.read(MANIFEST_NAME))['platforms'] == \
+            ['cpu', 'tpu']
+    # Multi-platform programs still execute on the current (cpu) backend
+    detector = ExportedDetector(out)
+    result = detector.generate_detections_one_image(
+        np.zeros((200, 200, 3), dtype=np.uint8), 'z.jpg',
+        detection_threshold=0.005)
+    assert result['detections'] is not None
+
+
+def test_serving_from_artifact(artifact):
+    """The serving daemon runs straight from an .mdpkg artifact."""
+
+    import io
+    from PIL import Image
+    from megadetector_tpu.serving.server import MDServer, ServingOptions
+    from megadetector_tpu.serving import client as md_client
+
+    options = ServingOptions()
+    options.port = 0
+    options.max_batch_size = 2
+    options.batch_wait_ms = 5.0
+    options.force_cpu = True
+    rng = np.random.RandomState(7)
+    buf = io.BytesIO()
+    Image.fromarray(rng.randint(0, 255, (240, 320, 3), dtype=np.uint8)) \
+        .save(buf, format='JPEG')
+    with MDServer(artifact[0], options) as server:
+        url = 'http://127.0.0.1:{}'.format(server.port)
+        record = md_client.detect_image_bytes(
+            url, buf.getvalue(), image_id='cam/a.jpg')
+    assert record['file'] == 'cam/a.jpg'
+    assert isinstance(record['detections'], list)
+
+
 def test_export_cli(tiny_checkpoint, tmp_path):
     import subprocess
     import sys
