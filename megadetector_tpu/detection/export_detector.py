@@ -30,6 +30,7 @@ Run (everything that calls load_detector accepts the artifact):
 """
 
 import argparse
+import hashlib
 import json
 import os
 import time
@@ -160,8 +161,8 @@ def export_detector(model_file, output_file, batch_sizes=(1, 8),
 
     n_programs = len(batch_sizes) * len(canvases) * len(topk_ladder)
     start = time.time()
+    program_hashes = {}
     with zipfile.ZipFile(output_file, 'w', zipfile.ZIP_DEFLATED) as z:
-        z.writestr(MANIFEST_NAME, json.dumps(manifest, indent=1))
         i_program = 0
         for batch_size in batch_sizes:
             for (height, width) in canvases:
@@ -186,9 +187,17 @@ def export_detector(model_file, output_file, batch_sizes=(1, 8),
                             (batch_size, height, width, 3), jnp.uint8),
                         jax.ShapeDtypeStruct((), jnp.float32),
                         jax.ShapeDtypeStruct((), jnp.float32))
-                    z.writestr(
-                        _program_name(batch_size, height, width, topk),
-                        exported.serialize())
+                    name = _program_name(batch_size, height, width,
+                                         topk)
+                    blob = exported.serialize()
+                    program_hashes[name] = hashlib.sha256(
+                        bytes(blob)).hexdigest()
+                    z.writestr(name, blob)
+        # Written last so it can carry per-program integrity hashes,
+        # verified at load time (a silently corrupt serialized program
+        # must never reach the compiler)
+        manifest['program_sha256'] = program_hashes
+        z.writestr(MANIFEST_NAME, json.dumps(manifest, indent=1))
 
     if verbose:
         print('Exported {} programs to {} in {:.1f}s ({:.1f} MB)'.format(
@@ -238,6 +247,15 @@ class ExportedDetector(TPUDetector):
             self._program_bytes = {
                 name: z.read(name) for name in z.namelist()
                 if name.startswith('programs/')}
+            hashes = manifest.get('program_sha256') or {}
+            for name, blob in self._program_bytes.items():
+                expected = hashes.get(name)
+                got = hashlib.sha256(blob).hexdigest()
+                if expected is not None and got != expected:
+                    raise ValueError(
+                        'Corrupt artifact: {} sha256 mismatch '
+                        '(manifest {}..., got {}...)'.format(
+                            name, expected[:12], got[:12]))
 
         self._manifest = manifest
         self._programs = {}  # (b, h, w, k) -> deserialized Exported

@@ -169,6 +169,23 @@ def test_failure_containment(artifact):
     assert 'failure' in results[0]
 
 
+def test_corrupt_program_rejected(artifact, tmp_path):
+    """A tampered serialized program must never reach the compiler."""
+
+    from megadetector_tpu.detection.export_detector import (
+        ExportedDetector, MANIFEST_NAME)
+    tampered = str(tmp_path / 'tampered.mdpkg')
+    with zipfile.ZipFile(artifact[0]) as src, \
+            zipfile.ZipFile(tampered, 'w') as dst:
+        for name in src.namelist():
+            blob = src.read(name)
+            if name != MANIFEST_NAME and name.endswith('.stablehlo'):
+                blob = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+            dst.writestr(name, blob)
+    with pytest.raises(ValueError, match='sha256 mismatch'):
+        ExportedDetector(tampered)
+
+
 def test_cross_platform_export(tiny_checkpoint, tmp_path):
     """A CPU host can export artifacts that also carry TPU lowerings
     (build the .mdpkg on a CPU box, ship it to the TPU fleet)."""
