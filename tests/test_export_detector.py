@@ -240,10 +240,14 @@ def test_export_cli(tiny_checkpoint, tmp_path):
     out = str(tmp_path / 'cli.mdpkg')
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
+    # JAX_PLATFORMS alone is overridden by site customization on this
+    # box; force_cpu routes through jax.config.update, which is
+    # authoritative — the suite must never touch the remote TPU
     result = subprocess.run(
         [sys.executable, '-m',
          'megadetector_tpu.detection.export_detector',
-         tiny_checkpoint, out, '--batch_sizes', '1', '--aspects', '1:1'],
+         tiny_checkpoint, out, '--batch_sizes', '1', '--aspects', '1:1',
+         '--detector_options', 'force_cpu=true'],
         capture_output=True, text=True, env=env, timeout=600)
     assert result.returncode == 0, result.stderr
     assert os.path.isfile(out)
