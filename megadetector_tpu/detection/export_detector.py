@@ -247,11 +247,26 @@ class ExportedDetector(TPUDetector):
             self._program_bytes = {
                 name: z.read(name) for name in z.namelist()
                 if name.startswith('programs/')}
+            # Integrity is two-sided: every program in the archive must
+            # carry a manifest hash that matches (format_version 1 always
+            # writes them — an unhashed member means tampering), and
+            # every hashed name must exist in the archive (a missing
+            # program would otherwise surface as a confusing per-batch
+            # KeyError at inference time)
             hashes = manifest.get('program_sha256') or {}
+            missing = sorted(set(hashes) - set(self._program_bytes))
+            if missing:
+                raise ValueError(
+                    'Corrupt artifact: manifest lists programs absent '
+                    'from the archive: {}'.format(missing))
             for name, blob in self._program_bytes.items():
                 expected = hashes.get(name)
+                if expected is None:
+                    raise ValueError(
+                        'Corrupt artifact: {} has no integrity hash in '
+                        'the manifest'.format(name))
                 got = hashlib.sha256(blob).hexdigest()
-                if expected is not None and got != expected:
+                if got != expected:
                     raise ValueError(
                         'Corrupt artifact: {} sha256 mismatch '
                         '(manifest {}..., got {}...)'.format(
@@ -267,13 +282,50 @@ class ExportedDetector(TPUDetector):
         options.setdefault('compatibility_mode',
                            manifest['compatibility_mode'])
         options['pre_nms_topk'] = self._topk_ladder[0]
-        options.setdefault('max_pre_nms_topk', self._topk_ladder[-1])
+        # User-supplied values beyond the exported shapes would only
+        # fail at runtime (escalation/padding requesting a program that
+        # was never exported, contained as per-batch inference
+        # failures); reject them up front instead
+        max_topk = options.setdefault('max_pre_nms_topk',
+                                      self._topk_ladder[-1])
+        if int(max_topk) > self._topk_ladder[-1]:
+            raise ValueError(
+                'max_pre_nms_topk {} exceeds the largest exported '
+                'candidate capacity {} (re-export with --topk_ladder '
+                'covering it)'.format(max_topk, self._topk_ladder[-1]))
+        pad_to = options.get('pad_batches_to')
+        if pad_to is not None and \
+                int(pad_to) > self._exported_batch_sizes[-1]:
+            raise ValueError(
+                'pad_batches_to {} exceeds the largest exported batch '
+                'size {} (re-export with --batch_sizes covering '
+                'it)'.format(pad_to, self._exported_batch_sizes[-1]))
         options.setdefault('use_model_native_classes',
                            manifest.get('use_model_native_classes',
                                         False))
 
         super().__init__(artifact_path, detector_options=options,
                          verbose=verbose)
+
+        # The artifact only carries lowerings for the platforms it was
+        # exported with; a mismatched backend (e.g. a tpu-only .mdpkg
+        # loaded with force_cpu) would otherwise construct fine and fail
+        # confusingly at the first prog.call, contained as per-batch
+        # inference failures
+        # Experimental PJRT plugins expose the TPU under their own
+        # backend name (e.g. 'axon'); lowerings are still 'tpu'
+        def _canon(p):
+            p = str(p).lower()
+            return {'axon': 'tpu', 'gpu': 'cuda'}.get(p, p)
+
+        backend = _canon(jax.default_backend())
+        platforms = [_canon(p) for p in manifest['platforms']]
+        if backend not in platforms:
+            raise ValueError(
+                'Artifact {} was exported for platform(s) {} but the '
+                'current JAX backend is {}; re-export with '
+                '--platforms {} (or include both)'.format(
+                    artifact_path, platforms, backend, backend))
 
     #%% Loading
 
@@ -293,6 +345,31 @@ class ExportedDetector(TPUDetector):
                       manifest['platforms']))
 
     #%% Program management
+
+    def _check_image_size(self, image_size):
+        """A per-call image_size (run_detector_batch --image_size,
+        generate_detections_one_image(image_size=...)) would letterbox
+        onto a canvas no exported program matches; without this check
+        the mismatch only surfaces inside _run_batch, where failure
+        containment silently turns the whole batch into inference
+        failures. Mirror the augment= early-raise pattern instead."""
+
+        if image_size is not None and \
+                int(image_size) != self.default_image_size:
+            raise ValueError(
+                'image_size {} differs from the exported canvas size '
+                '{}; AOT artifacts run at their export-time image size '
+                'only (re-export with detector_options image_size={} '
+                'if you need it)'.format(
+                    image_size, self.default_image_size, image_size))
+
+    def _effective_topk(self, topk):
+        """Round an escalation capacity up to the exported ladder entry
+        that will actually execute, so the escalation loop never re-runs
+        the identical mapped program for a sparse ladder."""
+
+        usable = [k for k in self._topk_ladder if k >= topk]
+        return usable[0] if usable else topk
 
     def _canvas_key(self, batch_size, height, width, topk):
         """Map a requested program shape onto an exported one: the
@@ -358,6 +435,13 @@ class ExportedDetector(TPUDetector):
 
     #%% Inference
 
+    def preprocess_image(self, img_original, image_id='unknown',
+                         image_size=None, verbose=False):
+        self._check_image_size(image_size)
+        return super().preprocess_image(
+            img_original, image_id=image_id, image_size=image_size,
+            verbose=verbose)
+
     def generate_detections_one_batch(self, img_originals, image_ids=None,
                                       detection_threshold=0.00001,
                                       image_size=None, augment=False,
@@ -367,6 +451,7 @@ class ExportedDetector(TPUDetector):
         # 'inference failure' records
         if augment:
             self._get_compiled_augment(0, 0, 0)
+        self._check_image_size(image_size)
         return super().generate_detections_one_batch(
             img_originals, image_ids=image_ids,
             detection_threshold=detection_threshold,

@@ -344,6 +344,13 @@ class TPUDetector:
         from megadetector_tpu.ops import quantization as _q
         _q.set_conv_backend(getattr(self, '_conv_backend', 'xla'))
 
+    def _effective_topk(self, topk):
+        """The candidate capacity that would actually execute for a
+        requested [topk]. Identity for live models (any capacity
+        compiles); AOT artifacts round up to their exported ladder."""
+
+        return topk
+
     def _get_compiled(self, batch_size, height, width,
                       pre_nms_topk=None):
         pre_nms_topk = pre_nms_topk or self.pre_nms_topk
@@ -873,7 +880,10 @@ class TPUDetector:
                 new_topk = min(new_topk, self.max_pre_nms_topk)
                 if new_topk <= topk:
                     break
-                topk = new_topk
+                # Subclasses with a discrete capacity set (AOT artifacts)
+                # round up to the capacity that will actually execute, so
+                # the loop never re-runs an identical program
+                topk = self._effective_topk(new_topk)
                 out = jax.device_get(run_program(topk))
 
         # TTA counts the same objects once per augmentation pass, so the

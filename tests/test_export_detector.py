@@ -186,6 +186,114 @@ def test_corrupt_program_rejected(artifact, tmp_path):
         ExportedDetector(tampered)
 
 
+def test_unhashed_program_rejected(artifact, tmp_path):
+    """Integrity must be two-sided: a program without a manifest hash
+    is tampering, not a pass."""
+
+    import json
+    from megadetector_tpu.detection.export_detector import (
+        ExportedDetector, MANIFEST_NAME)
+    stripped = str(tmp_path / 'unhashed.mdpkg')
+    with zipfile.ZipFile(artifact[0]) as src, \
+            zipfile.ZipFile(stripped, 'w') as dst:
+        for name in src.namelist():
+            blob = src.read(name)
+            if name == MANIFEST_NAME:
+                manifest = json.loads(blob)
+                hashes = manifest['program_sha256']
+                hashes.pop(sorted(hashes)[0])
+                blob = json.dumps(manifest)
+            dst.writestr(name, blob)
+    with pytest.raises(ValueError, match='no integrity hash'):
+        ExportedDetector(stripped)
+
+
+def test_missing_program_rejected(artifact, tmp_path):
+    """A manifest-listed program absent from the archive must fail at
+    load, not as a confusing per-batch inference failure later."""
+
+    from megadetector_tpu.detection.export_detector import \
+        ExportedDetector
+    truncated = str(tmp_path / 'missing.mdpkg')
+    with zipfile.ZipFile(artifact[0]) as src, \
+            zipfile.ZipFile(truncated, 'w') as dst:
+        programs = sorted(n for n in src.namelist()
+                          if n.startswith('programs/'))
+        for name in src.namelist():
+            if name == programs[0]:
+                continue
+            dst.writestr(name, src.read(name))
+    with pytest.raises(ValueError, match='absent from the archive'):
+        ExportedDetector(truncated)
+
+
+def test_per_call_image_size_rejected(artifact):
+    """A per-call image_size can't be served by the exported canvases;
+    it must raise up front, not melt into per-image failure records."""
+
+    from megadetector_tpu.detection.export_detector import \
+        ExportedDetector
+    detector = ExportedDetector(artifact[0])
+    img = np.zeros((240, 320, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match='image_size'):
+        detector.preprocess_image(img, 'a.jpg', image_size=640)
+    with pytest.raises(ValueError, match='image_size'):
+        detector.generate_detections_one_batch(
+            [img], ['a.jpg'], detection_threshold=0.005, image_size=640)
+    # The export-time size itself is fine
+    info = detector.preprocess_image(img, 'a.jpg', image_size=IMAGE_SIZE)
+    assert info['img_processed'] is not None
+
+
+def test_options_beyond_export_rejected(artifact):
+    """Capacity/padding requests beyond the exported shapes fail at
+    construction with a re-export pointer."""
+
+    from megadetector_tpu.detection.export_detector import \
+        ExportedDetector
+    with pytest.raises(ValueError, match='max_pre_nms_topk'):
+        ExportedDetector(artifact[0],
+                         detector_options={'max_pre_nms_topk': 8192})
+    with pytest.raises(ValueError, match='pad_batches_to'):
+        ExportedDetector(artifact[0],
+                         detector_options={'pad_batches_to': 64})
+
+
+def test_effective_topk_maps_to_ladder(artifact):
+    """Escalation capacities round up to the exported ladder entry that
+    will actually execute (no redundant re-runs on sparse ladders)."""
+
+    from megadetector_tpu.detection.export_detector import \
+        ExportedDetector
+    detector = ExportedDetector(artifact[0])
+    detector._topk_ladder = [512, 8192]
+    assert detector._effective_topk(512) == 512
+    assert detector._effective_topk(600) == 8192
+    assert detector._effective_topk(1024) == 8192
+    assert detector._effective_topk(8192) == 8192
+
+
+def test_platform_mismatch_rejected(artifact, tmp_path):
+    """A tpu-only artifact loaded on a cpu backend must fail at load
+    time, not at the first program call."""
+
+    import json
+    from megadetector_tpu.detection.export_detector import (
+        ExportedDetector, MANIFEST_NAME)
+    tpu_only = str(tmp_path / 'tpuonly.mdpkg')
+    with zipfile.ZipFile(artifact[0]) as src, \
+            zipfile.ZipFile(tpu_only, 'w') as dst:
+        for name in src.namelist():
+            blob = src.read(name)
+            if name == MANIFEST_NAME:
+                manifest = json.loads(blob)
+                manifest['platforms'] = ['tpu']
+                blob = json.dumps(manifest)
+            dst.writestr(name, blob)
+    with pytest.raises(ValueError, match='platform'):
+        ExportedDetector(tpu_only)
+
+
 def test_cross_platform_export(tiny_checkpoint, tmp_path):
     """A CPU host can export artifacts that also carry TPU lowerings
     (build the .mdpkg on a CPU box, ship it to the TPU fleet)."""
