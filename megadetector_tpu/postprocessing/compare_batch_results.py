@@ -28,6 +28,8 @@ class PairwiseBatchComparisonResults:
         self.categories_to_image_files = {}
         self.filename_a = None
         self.filename_b = None
+        #: filename -> sort confidence (used by sort_by_confidence)
+        self.file_to_sort_conf = {}
         #: The (possibly-derived) options used for this comparison
         self.pairwise_options = None
         #: Short identifier for this comparison (reference:
@@ -103,12 +105,19 @@ class BatchComparisonOptions:
         self.detection_thresholds_b = 0.15
         self.rendering_confidence_threshold_a = 0.1
         self.rendering_confidence_threshold_b = 0.1
+        self.classification_confidence_threshold_a = 0.3
+        self.classification_confidence_threshold_b = 0.3
 
         self.iou_threshold = 0.5
         self.max_images_per_category = 100
+        #: Paginate category pages beyond this many images (None = one
+        #: page per category; reference :146-148)
+        self.max_images_per_page = None
         self.random_seed = 0
         self.parallelize_rendering = False
         self.parallelize_rendering_n_cores = 8
+        #: Threads (True) or processes (False) for the rendering pool
+        self.parallelize_rendering_with_threads = True
         self.error_on_non_matching_lists = True
 
         # Side-by-side gallery rendering (reference:
@@ -119,6 +128,43 @@ class BatchComparisonOptions:
         self.viz_target_width = 700
         self.line_thickness = 4
         self.box_expansion = 0
+        #: Box colors for each model's panel (lists cycle per category;
+        #: reference :149-154)
+        self.colormap_a = ['Red']
+        self.colormap_b = ['RoyalBlue']
+        #: Show category names (vs bare ids) on detected boxes
+        self.show_category_names_on_detected_boxes = True
+        #: Render classification labels when present
+        self.show_classification_categories = True
+
+        #: Only compare these filenames (list/set), or None for all
+        self.filenames_to_include = None
+        #: Only treat these category NAMES as above-threshold, or None
+        self.category_names_to_include = None
+        #: Compare detections/non-detections only; category differences
+        #: no longer produce class_transitions
+        self.class_agnostic_comparison = False
+        #: Sort gallery pages by per-image max confidence (vs filename)
+        self.sort_by_confidence = False
+        #: Only compare filenames containing this token (str), or a
+        #: callable filename -> bool
+        self.required_token = None
+
+        #: COCO Camera Traps ground truth (.json path or loaded dict).
+        #: With GT, agreement categories become TP/TN/FP/FN-based
+        #: (common_tp, tp_a_only, fpfn, ...) instead of A-vs-B
+        #: (reference :181-199,918-1010)
+        self.ground_truth_file = None
+        #: IoU for detection-vs-GT-box matching (box-level GT)
+        self.gt_iou_threshold = 0.5
+        #: GT category names meaning 'empty image' (image-level GT)
+        self.gt_empty_categories = ['empty', 'blank', 'misfire']
+        #: Show GT category names as text when GT has no boxes
+        self.show_labels_for_image_level_gt = True
+        #: Show GT category names (vs ids) on GT boxes
+        self.show_category_names_on_gt_boxes = True
+
+        self.verbose = False
 
 
 def _above_threshold_detections(im, thresholds, categories):
@@ -137,13 +183,15 @@ def _above_threshold_detections(im, thresholds, categories):
 
 
 def _detections_match(dets_a, dets_b, iou_threshold,
-                      categories_a, categories_b):
+                      categories_a, categories_b,
+                      class_agnostic=False):
     """
     True when every detection in each list has a same-category match in
     the other at IoU >= threshold. Categories are compared by NAME
     through each model's own category map, so two models that both
     found an 'animal' match even when their numeric category IDs differ
-    (e.g. a remapped or non-MD results file).
+    (e.g. a remapped or non-MD results file). With [class_agnostic],
+    categories are ignored entirely.
     """
 
     def one_way(src, src_cats, dst, dst_cats):
@@ -151,7 +199,8 @@ def _detections_match(dets_a, dets_b, iou_threshold,
             matched = False
             d_name = src_cats.get(d['category'], d['category'])
             for e in dst:
-                if d_name != dst_cats.get(e['category'], e['category']):
+                if not class_agnostic and d_name != \
+                        dst_cats.get(e['category'], e['category']):
                     continue
                 try:
                     if ct_utils.get_iou(d['bbox'], e['bbox']) >= \
@@ -168,8 +217,171 @@ def _detections_match(dets_a, dets_b, iou_threshold,
         one_way(dets_b, categories_b, dets_a, categories_a)
 
 
-def _pairwise_compare_batch_results(options, results_a, results_b):
-    """Categorize agreement for one pair of loaded results dicts."""
+def _load_ground_truth(options):
+    """Load and index the GT file (str or dict): returns None or a dict
+    with per-filename annotations (normalized bboxes attached), the GT
+    category map, and whether boxes are present (reference:
+    compare_batch_results.py:794-906)."""
+
+    if options.ground_truth_file is None:
+        return None
+    if isinstance(options.ground_truth_file, dict):
+        gt_data = options.ground_truth_file
+    else:
+        with open(options.ground_truth_file) as f:
+            gt_data = json.load(f)
+
+    found_box = any('bbox' in ann
+                    for ann in gt_data.get('annotations', []))
+    gt_categories = {c['id']: c['name']
+                     for c in gt_data.get('categories', [])}
+    image_by_id = {im['id']: im for im in gt_data.get('images', [])}
+    annotations_by_file = collections.defaultdict(list)
+    for ann in gt_data.get('annotations', []):
+        im_gt = image_by_id.get(ann['image_id'])
+        if im_gt is None:
+            continue
+        ann = dict(ann)
+        if 'bbox' in ann and im_gt.get('width') and im_gt.get('height'):
+            x, y, w, h = ann['bbox']
+            ann['normalized_bbox'] = [x / im_gt['width'],
+                                      y / im_gt['height'],
+                                      w / im_gt['width'],
+                                      h / im_gt['height']]
+        annotations_by_file[im_gt.get('file_name', im_gt['id'])] \
+            .append(ann)
+    return {
+        'type': 'bbox_gt' if found_box else 'image_level_gt',
+        'categories': gt_categories,
+        'files': set(im.get('file_name', im['id'])
+                     for im in gt_data.get('images', [])),
+        'annotations_by_file': dict(annotations_by_file),
+    }
+
+
+def _categorize_vs_box_gt(dets, annotations, det_categories,
+                          gt_categories, options):
+    """Result types (tp/tn/fp/fn) for one model's above-threshold
+    detections against box-level GT (reference:
+    compare_batch_results.py:1157-1221)."""
+
+    annotations = [a for a in annotations if 'normalized_bbox' in a]
+
+    def boxes_match(det, ann):
+        if not options.class_agnostic_comparison:
+            det_name = det_categories.get(det['category'],
+                                          det['category'])
+            gt_name = gt_categories.get(ann['category_id'],
+                                        ann['category_id'])
+            if det_name != gt_name:
+                return False
+        try:
+            return ct_utils.get_iou(det['bbox'],
+                                    ann['normalized_bbox']) >= \
+                options.gt_iou_threshold
+        except AssertionError:
+            return False
+
+    present = set()
+    if not dets and not annotations:
+        return {'tn'}
+    for det in dets:
+        present.add('tp' if any(boxes_match(det, a)
+                                for a in annotations) else 'fp')
+    for ann in annotations:
+        if not any(boxes_match(det, ann) for det in dets):
+            present.add('fn')
+    return present
+
+
+def _categorize_vs_image_gt(dets, annotations, det_categories,
+                            gt_categories, options):
+    """Result types for image-level GT: detected category names vs
+    annotated category names; gt_empty_categories mean 'empty image'
+    (reference: compare_batch_results.py:1260-1318)."""
+
+    detected_names = set(det_categories.get(d['category'], d['category'])
+                         for d in dets)
+    gt_names = set(gt_categories.get(a['category_id'], a['category_id'])
+                   for a in annotations)
+    empty = set(options.gt_empty_categories or [])
+
+    present = set()
+    if options.class_agnostic_comparison:
+        gt_positive = bool(gt_names - empty)
+        if gt_positive and detected_names:
+            present.add('tp')
+        elif gt_positive:
+            present.add('fn')
+        elif detected_names:
+            present.add('fp')
+        else:
+            present.add('tn')
+        return present
+
+    for name in detected_names:
+        present.add('tp' if name in gt_names else 'fp')
+    if not gt_names and not detected_names:
+        present.add('tn')
+    for name in gt_names:
+        if name in empty:
+            if detected_names:
+                present.add('fp')
+            else:
+                present.add('tn')
+        elif name not in detected_names:
+            present.add('fn')
+    return present
+
+
+def _result_types_to_comparison_category(types_a, types_b):
+    """Map the (tp/tn/fp/fn) sets for models A and B to an agreement
+    page key (reference: compare_batch_results.py:458-543)."""
+
+    if types_a == {'tp'} and types_b == {'tp'}:
+        return 'common_tp'
+    if types_a == {'tn'} and types_b == {'tn'}:
+        return 'common_tn'
+    if 'fp' in types_a and 'fp' in types_b and \
+            'fn' not in types_a and 'fn' not in types_b:
+        return 'common_fp'
+    if 'fn' in types_a and 'fn' in types_b and \
+            'fp' not in types_a and 'fp' not in types_b:
+        return 'common_fn'
+    if types_a == {'tp'} and ('fn' in types_b or 'fp' in types_b):
+        return 'tp_a_only'
+    if types_b == {'tp'} and ('fn' in types_a or 'fp' in types_a):
+        return 'tp_b_only'
+    if types_a == {'tn'} and types_b != {'tn'}:
+        return 'tn_a_only'
+    if types_b == {'tn'} and types_a != {'tn'}:
+        return 'tn_b_only'
+    return 'fpfn'
+
+
+def _filename_filter(options):
+    """Predicate combining filenames_to_include and required_token."""
+
+    include = None
+    if options.filenames_to_include is not None:
+        include = set(options.filenames_to_include)
+    token = options.required_token
+
+    def keep(fn):
+        if include is not None and fn not in include:
+            return False
+        if token is not None:
+            if callable(token):
+                return bool(token(fn))
+            return token in fn
+        return True
+    return keep
+
+
+def _pairwise_compare_batch_results(options, results_a, results_b,
+                                    gt=None):
+    """Categorize agreement for one pair of loaded results dicts,
+    optionally against ground truth."""
 
     categories_a = results_a.get('detection_categories', {})
     categories_b = results_b.get('detection_categories', {})
@@ -185,8 +397,30 @@ def _pairwise_compare_batch_results(options, results_a, results_b):
             raise ValueError(
                 'Image lists differ: {} only in A, {} only in B'.format(
                     len(only_a), len(only_b)))
+        if gt is not None and set(common_files) - gt['files']:
+            raise ValueError(
+                'GT image set is not identical to the results image '
+                'sets ({} result files missing from GT)'.format(
+                    len(set(common_files) - gt['files'])))
+
+    keep = _filename_filter(options)
+    common_files = [fn for fn in common_files if keep(fn)]
+    if gt is not None:
+        common_files = [fn for fn in common_files if fn in gt['files']]
+
+    include_names = None
+    if options.category_names_to_include is not None:
+        include_names = set(options.category_names_to_include)
+
+    def restricted(dets, categories):
+        if include_names is None:
+            return dets
+        return [d for d in dets
+                if categories.get(d['category'], d['category'])
+                in include_names]
 
     categories_to_image_files = collections.defaultdict(list)
+    file_to_sort_conf = {}
 
     for fn in common_files:
         im_a = images_a[fn]
@@ -194,22 +428,47 @@ def _pairwise_compare_batch_results(options, results_a, results_b):
         if im_a.get('detections') is None or \
                 im_b.get('detections') is None:
             categories_to_image_files['failures'].append(fn)
+            file_to_sort_conf[fn] = 0.0
             continue
-        dets_a = _above_threshold_detections(
-            im_a, options.detection_thresholds_a, categories_a)
-        dets_b = _above_threshold_detections(
-            im_b, options.detection_thresholds_b, categories_b)
+        dets_a = restricted(_above_threshold_detections(
+            im_a, options.detection_thresholds_a, categories_a),
+            categories_a)
+        dets_b = restricted(_above_threshold_detections(
+            im_b, options.detection_thresholds_b, categories_b),
+            categories_b)
+
+        max_conf_a = max((d['conf'] for d in im_a['detections']),
+                         default=0.0)
+        max_conf_b = max((d['conf'] for d in im_b['detections']),
+                         default=0.0)
+
+        if gt is not None:
+            annotations = gt['annotations_by_file'].get(fn, [])
+            categorize = _categorize_vs_box_gt \
+                if gt['type'] == 'bbox_gt' else _categorize_vs_image_gt
+            types_a = categorize(dets_a, annotations, categories_a,
+                                 gt['categories'], options)
+            types_b = categorize(dets_b, annotations, categories_b,
+                                 gt['categories'], options)
+            key = _result_types_to_comparison_category(types_a, types_b)
+            file_to_sort_conf[fn] = max(max_conf_a, max_conf_b)
+            categories_to_image_files[key].append(fn)
+            continue
 
         a_positive = len(dets_a) > 0
         b_positive = len(dets_b) > 0
 
         if not a_positive and not b_positive:
             key = 'common_non_detections'
+            sort_conf = max(max_conf_a, max_conf_b)
         elif a_positive and not b_positive:
             key = 'detections_a_only'
+            sort_conf = max_conf_a
         elif b_positive and not a_positive:
             key = 'detections_b_only'
+            sort_conf = max_conf_b
         else:
+            sort_conf = max(max_conf_a, max_conf_b)
             # Compare category NAMES through each model's own map, so
             # differing numeric IDs across models don't spuriously land
             # every agreement in class_transitions
@@ -217,32 +476,38 @@ def _pairwise_compare_batch_results(options, results_a, results_b):
                          for d in dets_a)
             cats_b = set(categories_b.get(d['category'], d['category'])
                          for d in dets_b)
-            if cats_a != cats_b:
+            if cats_a != cats_b and \
+                    not options.class_agnostic_comparison:
                 key = 'class_transitions'
             elif _detections_match(dets_a, dets_b,
                                    options.iou_threshold,
-                                   categories_a, categories_b):
+                                   categories_a, categories_b,
+                                   options.class_agnostic_comparison):
                 key = 'common_detections'
             else:
                 key = 'common_detections_differing_boxes'
+        file_to_sort_conf[fn] = sort_conf
         categories_to_image_files[key].append(fn)
 
     results = PairwiseBatchComparisonResults()
     results.categories_to_image_files = dict(categories_to_image_files)
     results.filename_a = options.results_filename_a
     results.filename_b = options.results_filename_b
+    results.file_to_sort_conf = file_to_sort_conf
     return results
 
 
 def _render_pair_image(job):
     """
     Render one sampled image twice — model A's boxes and model B's —
-    into the comparison output folder. Returns (target_a, target_b) or
-    None on failure (the page falls back to the unrendered source).
+    into the comparison output folder; GT boxes (when provided) overlay
+    both panels in yellow. Returns (target_a, target_b) or None on
+    failure (the page falls back to the unrendered source).
     """
 
     (source, im_a, im_b, categories_a, categories_b,
-     target_a, target_b, options) = job
+     classification_categories_a, classification_categories_b,
+     target_a, target_b, options, gt_annotations, gt_categories) = job
 
     from megadetector_tpu.visualization import \
         visualization_utils as vis_utils
@@ -253,19 +518,43 @@ def _render_pair_image(job):
         print('Warning: comparison rendering error for {}: {}'.format(
             source, e))
         return None
-
-    for im, categories, thresh, target in (
+    for im, categories, thresh, cls_thresh, target, colormap, \
+            cls_categories in (
             (im_a, categories_a,
-             options.rendering_confidence_threshold_a, target_a),
+             options.rendering_confidence_threshold_a,
+             getattr(options, 'classification_confidence_threshold_a',
+                     0.3), target_a,
+             options.colormap_a, classification_categories_a),
             (im_b, categories_b,
-             options.rendering_confidence_threshold_b, target_b)):
+             options.rendering_confidence_threshold_b,
+             getattr(options, 'classification_confidence_threshold_b',
+                     0.3), target_b,
+             options.colormap_b, classification_categories_b)):
         image = base.copy()
         vis_utils.render_detection_bounding_boxes(
             im.get('detections') or [], image,
-            label_map=categories,
+            label_map=categories
+            if options.show_category_names_on_detected_boxes else None,
+            classification_label_map=cls_categories
+            if options.show_classification_categories else None,
             confidence_threshold=thresh,
+            classification_confidence_threshold=cls_thresh,
             thickness=options.line_thickness,
-            expansion=options.box_expansion)
+            expansion=options.box_expansion,
+            colormap=colormap or vis_utils.DEFAULT_COLORS)
+        if gt_annotations:
+            gt_boxes = [a['normalized_bbox'] for a in gt_annotations
+                        if 'normalized_bbox' in a]
+            gt_classes = [a['category_id'] for a in gt_annotations
+                          if 'normalized_bbox' in a]
+            if gt_boxes:
+                vis_utils.render_db_bounding_boxes(
+                    gt_boxes, gt_classes, image,
+                    label_map=gt_categories
+                    if options.show_category_names_on_gt_boxes else None,
+                    thickness=options.line_thickness,
+                    colormap=['Yellow'],
+                    boxes_are_normalized=True)
         if options.viz_target_width is not None and \
                 image.size[0] > options.viz_target_width:
             image = vis_utils.resize_image(
@@ -296,7 +585,9 @@ def _apply_pairwise_options(options, pairwise_options):
                   'results_description_a', 'results_description_b',
                   'detection_thresholds_a', 'detection_thresholds_b',
                   'rendering_confidence_threshold_a',
-                  'rendering_confidence_threshold_b'):
+                  'rendering_confidence_threshold_b',
+                  'classification_confidence_threshold_a',
+                  'classification_confidence_threshold_b'):
         setattr(flat, field, getattr(pairwise_options, field))
     return flat
 
@@ -368,8 +659,9 @@ def compare_batch_results(options):
     with open(options.results_filename_b) as f:
         results_b = json.load(f)
 
+    gt = _load_ground_truth(options)
     pairwise = _pairwise_compare_batch_results(options, results_a,
-                                               results_b)
+                                               results_b, gt=gt)
 
     if options.output_folder is None:
         return pairwise
@@ -386,6 +678,10 @@ def compare_batch_results(options):
     images_b = {im['file']: im for im in results_b['images']}
     categories_a = results_a.get('detection_categories', {})
     categories_b = results_b.get('detection_categories', {})
+    classification_categories_a = \
+        results_a.get('classification_categories') or None
+    classification_categories_b = \
+        results_b.get('classification_categories') or None
 
     index_html = os.path.join(options.output_folder, 'index.html')
     page_lines = []
@@ -396,6 +692,12 @@ def compare_batch_results(options):
         if options.max_images_per_category is not None and \
                 len(files) > options.max_images_per_category:
             sample = rng.sample(files, options.max_images_per_category)
+        if options.sort_by_confidence:
+            sample = sorted(
+                sample,
+                key=lambda fn: -pairwise.file_to_sort_conf.get(fn, 0.0))
+        else:
+            sample = sorted(sample)
         page_fn = os.path.join(options.output_folder, key + '.html')
 
         render_jobs = []
@@ -410,13 +712,25 @@ def compare_batch_results(options):
                     render_dir, '{:0>5d}_A_{}.jpg'.format(i_fn, safe))
                 target_b = os.path.join(
                     render_dir, '{:0>5d}_B_{}.jpg'.format(i_fn, safe))
+                gt_annotations = None
+                gt_categories = None
+                if gt is not None:
+                    gt_annotations = \
+                        gt['annotations_by_file'].get(fn, [])
+                    gt_categories = gt['categories']
                 render_jobs.append(
                     (source, images_a[fn], images_b[fn], categories_a,
-                     categories_b, target_a, target_b, options))
+                     categories_b, classification_categories_a,
+                     classification_categories_b, target_a, target_b,
+                     options, gt_annotations, gt_categories))
 
             if options.parallelize_rendering and len(render_jobs) > 1:
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(
+                from concurrent.futures import (ProcessPoolExecutor,
+                                                ThreadPoolExecutor)
+                pool_cls = ThreadPoolExecutor \
+                    if options.parallelize_rendering_with_threads \
+                    else ProcessPoolExecutor
+                with pool_cls(
                         max_workers=
                         options.parallelize_rendering_n_cores) as pool:
                     rendered = list(pool.map(_render_pair_image,
@@ -435,13 +749,33 @@ def compare_batch_results(options):
         else:
             rows = [(fn, None, None) for fn in sample]
 
-        with open(page_fn, 'w') as f:
-            f.write('<html><head><meta charset="utf-8"/></head><body>\n')
-            f.write('<h1>{}</h1>\n'.format(key))
-            f.write('<p>{} of {} images shown</p>\n'.format(
-                len(rows), len(files)))
-            for fn, img_a, img_b in rows:
+        # Paginate beyond max_images_per_page (reference :146-148)
+        per_page = options.max_images_per_page
+        if per_page is not None and len(rows) > per_page:
+            chunks = [rows[i:i + per_page]
+                      for i in range(0, len(rows), per_page)]
+        else:
+            chunks = [rows]
+
+        base_name, ext = os.path.splitext(page_fn)
+        page_files = [page_fn] if len(chunks) == 1 else [
+            '{}_page{:0>3d}{}'.format(base_name, i, ext)
+            for i in range(len(chunks))]
+
+        def write_rows(f, rows_chunk):
+            for fn, img_a, img_b in rows_chunk:
                 f.write('<h3>{}</h3>\n'.format(fn))
+                if gt is not None and \
+                        gt['type'] == 'image_level_gt' and \
+                        options.show_labels_for_image_level_gt:
+                    names = sorted(set(
+                        str(gt['categories'].get(a['category_id'],
+                                                 a['category_id']))
+                        for a in
+                        gt['annotations_by_file'].get(fn, [])))
+                    if names:
+                        f.write('<p>Ground truth: {}</p>\n'.format(
+                            ', '.join(names)))
                 if img_a is not None:
                     f.write(
                         '<table><tr>'
@@ -466,7 +800,29 @@ def compare_batch_results(options):
                     src = os.path.join(options.image_folder, fn) \
                         if options.image_folder else fn
                     f.write('<img src="{}"/>\n'.format(src))
-            f.write('</body></html>\n')
+
+        nav = ''
+        if len(chunks) > 1:
+            nav = '<p>{}</p>\n'.format(' | '.join(
+                '<a href="{}">page {}</a>'.format(
+                    os.path.basename(pf), i)
+                for i, pf in enumerate(page_files)))
+        for i_chunk, (chunk, chunk_fn) in enumerate(
+                zip(chunks, page_files)):
+            with open(chunk_fn, 'w') as f:
+                f.write('<html><head><meta charset="utf-8"/></head>'
+                        '<body>\n')
+                f.write('<h1>{}</h1>\n'.format(key))
+                f.write(nav)
+                f.write('<p>{} of {} images shown</p>\n'.format(
+                    len(rows), len(files)))
+                write_rows(f, chunk)
+                f.write('</body></html>\n')
+        if len(chunks) > 1:
+            # The unsuffixed page is a nav index to the chunk pages
+            with open(page_fn, 'w') as f:
+                f.write('<html><body>\n<h1>{}</h1>\n{}</body></html>\n'
+                        .format(key, nav))
 
         page_lines.append(
             '<li><a href="{}">{}</a>: {} images</li>\n'.format(

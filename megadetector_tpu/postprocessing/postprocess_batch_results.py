@@ -25,7 +25,7 @@ import random
 import sys
 import zlib
 
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 from tqdm import tqdm
 
@@ -90,8 +90,21 @@ def relative_sas_url(folder_url, relative_path):
     return tokens[0] + relative_path + '?' + tokens[1]
 
 
+#: GT category names treated as negative / as neither-pos-nor-neg by
+#: default (reference: postprocess_batch_results.py:60-76). The token
+#: '#NO_LABELS#' in negative_classes means an image with no annotations
+#: counts as empty.
+DEFAULT_NEGATIVE_CLASSES = ['empty', 'blank', 'none', 'misfire',
+                            '#NO_LABELS#']
+DEFAULT_UNKNOWN_CLASSES = ['unknown', 'unidentified', 'unidentifiable',
+                           'ambiguous']
+
+
 class PostProcessingOptions:
-    """Options controlling process_batch_results()."""
+    """Options controlling process_batch_results(). Field-level parity
+    with the reference options class (reference:
+    postprocess_batch_results.py:78-265); intentionally omitted fields
+    are listed in COVERAGE.md."""
 
     def __init__(self):
         self.md_results_file = ''
@@ -99,13 +112,15 @@ class PostProcessingOptions:
         self.image_base_dir = ''
 
         # None = pull the typical threshold from the results file's
-        # detector metadata (or 0.2)
+        # detector metadata (or 0.2). Can also be a dict mapping
+        # category NAMES to thresholds, with 'default' as the fallback
+        # (reference :127-134)
         self.confidence_threshold = None
 
         # Images sampled per category page (-1 = all)
-        self.num_images_to_sample = 500
+        self.num_images_to_sample = 1000
         self.sample_seed = 0
-        self.viz_target_width = 800
+        self.viz_target_width = 1200
         self.line_thickness = 4
         self.box_expansion = 0
         self.sort_classification_results_by_count = False
@@ -123,15 +138,61 @@ class PostProcessingOptions:
         # unreliable). Class labels also render on the boxes.
         self.classification_confidence_threshold = 0.5
         self.include_classification_category_report = True
+        # Push generic classification categories ('blank', 'animal',
+        # 'unreliable', ...) to the bottom of the report: name -> int
+        # sort weight, default 0, larger = later (reference :216-230)
+        self.category_name_to_sort_weight = {}
+        # Include classification_category_descriptions (taxonomy
+        # strings) in the category report (reference :257-259)
+        self.include_category_descriptions_with_global_counts = False
 
         self.separate_detections_by_category = True
         self.parallelize_rendering = True
         self.parallelize_rendering_n_cores = 8
+        # Threads (True) or processes (False) for the rendering pool
+        self.parallelize_rendering_with_threads = True
 
         # Optional COCO-CT ground truth for P/R analysis
         self.ground_truth_json_file = None
+        # GT classes treated as negative / as unknown (reference :105-113)
+        self.negative_classes = list(DEFAULT_NEGATIVE_CLASSES)
+        self.unlabeled_classes = list(DEFAULT_UNKNOWN_CLASSES)
+        # Recall target for the per-class threshold report
+        self.target_recall = 0.9
+
+        # Page sets to count but not render (e.g. 'non_detections' on a
+        # set with many empties; reference :117-125)
+        self.rendering_bypass_sets = []
+
+        # Sort order within gallery pages: 'filename', 'confidence', or
+        # 'random' (reference :165)
+        self.html_sort_order = 'filename'
+        # Link each rendered thumbnail back to the original image
+        self.link_images_to_originals = True
+        # Paginate gallery pages beyond this many figures
+        self.max_figures_per_html_file = 1000
+
+        # Big-letter header strings for the index page
+        self.job_name_string = None
+        self.model_version_string = None
+
+        # Filename string replacements, applied before resolving image
+        # paths (re-rooting results onto a different folder structure;
+        # reference :175-184)
+        self.api_output_filename_replacements = {}
+        self.ground_truth_filename_replacements = {}
+
+        # Extra per-image fields to surface in gallery titles: list of
+        # field names, or dict field -> display name (reference :246-249)
+        self.additional_image_fields_to_display = None
+        # Append the min/max normalized area of above-threshold
+        # detections to each title (reference :261-264)
+        self.include_size_range = False
 
         self.footer_text = ''
+        # Character encoding for the HTML output (None = platform
+        # default with utf-8 meta tags)
+        self.output_html_encoding = None
 
 
 class PostProcessingResults:
@@ -141,6 +202,35 @@ class PostProcessingResults:
         self.output_html_file = None
         self.category_to_images = {}
         self.eval_metrics = None
+
+
+def _threshold_for_category(threshold, category_id):
+    """Per-category threshold: [threshold] is a float, or a dict keyed
+    by category id with 'default' as the fallback (user-facing dicts
+    are keyed by NAME and normalized to ids in process_batch_results;
+    reference: postprocess_batch_results.py:127-134)."""
+
+    if isinstance(threshold, dict):
+        return threshold.get(category_id,
+                             threshold.get('default', 0.2))
+    return threshold
+
+
+def _normalize_threshold_dict(threshold, detection_categories):
+    """User-facing threshold dicts are keyed by category NAME; convert
+    to id keys once so per-detection lookups are direct."""
+
+    if not isinstance(threshold, dict):
+        return threshold
+    name_to_id = {v: k for k, v in detection_categories.items()}
+    normalized = {}
+    for key, value in threshold.items():
+        if key == 'default':
+            normalized['default'] = value
+        else:
+            normalized[name_to_id.get(key, key)] = value
+    normalized.setdefault('default', 0.2)
+    return normalized
 
 
 def _image_category(im, detection_categories, threshold, options):
@@ -153,16 +243,21 @@ def _image_category(im, detection_categories, threshold, options):
         return 'failures'
 
     above = set()
-    max_conf = 0.0
+    max_margin = -1.0
     for d in im['detections']:
-        max_conf = max(max_conf, d['conf'])
-        if d['conf'] >= threshold:
+        t = _threshold_for_category(threshold, d['category'])
+        # margin relative to the category's own threshold, so the
+        # almost-detections band works under dict thresholds too
+        max_margin = max(max_margin, d['conf'] - t)
+        if d['conf'] >= t:
             above.add(detection_categories.get(d['category'],
                                                d['category']))
 
     if len(above) == 0:
         if options.include_almost_detections and \
-                max_conf >= options.almost_detection_confidence_threshold:
+                max_margin >= (options.almost_detection_confidence_threshold
+                               - _threshold_for_category(threshold,
+                                                         'default')):
             return 'almost_detections'
         return 'non_detections'
     if not options.separate_detections_by_category:
@@ -185,7 +280,7 @@ def _classification_pages(im, page, classification_categories, threshold,
         return set()
     pages = set()
     for d in im.get('detections') or []:
-        if d['conf'] < threshold:
+        if d['conf'] < _threshold_for_category(threshold, d['category']):
             continue
         classifications = d.get('classifications') or []
         if len(classifications) == 0:
@@ -207,7 +302,7 @@ def _top_classification_names(im, classification_categories, threshold):
 
     names = set()
     for d in im.get('detections') or []:
-        if d['conf'] < threshold:
+        if d['conf'] < _threshold_for_category(threshold, d['category']):
             continue
         classifications = d.get('classifications') or []
         if classifications:
@@ -273,10 +368,21 @@ def process_batch_results(options):
     if threshold is None:
         md = data.get('info', {}).get('detector_metadata', {})
         threshold = md.get('typical_detection_threshold', 0.2)
+    threshold = _normalize_threshold_dict(threshold, detection_categories)
+    default_threshold = _threshold_for_category(threshold, 'default')
 
     if options.include_almost_detections and \
             options.almost_detection_confidence_threshold is None:
-        options.almost_detection_confidence_threshold = threshold * 0.5
+        options.almost_detection_confidence_threshold = \
+            default_threshold * 0.5
+
+    # Re-root results filenames onto a different folder structure
+    # (reference: postprocess_batch_results.py:175-184)
+    if options.api_output_filename_replacements:
+        for im in data['images']:
+            for old, new in \
+                    options.api_output_filename_replacements.items():
+                im['file'] = im['file'].replace(old, new)
 
     os.makedirs(options.output_dir, exist_ok=True)
 
@@ -317,28 +423,52 @@ def process_batch_results(options):
     # point at the shared file. Failed images (detections == None) are
     # rendered too (boxless), so the failures page shows the image when
     # it is readable and an explicit placeholder when it is not.
+    bypass_sets = set(options.rendering_bypass_sets or [])
     render_jobs = {}
     page_entries = collections.defaultdict(list)
     rendered_dir = os.path.join(options.output_dir, 'rendered')
     for page, images in sampled.items():
+        if page in bypass_sets:
+            continue
         for im in images:
             source = os.path.join(options.image_base_dir, im['file'])
             target = os.path.join(
                 rendered_dir, '{:08x}_{}.jpg'.format(
                     zlib.crc32(im['file'].encode('utf-8')),
                     im['file'].replace('/', '~').replace('\\', '~')[-80:]))
-            title = '{} (max conf {:.3f})'.format(
-                im['file'], ct_utils.get_max_conf(im))
+            max_conf = ct_utils.get_max_conf(im)
+            title = '{} (max conf {:.3f})'.format(im['file'], max_conf)
             top_classes = _top_classification_names(
                 im, classification_categories, threshold)
             if top_classes:
                 title += ' ({})'.format(', '.join(top_classes))
+            if options.include_size_range:
+                sizes = [d['bbox'][2] * d['bbox'][3]
+                         for d in (im.get('detections') or [])
+                         if d['conf'] >= _threshold_for_category(
+                             threshold, d['category'])]
+                if sizes:
+                    title += ' (size {:.4f}-{:.4f})'.format(
+                        min(sizes), max(sizes))
+            if options.additional_image_fields_to_display:
+                fields = options.additional_image_fields_to_display
+                display_names = fields if isinstance(fields, dict) else \
+                    {fn: fn for fn in fields}
+                for field, display in display_names.items():
+                    if field in im:
+                        title += ' ({}: {})'.format(display, im[field])
             if im.get('detections') is None and im.get('failure'):
                 title += ' (failure: {})'.format(im['failure'])
-            page_entries[page].append({
+            entry = {
                 'filename': os.path.relpath(target, options.output_dir),
                 'title': title,
-            })
+                '_sort_conf': max_conf,
+            }
+            if options.link_images_to_originals:
+                entry['linkTarget'] = os.path.abspath(source) \
+                    if not is_sas_url(options.image_base_dir) else \
+                    relative_sas_url(options.image_base_dir, im['file'])
+            page_entries[page].append(entry)
             if target not in render_jobs:
                 render_jobs[target] = (im, source, target,
                                        detection_categories,
@@ -348,7 +478,10 @@ def process_batch_results(options):
     render_jobs = list(render_jobs.values())
     if options.parallelize_rendering and \
             options.parallelize_rendering_n_cores > 1 and render_jobs:
-        with ThreadPoolExecutor(
+        pool_cls = ThreadPoolExecutor \
+            if options.parallelize_rendering_with_threads \
+            else ProcessPoolExecutor
+        with pool_cls(
                 max_workers=options.parallelize_rendering_n_cores) as pool:
             list(tqdm(pool.map(_render_image, render_jobs),
                       total=len(render_jobs), desc='Rendering'))
@@ -357,30 +490,60 @@ def process_batch_results(options):
             _render_image(job)
 
     # --- Per-page HTML
+    sort_order = options.html_sort_order or 'filename'
+    assert sort_order in ('filename', 'confidence', 'random'), \
+        "html_sort_order must be 'filename', 'confidence', or 'random'"
+    sort_rng = random.Random(options.sample_seed)
     page_to_html = {}
     for page, entries in page_entries.items():
+        if sort_order == 'confidence':
+            entries.sort(key=lambda e: -e['_sort_conf'])
+        elif sort_order == 'random':
+            sort_rng.shuffle(entries)
+        else:
+            entries.sort(key=lambda e: e['title'])
+        for e in entries:
+            e.pop('_sort_conf', None)
         page_html = os.path.join(options.output_dir,
                                  page.replace(' ', '_') + '.html')
         write_html_image_list(
             page_html, entries,
             options={'headerHtml': '<h1>{}</h1>'.format(page),
-                     'maxFiguresPerHtmlFile': 2500})
+                     'maxFiguresPerHtmlFile':
+                         options.max_figures_per_html_file,
+                     'encoding': options.output_html_encoding})
         page_to_html[page] = page_html
 
     # --- Optional ground-truth eval
     eval_metrics = None
     if options.ground_truth_json_file is not None:
         eval_metrics = _evaluate_against_ground_truth(
-            data, options.ground_truth_json_file, threshold)
+            data, options.ground_truth_json_file, default_threshold,
+            options=options)
 
     # --- Index page
     n_total = len(data['images'])
     index_html = os.path.join(options.output_dir, 'index.html')
-    with open(index_html, 'w') as f:
+    with open(index_html, 'w',
+              encoding=options.output_html_encoding) as f:
         f.write('<html><head><meta charset="utf-8"/></head><body>\n')
+        if options.job_name_string:
+            f.write('<h1>{}</h1>\n'.format(options.job_name_string))
         f.write('<h1>Detection results preview</h1>\n')
-        f.write('<p>Confidence threshold: {:.3f}; {} images total</p>\n'
-                .format(threshold, n_total))
+        if options.model_version_string:
+            f.write('<p>Model: {}</p>\n'.format(
+                options.model_version_string))
+        if isinstance(threshold, dict):
+            per_cat = ', '.join(
+                '{}: {:.3f}'.format(
+                    detection_categories.get(k, k), v)
+                for k, v in sorted(threshold.items()) if k != 'default')
+            f.write('<p>Confidence thresholds: default {:.3f} ({}); '
+                    '{} images total</p>\n'.format(
+                        default_threshold, per_cat, n_total))
+        else:
+            f.write('<p>Confidence threshold: {:.3f}; {} images '
+                    'total</p>\n'.format(threshold, n_total))
         f.write('<ul>\n')
         for page in sorted(category_to_images.keys()):
             n = len(category_to_images[page])
@@ -403,18 +566,46 @@ def process_batch_results(options):
         class_pages = [p for p in category_to_images
                        if p.startswith('class_')]
         if class_pages and options.include_classification_category_report:
+            descriptions = {}
+            if options.include_category_descriptions_with_global_counts:
+                name_by_id = classification_categories
+                desc_by_id = {
+                    str(k): v for k, v in
+                    (data.get('classification_category_descriptions')
+                     or {}).items()}
+                descriptions = {
+                    name_by_id[k]: desc_by_id.get(k, '')
+                    for k in name_by_id}
             f.write('<h2>Classification categories</h2>\n')
             f.write('<table border=1 cellpadding=3 '
                     'style="border-collapse:collapse">'
-                    '<tr><th>class</th><th>images</th></tr>\n')
-            if options.sort_classification_results_by_count:
-                class_pages.sort(
-                    key=lambda p: -len(category_to_images[p]))
-            else:
-                class_pages.sort()
+                    '<tr><th>class</th><th>images</th>{}</tr>\n'.format(
+                        '<th>description</th>' if descriptions else ''))
+            # Weighted groups sort after unweighted ones (larger weight
+            # == later); within a group, by count or alphabetically
+            weights = options.category_name_to_sort_weight or {}
+
+            def page_key(p):
+                name = p[len('class_'):]
+                secondary = -len(category_to_images[p]) \
+                    if options.sort_classification_results_by_count \
+                    else name
+                return (int(weights.get(name, 0)), secondary)
+
+            class_pages.sort(key=page_key)
+            prev_weight = None
             for p in class_pages:
-                f.write('<tr><td>{}</td><td>{}</td></tr>\n'.format(
-                    p[len('class_'):], len(category_to_images[p])))
+                name = p[len('class_'):]
+                weight = int(weights.get(name, 0))
+                if prev_weight is not None and weight != prev_weight:
+                    n_cols = 3 if descriptions else 2
+                    f.write('<tr><td colspan={}>&nbsp;</td></tr>\n'
+                            .format(n_cols))
+                prev_weight = weight
+                desc_cell = '<td>{}</td>'.format(
+                    descriptions.get(name, '')) if descriptions else ''
+                f.write('<tr><td>{}</td><td>{}</td>{}</tr>\n'.format(
+                    name, len(category_to_images[p]), desc_cell))
             f.write('</table>\n')
 
         if eval_metrics is not None:
@@ -422,7 +613,7 @@ def process_batch_results(options):
             f.write('<p>Image-level precision: {:.3f}, recall: {:.3f} '
                     '(at threshold {:.3f})</p>\n'.format(
                         eval_metrics['precision'],
-                        eval_metrics['recall'], threshold))
+                        eval_metrics['recall'], default_threshold))
             f.write('<p>TP {tp}, FP {fp}, TN {tn}, FN {fn}</p>\n'.format(
                 **eval_metrics))
             curve = eval_metrics.get('precision_recall_curve')
@@ -487,38 +678,96 @@ def process_batch_results(options):
     return results
 
 
-def _evaluate_against_ground_truth(md_data, ground_truth_file, threshold):
+def _evaluate_against_ground_truth(md_data, ground_truth_file, threshold,
+                                   options=None):
     """
     Image-level P/R against a COCO Camera Traps ground-truth file: an
-    image is ground-truth-positive if it has any non-empty annotation,
-    predicted-positive if any detection >= threshold.
+    image is ground-truth-positive if it has any annotation outside
+    [options.negative_classes], predicted-positive if any detection >=
+    threshold. Images whose only annotations are in
+    [options.unlabeled_classes] are neither positive nor negative and
+    are excluded from P/R (reference: postprocess_batch_results.py
+    DetectionStatus handling :285-306,441-560). The '#NO_LABELS#' token
+    in negative_classes makes unannotated images count as negative;
+    without it they are excluded as unknown.
     """
+
+    if options is None:
+        options = PostProcessingOptions()
 
     with open(ground_truth_file) as f:
         gt = json.load(f)
 
-    empty_category_ids = set()
+    negative_names = set(
+        c.lower() for c in (options.negative_classes or []))
+    unknown_names = set(
+        c.lower() for c in (options.unlabeled_classes or []))
+    no_labels_is_negative = '#no_labels#' in negative_names
+
+    negative_category_ids = set()
+    unknown_category_ids = set()
     for cat in gt.get('categories', []):
-        if cat['name'].lower() in ('empty', 'blank', 'none', 'misfire'):
-            empty_category_ids.add(cat['id'])
+        if cat['name'].lower() in negative_names:
+            negative_category_ids.add(cat['id'])
+        elif cat['name'].lower() in unknown_names:
+            unknown_category_ids.add(cat['id'])
 
-    image_id_to_positive = {}
-    for im in gt.get('images', []):
-        image_id_to_positive[im['id']] = False
-        fn = im.get('file_name', im['id'])
-        image_id_to_positive[fn] = False
-    fn_by_id = {im['id']: im.get('file_name', im['id'])
+    gt_filename_replacements = \
+        options.ground_truth_filename_replacements or {}
+
+    def gt_key(fn):
+        for old, new in gt_filename_replacements.items():
+            fn = fn.replace(old, new)
+        return fn
+
+    # Per-image status from the set of annotation statuses: positive +
+    # negative annotations -> DS_AMBIGUOUS; no annotations -> negative
+    # (with '#NO_LABELS#') or unknown. Only clearly positive/negative
+    # images enter P/R (reference DetectionStatus semantics).
+    fn_by_id = {im['id']: gt_key(im.get('file_name', im['id']))
                 for im in gt.get('images', [])}
+    ann_statuses = collections.defaultdict(set)
     for ann in gt.get('annotations', []):
-        if ann.get('category_id') not in empty_category_ids:
-            image_id_to_positive[ann['image_id']] = True
-            if ann['image_id'] in fn_by_id:
-                image_id_to_positive[fn_by_id[ann['image_id']]] = True
+        cat = ann.get('category_id')
+        if cat in unknown_category_ids:
+            s = DetectionStatus.DS_UNKNOWN
+        elif cat in negative_category_ids:
+            s = DetectionStatus.DS_NEGATIVE
+        else:
+            s = DetectionStatus.DS_POSITIVE
+        ann_statuses[ann['image_id']].add(s)
 
-    tp = fp = tn = fn_count = 0
+    base_status = DetectionStatus.DS_NEGATIVE if no_labels_is_negative \
+        else DetectionStatus.DS_UNKNOWN
+    status_by_key = {}
+    for im in gt.get('images', []):
+        statuses = ann_statuses.get(im['id'], set())
+        if DetectionStatus.DS_POSITIVE in statuses and \
+                DetectionStatus.DS_NEGATIVE in statuses:
+            status = DetectionStatus.DS_AMBIGUOUS
+        elif DetectionStatus.DS_POSITIVE in statuses:
+            status = DetectionStatus.DS_POSITIVE
+        elif DetectionStatus.DS_NEGATIVE in statuses:
+            status = DetectionStatus.DS_NEGATIVE
+        elif statuses:
+            status = DetectionStatus.DS_UNKNOWN
+        else:
+            status = base_status
+        status_by_key[im['id']] = status
+        status_by_key[fn_by_id[im['id']]] = status
+
+    image_id_to_positive = {
+        k: v == DetectionStatus.DS_POSITIVE
+        for k, v in status_by_key.items()
+        if v in (DetectionStatus.DS_POSITIVE,
+                 DetectionStatus.DS_NEGATIVE)}
+
+    tp = fp = tn = fn_count = n_unknown = 0
     for im in md_data['images']:
         key = im['file']
         if key not in image_id_to_positive:
+            if key in status_by_key:
+                n_unknown += 1
             continue
         gt_positive = image_id_to_positive[key]
         pred_positive = any(
@@ -539,11 +788,12 @@ def _evaluate_against_ground_truth(md_data, ground_truth_file, threshold):
     # (reference: postprocess_batch_results.py:45,589,952-1042)
     curves = compute_precision_recall_curves(
         md_data, image_id_to_positive)
-    per_class = compute_per_class_metrics(md_data, gt,
-                                          target_recall=0.9,
-                                          confusion_threshold=threshold)
+    per_class = compute_per_class_metrics(
+        md_data, gt, target_recall=options.target_recall,
+        confusion_threshold=threshold)
 
     return {'tp': tp, 'fp': fp, 'tn': tn, 'fn': fn_count,
+            'n_unknown': n_unknown,
             'precision': precision, 'recall': recall,
             'precision_recall_curve': curves,
             'per_class': per_class}
@@ -690,9 +940,18 @@ def main():
     parser.add_argument('output_dir')
     parser.add_argument('--image_base_dir', default='')
     parser.add_argument('--confidence_threshold', type=float, default=None)
-    parser.add_argument('--num_images_to_sample', type=int, default=500)
+    parser.add_argument('--num_images_to_sample', type=int, default=1000)
     parser.add_argument('--include_almost_detections', action='store_true')
     parser.add_argument('--ground_truth_json_file', default=None)
+    parser.add_argument('--html_sort_order', default='filename',
+                        choices=['filename', 'confidence', 'random'])
+    parser.add_argument('--max_figures_per_html_file', type=int,
+                        default=1000)
+    parser.add_argument('--job_name_string', default=None)
+    parser.add_argument('--rendering_bypass_sets', nargs='*',
+                        default=None,
+                        help="page sets to count but not render, e.g. "
+                             "non_detections")
 
     if len(sys.argv[1:]) == 0:
         parser.print_help()

@@ -22,7 +22,7 @@ def write_html_image_list(filename=None, images=None, options=None):
             optional 'title', 'imageStyle', 'textStyle', 'linkTarget'
         options: dict with optional keys:
             'headerHtml', 'trailerHtml', 'defaultImageStyle',
-            'defaultTextStyle', 'maxFiguresPerHtmlFile'
+            'defaultTextStyle', 'maxFiguresPerHtmlFile', 'encoding'
     """
 
     if options is None:
@@ -32,6 +32,7 @@ def write_html_image_list(filename=None, images=None, options=None):
     options.setdefault('headerHtml', '')
     options.setdefault('trailerHtml', '')
     options.setdefault('maxFiguresPerHtmlFile', None)
+    options.setdefault('encoding', None)
 
     if images is None:
         images = []
@@ -70,7 +71,7 @@ def write_html_image_list(filename=None, images=None, options=None):
     links = ['<a href="{}">Page {} ({} images)</a><br/>'.format(
         os.path.basename(pf), i, max_per_page)
         for i, pf in enumerate(page_files)]
-    with open(filename, 'w') as f:
+    with open(filename, 'w', encoding=options['encoding']) as f:
         f.write('<html><body>{}\n{}\n{}</body></html>'.format(
             options['headerHtml'], '\n'.join(links),
             options['trailerHtml']))
@@ -79,7 +80,7 @@ def write_html_image_list(filename=None, images=None, options=None):
 
 def _write_page(filename, images, options):
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
-    with open(filename, 'w') as f:
+    with open(filename, 'w', encoding=options.get('encoding')) as f:
         f.write('<html><head><meta charset="utf-8"/></head><body>\n')
         f.write(options['headerHtml'])
         for im in images:

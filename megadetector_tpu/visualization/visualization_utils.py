@@ -405,7 +405,14 @@ def render_detection_bounding_boxes(
 
     for detection in detections:
         score = detection['conf']
-        if score is None or score < confidence_threshold:
+        # confidence_threshold may be a dict keyed by category id with
+        # a 'default' fallback (reference: visualization_utils'
+        # per-category rendering thresholds)
+        threshold = confidence_threshold
+        if isinstance(threshold, dict):
+            threshold = threshold.get(detection['category'],
+                                      threshold.get('default', 0.15))
+        if score is None or score < threshold:
             continue
 
         x, y, w, h = detection['bbox']

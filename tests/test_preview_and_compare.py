@@ -486,3 +486,419 @@ def test_compare_batch_results_pairwise_options_shape(tmp_path):
     with pytest.raises(AssertionError):
         find_image_level_detections_above_threshold(
             file_c, category_names='no-such-category')
+
+
+def test_preview_option_parity(tmp_path):
+    """The round-4 option sweep (reference PostProcessingOptions
+    :78-265): bypass sets, sort order, links, pagination size, titles
+    with extra fields and size ranges, job/model header strings, dict
+    confidence thresholds, and the classification sort weights."""
+
+    from megadetector_tpu.postprocessing.postprocess_batch_results import (
+        PostProcessingOptions, process_batch_results)
+
+    files = ['a.jpg', 'b.jpg', 'c.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+
+    images = [
+        {'file': 'a.jpg', 'datetime': '2024-01-01 10:00:00',
+         'detections': [
+             {'category': '1', 'conf': 0.9,
+              'bbox': [0.1, 0.1, 0.2, 0.2],
+              'classifications': [['0', 0.95]]},
+             {'category': '1', 'conf': 0.85,
+              'bbox': [0.4, 0.4, 0.1, 0.1],
+              'classifications': [['1', 0.9]]}]},
+        {'file': 'b.jpg', 'detections': []},
+        # person at 0.5: above the person threshold (0.4) but below the
+        # animal threshold (0.8) -- dict thresholds must classify this
+        # as a person detection
+        {'file': 'c.jpg', 'detections': [
+            {'category': '2', 'conf': 0.5,
+             'bbox': [0.2, 0.2, 0.2, 0.2]}]},
+    ]
+    data = _results(images)
+    data['classification_categories'] = {'0': 'deer', '1': 'blank'}
+    data['classification_category_descriptions'] = {
+        '0': 'animalia;cervidae', '1': ''}
+    results_file = str(tmp_path / 'results.json')
+    ct_utils.write_json(results_file, data)
+
+    options = PostProcessingOptions()
+    options.md_results_file = results_file
+    options.output_dir = str(tmp_path / 'preview')
+    options.image_base_dir = image_base
+    options.parallelize_rendering = False
+    options.confidence_threshold = {'animal': 0.8, 'person': 0.4,
+                                    'default': 0.6}
+    options.rendering_bypass_sets = ['non_detections']
+    options.html_sort_order = 'confidence'
+    options.max_figures_per_html_file = 1
+    options.job_name_string = 'Test job 42'
+    options.model_version_string = 'v5a.0.0'
+    options.additional_image_fields_to_display = {
+        'datetime': 'taken'}
+    options.include_size_range = True
+    options.category_name_to_sort_weight = {'blank': 1}
+    options.include_category_descriptions_with_global_counts = True
+
+    out = process_batch_results(options)
+    cats = out.category_to_images
+    assert len(cats['detections_animal']) == 1
+    assert len(cats['detections_person']) == 1  # dict threshold applied
+    assert len(cats['non_detections']) == 1
+
+    html = open(out.output_html_file).read()
+    assert 'Test job 42' in html
+    assert 'v5a.0.0' in html
+    # bypass set: counted on the index but no gallery page written
+    assert 'non_detections: 1 images' in html.replace('\n', ' ') or \
+        'non_detections' in html
+    assert not os.path.isfile(
+        os.path.join(options.output_dir, 'non_detections.html'))
+    # classification report: 'blank' weighted to the bottom, with the
+    # description column present
+    assert 'animalia;cervidae' in html
+    report = html[html.index('Classification categories'):]
+    assert report.index('deer') < report.index('blank')
+
+    page = open(os.path.join(options.output_dir,
+                             'detections_animal.html')).read()
+    assert 'taken: 2024-01-01 10:00:00' in page
+    assert 'size 0.0' in page            # size range in the title
+    assert 'href=' in page               # link back to the original
+
+
+def test_preview_filename_replacements_and_gt_classes(tmp_path):
+    """api_output_filename_replacements re-root results paths;
+    negative/unlabeled GT classes control P/R inclusion."""
+
+    from megadetector_tpu.postprocessing.postprocess_batch_results import (
+        PostProcessingOptions, process_batch_results)
+
+    files = ['new_root/a.jpg', 'new_root/b.jpg', 'new_root/u.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+
+    images = [
+        {'file': 'old_root/a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'old_root/b.jpg', 'detections': []},
+        # annotated only 'unidentifiable': excluded from P/R
+        {'file': 'old_root/u.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+    ]
+    results_file = str(tmp_path / 'results.json')
+    ct_utils.write_json(results_file, _results(images))
+
+    gt = {
+        'images': [{'id': fn, 'file_name': fn}
+                   for fn in ['new_root/a.jpg', 'new_root/b.jpg',
+                              'new_root/u.jpg']],
+        'annotations': [
+            {'id': 0, 'image_id': 'new_root/a.jpg', 'category_id': 1},
+            {'id': 1, 'image_id': 'new_root/u.jpg', 'category_id': 2},
+        ],
+        'categories': [{'id': 0, 'name': 'empty'},
+                       {'id': 1, 'name': 'deer'},
+                       {'id': 2, 'name': 'unidentifiable'}],
+    }
+    gt_file = str(tmp_path / 'gt.json')
+    ct_utils.write_json(gt_file, gt)
+
+    options = PostProcessingOptions()
+    options.md_results_file = results_file
+    options.output_dir = str(tmp_path / 'preview')
+    options.image_base_dir = image_base
+    options.parallelize_rendering = False
+    options.api_output_filename_replacements = {'old_root': 'new_root'}
+    options.ground_truth_json_file = gt_file
+
+    out = process_batch_results(options)
+    m = out.eval_metrics
+    # a: TP; b: unannotated -> negative via #NO_LABELS# default -> TN;
+    # u: unknown-class only -> excluded
+    assert m['tp'] == 1 and m['tn'] == 1
+    assert m['fp'] == 0 and m['fn'] == 0
+    assert m['n_unknown'] == 1
+
+    # Without the #NO_LABELS# token, unannotated images are excluded
+    options2 = PostProcessingOptions()
+    options2.md_results_file = results_file
+    options2.output_dir = str(tmp_path / 'preview2')
+    options2.image_base_dir = image_base
+    options2.parallelize_rendering = False
+    options2.api_output_filename_replacements = {'old_root': 'new_root'}
+    options2.ground_truth_json_file = gt_file
+    options2.negative_classes = ['empty']
+    out2 = process_batch_results(options2)
+    assert out2.eval_metrics['tn'] == 0
+    assert out2.eval_metrics['n_unknown'] == 2
+
+
+def test_preview_process_pool_rendering(tmp_path):
+    """parallelize_rendering_with_threads=False renders via processes
+    (options and jobs must pickle)."""
+
+    from megadetector_tpu.postprocessing.postprocess_batch_results import (
+        PostProcessingOptions, process_batch_results)
+
+    files = ['a.jpg', 'b.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+    images = [
+        {'file': 'a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'b.jpg', 'detections': []},
+    ]
+    results_file = str(tmp_path / 'results.json')
+    ct_utils.write_json(results_file, _results(images))
+
+    options = PostProcessingOptions()
+    options.md_results_file = results_file
+    options.output_dir = str(tmp_path / 'preview')
+    options.image_base_dir = image_base
+    options.parallelize_rendering = True
+    options.parallelize_rendering_with_threads = False
+    options.parallelize_rendering_n_cores = 2
+    out = process_batch_results(options)
+    rendered = os.listdir(os.path.join(options.output_dir, 'rendered'))
+    assert len(rendered) == 2
+    assert os.path.isfile(out.output_html_file)
+
+
+def _write_results(path, images, cats=None):
+    data = {'images': images,
+            'detection_categories': cats or {'1': 'animal', '2': 'person',
+                                             '3': 'vehicle'},
+            'info': {'format_version': '1.6'}}
+    ct_utils.write_json(str(path), data)
+    return str(path)
+
+
+def test_compare_option_parity(tmp_path):
+    """Round-4 compare options: filters, class-agnostic comparison,
+    confidence sort, pagination, colormaps, process rendering."""
+
+    from megadetector_tpu.postprocessing.compare_batch_results import (
+        BatchComparisonOptions, compare_batch_results)
+
+    files = ['a.jpg', 'b.jpg', 'c.jpg', 'd.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+
+    images_a = [
+        {'file': 'a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'b.jpg', 'detections': [
+            {'category': '2', 'conf': 0.8, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'c.jpg', 'detections': []},
+        {'file': 'd.jpg', 'detections': [
+            {'category': '3', 'conf': 0.7, 'bbox': [0.3, 0.3, 0.2, 0.2]}]},
+    ]
+    # b: same box, different category -> class transition normally,
+    # common under class_agnostic
+    images_b = [
+        {'file': 'a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.88, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'b.jpg', 'detections': [
+            {'category': '1', 'conf': 0.8, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'c.jpg', 'detections': []},
+        {'file': 'd.jpg', 'detections': [
+            {'category': '3', 'conf': 0.7, 'bbox': [0.3, 0.3, 0.2, 0.2]}]},
+    ]
+    file_a = _write_results(tmp_path / 'a.json', images_a)
+    file_b = _write_results(tmp_path / 'b.json', images_b)
+
+    options = BatchComparisonOptions()
+    options.results_filename_a = file_a
+    options.results_filename_b = file_b
+    comparison = compare_batch_results(options)
+    assert 'class_transitions' in comparison.categories_to_image_files
+    assert comparison.file_to_sort_conf['a.jpg'] == pytest.approx(0.9)
+
+    # class-agnostic: the transition becomes a common detection
+    options2 = BatchComparisonOptions()
+    options2.results_filename_a = file_a
+    options2.results_filename_b = file_b
+    options2.class_agnostic_comparison = True
+    c2 = compare_batch_results(options2)
+    assert 'class_transitions' not in c2.categories_to_image_files
+    assert 'b.jpg' in c2.categories_to_image_files['common_detections']
+
+    # filename filters
+    options3 = BatchComparisonOptions()
+    options3.results_filename_a = file_a
+    options3.results_filename_b = file_b
+    options3.filenames_to_include = ['a.jpg', 'b.jpg']
+    c3 = compare_batch_results(options3)
+    all_files = [fn for v in c3.categories_to_image_files.values()
+                 for fn in v]
+    assert sorted(all_files) == ['a.jpg', 'b.jpg']
+
+    options4 = BatchComparisonOptions()
+    options4.results_filename_a = file_a
+    options4.results_filename_b = file_b
+    options4.required_token = 'd.'
+    c4 = compare_batch_results(options4)
+    all_files = [fn for v in c4.categories_to_image_files.values()
+                 for fn in v]
+    assert all_files == ['d.jpg']
+
+    # category restriction: only 'vehicle' counts -> a/b become common
+    # non-detections
+    options5 = BatchComparisonOptions()
+    options5.results_filename_a = file_a
+    options5.results_filename_b = file_b
+    options5.category_names_to_include = ['vehicle']
+    c5 = compare_batch_results(options5)
+    assert sorted(c5.categories_to_image_files[
+        'common_non_detections']) == ['a.jpg', 'b.jpg', 'c.jpg']
+
+    # rendering: confidence sort + pagination + process pool
+    options6 = BatchComparisonOptions()
+    options6.results_filename_a = file_a
+    options6.results_filename_b = file_b
+    options6.output_folder = str(tmp_path / 'cmp')
+    options6.image_folder = image_base
+    options6.sort_by_confidence = True
+    options6.max_images_per_page = 1
+    options6.parallelize_rendering = True
+    options6.parallelize_rendering_with_threads = False
+    options6.parallelize_rendering_n_cores = 2
+    c6 = compare_batch_results(options6)
+    assert os.path.isfile(c6.html_output_file)
+    # class_transitions page (1 image) unpaginated; detections pages
+    # with >1 image would paginate -- common_detections has 2 images
+    # (a.jpg + d.jpg)
+    cd_page = os.path.join(options6.output_folder,
+                           'common_detections.html')
+    assert os.path.isfile(cd_page)
+    assert os.path.isfile(os.path.join(
+        options6.output_folder, 'common_detections_page000.html'))
+    page0 = open(os.path.join(
+        options6.output_folder, 'common_detections_page000.html')).read()
+    # confidence sort: a.jpg (0.9) before d.jpg (0.7) -> page000 shows a
+    assert 'a.jpg' in page0
+
+
+def test_compare_with_box_ground_truth(tmp_path):
+    """GT-based comparison: categories become TP/TN/FP/FN agreement
+    pages; box-level GT matches by IoU."""
+
+    from megadetector_tpu.postprocessing.compare_batch_results import (
+        BatchComparisonOptions, compare_batch_results)
+
+    files = ['tp.jpg', 'tn.jpg', 'win_a.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files, size=(100, 100))
+
+    box = [0.1, 0.1, 0.2, 0.2]
+    images_a = [
+        {'file': 'tp.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': box}]},
+        {'file': 'tn.jpg', 'detections': []},
+        {'file': 'win_a.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': box}]},
+    ]
+    images_b = [
+        {'file': 'tp.jpg', 'detections': [
+            {'category': '1', 'conf': 0.85, 'bbox': box}]},
+        {'file': 'tn.jpg', 'detections': []},
+        {'file': 'win_a.jpg', 'detections': []},  # B misses -> FN
+    ]
+    file_a = _write_results(tmp_path / 'a.json', images_a)
+    file_b = _write_results(tmp_path / 'b.json', images_b)
+
+    # GT: tp.jpg and win_a.jpg contain an animal at the same box;
+    # tn.jpg is empty. GT categories must match detection categories
+    # by name for class-sensitive comparison.
+    gt = {
+        'images': [
+            {'id': 'tp', 'file_name': 'tp.jpg', 'width': 100,
+             'height': 100},
+            {'id': 'tn', 'file_name': 'tn.jpg', 'width': 100,
+             'height': 100},
+            {'id': 'wa', 'file_name': 'win_a.jpg', 'width': 100,
+             'height': 100},
+        ],
+        'annotations': [
+            {'id': 0, 'image_id': 'tp', 'category_id': 10,
+             'bbox': [10, 10, 20, 20]},
+            {'id': 1, 'image_id': 'wa', 'category_id': 10,
+             'bbox': [10, 10, 20, 20]},
+        ],
+        'categories': [{'id': 10, 'name': 'animal'}],
+    }
+
+    options = BatchComparisonOptions()
+    options.results_filename_a = file_a
+    options.results_filename_b = file_b
+    options.ground_truth_file = gt
+    options.error_on_non_matching_lists = False
+    options.output_folder = str(tmp_path / 'cmp_gt')
+    options.image_folder = image_base
+    c = compare_batch_results(options)
+
+    cats = c.categories_to_image_files
+    assert cats['common_tp'] == ['tp.jpg']
+    assert cats['common_tn'] == ['tn.jpg']
+    assert cats['tp_a_only'] == ['win_a.jpg']
+    # GT boxes rendered onto both panels
+    rendered = os.path.join(options.output_folder, 'rendered',
+                            'common_tp')
+    assert len(os.listdir(rendered)) == 2
+
+
+def test_compare_with_image_level_ground_truth(tmp_path):
+    """Image-level GT (no boxes): category-name presence comparison,
+    empty categories, and the GT label line on pages."""
+
+    from megadetector_tpu.postprocessing.compare_batch_results import (
+        BatchComparisonOptions, compare_batch_results)
+
+    files = ['x.jpg', 'y.jpg']
+    image_base = str(tmp_path / 'images')
+    _build_image_tree(image_base, files)
+
+    images_a = [
+        {'file': 'x.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'y.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+    ]
+    images_b = [
+        {'file': 'x.jpg', 'detections': [
+            {'category': '1', 'conf': 0.9, 'bbox': [0.1, 0.1, 0.2, 0.2]}]},
+        {'file': 'y.jpg', 'detections': []},
+    ]
+    file_a = _write_results(tmp_path / 'a.json', images_a)
+    file_b = _write_results(tmp_path / 'b.json', images_b)
+
+    gt = {
+        'images': [{'id': 'x', 'file_name': 'x.jpg'},
+                   {'id': 'y', 'file_name': 'y.jpg'}],
+        'annotations': [
+            {'id': 0, 'image_id': 'x', 'category_id': 1},
+            {'id': 1, 'image_id': 'y', 'category_id': 0},
+        ],
+        'categories': [{'id': 0, 'name': 'empty'},
+                       {'id': 1, 'name': 'animal'}],
+    }
+
+    options = BatchComparisonOptions()
+    options.results_filename_a = file_a
+    options.results_filename_b = file_b
+    options.ground_truth_file = gt
+    options.output_folder = str(tmp_path / 'cmp_gt')
+    options.image_folder = image_base
+    c = compare_batch_results(options)
+
+    cats = c.categories_to_image_files
+    assert cats['common_tp'] == ['x.jpg']
+    # y: A has an FP on an empty image, B a TN -> tn_b_only
+    assert cats['tn_b_only'] == ['y.jpg']
+    page = open(os.path.join(options.output_folder,
+                             'common_tp.html')).read()
+    assert 'Ground truth: animal' in page
