@@ -17,6 +17,10 @@ import sys
 import threading
 import time
 
+# On the 1-core measurement host, OpenMP and XLA thread pools deadlock
+# in futex waits without this (same pin as tests/conftest.py)
+os.environ.setdefault('OMP_NUM_THREADS', '1')
+
 threading.Timer(int(os.environ.get('EXP_WALL', '3300')),
                 lambda: os._exit(3)).start()
 
@@ -129,7 +133,8 @@ def truncated_apply(cut):
     def fn(params, images_u8):
         x = images_u8.astype(jnp.float32) / jnp.float32(255.0)
         saved = {}
-        prev = x
+        # apply() casts to the compute dtype at entry (yolov5.py:489)
+        prev = x.astype(jnp.bfloat16)
         folded = folding.params_are_folded(params)
         for i, entry in enumerate(config.layers[:cut + 1]):
             kind = entry['kind']

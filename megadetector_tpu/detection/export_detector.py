@@ -224,7 +224,14 @@ class ExportedDetector(TPUDetector):
       topk_ladder (beyond it, images carry the standard
       'pre_nms_truncation' flag)
     - TTA (augment=True) is unavailable
+    - no mesh sharding: the serialized programs are single-device (the
+      batch driver's auto-mesh skips detectors with supports_mesh
+      False); scale AOT serving by running one process per chip
     """
+
+    #: The serialized programs are single-device; the batch driver must
+    #: not attach a data-parallel mesh to this detector
+    supports_mesh = False
 
     def __init__(self, artifact_path, detector_options=None,
                  verbose=False):

@@ -247,7 +247,8 @@ def load_and_run_detector_batch(model_file,
         # sharding, run_detector_batch.py:20-34). Done after
         # load_detector so a force_cpu option has already taken effect.
         if use_mesh and hasattr(detector, 'mesh') and \
-                detector.mesh is None:
+                detector.mesh is None and \
+                getattr(detector, 'supports_mesh', True):
             import jax
             n_dev = jax.local_device_count()
             if n_dev > 1:
@@ -413,6 +414,37 @@ def load_and_run_detector_batch(model_file,
         bucket.clear()
 
     def flush_all_pending():
+        # Tail-bucket merge: when batches pad to a mesh multiple (or an
+        # explicit pad_batches_to), k leftover rect-canvas buckets would
+        # each pad to that multiple — k nearly-empty device programs.
+        # Re-letterbox those images onto the always-available square
+        # canvas and run them as ONE padded batch instead.
+        mesh_multiple = 1
+        if getattr(detector, 'mesh', None) is not None:
+            mesh_multiple = int(detector.mesh.devices.size)
+        elif getattr(detector, 'pad_batches_to', None):
+            mesh_multiple = int(detector.pad_batches_to)
+        if mesh_multiple > 1:
+            small = [b for b in pending.values()
+                     if b and len(b) % mesh_multiple != 0]
+            total = sum(len(b) for b in small)
+            if len(small) > 1 and total <= batch_size:
+                merged = []
+                for b in small:
+                    for idx, im_file, info in b:
+                        new_info = detector.repreprocess_on_square_canvas(
+                            info, image_size=image_size)
+                        if new_info is None:
+                            merged = None
+                            break
+                        merged.append((idx, im_file, new_info))
+                    if merged is None:
+                        break
+                if merged is not None:
+                    for b in small:
+                        b.clear()
+                    pending.setdefault('_merged_square', []).extend(
+                        merged)
         for bucket in pending.values():
             flush_bucket(bucket)
 

@@ -164,6 +164,12 @@ class TPUDetector:
         # auto_escalate_topk off); each such image result carries a
         # 'pre_nms_truncation' field with the true count
         self.n_truncated_images = 0
+        # Device-slot accounting: real images vs total batch slots
+        # (incl. padding to pad_batches_to / the mesh multiple) per
+        # program execution — the tail-bucket efficiency metric
+        self.images_run = 0
+        self.slots_run = 0
+        self.programs_run = 0
         self._fused_decode = False  # set per-architecture in _load_model
         self._conv_backend = 'xla'  # may be overridden in _load_model
 
@@ -672,6 +678,39 @@ class TPUDetector:
         result['letterbox_pad'] = pad
         return result
 
+    def repreprocess_on_square_canvas(self, info, image_size=None):
+        """
+        Re-letterbox an already-preprocessed image onto the
+        always-available square canvas. The batch driver uses this to
+        merge small rect-canvas tail buckets into ONE program when
+        batches pad to a mesh multiple: k tail buckets of n_i images
+        would otherwise each pad to the device count (k * mesh_size
+        slots for sum(n_i) images); merged onto the square canvas they
+        run as a single padded batch. Returns a fresh
+        preprocess_image() dict, or None when the original pixels are
+        unavailable (e.g. native-loader infos that never materialized
+        the full image).
+        """
+
+        source = info.get('img_original_pil')
+        if source is None:
+            source = info.get('img_original')
+        if source is None:
+            return None
+        saved_mode = self.canvas_mode
+        self.canvas_mode = 'square'
+        try:
+            new_info = self.preprocess_image(
+                source, image_id=info.get('file', 'unknown'),
+                image_size=image_size)
+        finally:
+            self.canvas_mode = saved_mode
+        # Carry loader-attached fields (EXIF, timestamps) forward
+        for key, value in info.items():
+            if key not in new_info:
+                new_info[key] = value
+        return new_info
+
     #%% Inference
 
     def generate_detections_one_image(self, img_original, image_id='unknown',
@@ -812,6 +851,9 @@ class TPUDetector:
         if target > n_real:
             infos = list(infos) + \
                 [(None, infos[-1][1])] * (target - n_real)
+        self.images_run += n_real
+        self.slots_run += target
+        self.programs_run += 1
 
         if self.preprocess_mode == 'device' and \
                 infos[0][1].get('img_processed') is None:

@@ -410,8 +410,8 @@ def run_tests(options=None):
     # output_files_are_identical :363-415)
     if not options.skip_cli_tests:
         status['cli'] = run_cli_tests(
-            model_file, image_dir, scratch,
-            api_results_file=out_b2, verbose=options.verbose)
+            model_file, image_dir, scratch, verbose=options.verbose,
+            video_dir=None if options.skip_video_tests else video_dir)
         log('tier 7 (CLI) OK')
 
     if options.scratch_dir is None:
@@ -421,57 +421,318 @@ def run_tests(options=None):
     return status
 
 
+def _run_cli(module, args, timeout=900, expect_rc=0):
+    """Run one module CLI as a subprocess; returns CompletedProcess."""
+
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, '-m', 'megadetector_tpu.' + module] + \
+        [str(a) for a in args]
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       timeout=timeout)
+    assert r.returncode == expect_rc, \
+        '{} CLI failed (rc {}):\n{}'.format(
+            module, r.returncode, (r.stderr or r.stdout)[-3000:])
+    return r
+
+
 def run_cli_tests(model_file, image_dir, scratch,
-                  api_results_file=None, verbose=True):
+                  api_results_file=None, verbose=True,
+                  video_dir=None):
     """
-    Drive the batch CLI, validator CLI, and subset CLI as subprocesses;
-    when [api_results_file] is given, the CLI detections must be
-    byte-identical (modulo the info block's timestamp) to the API run.
+    Drive EVERY console script ([project.scripts] in pyproject.toml) as
+    a subprocess end-to-end (the reference's run_cli_tests contract,
+    md_tests.py:1116-1604): batch (+checkpoint resume), single-image
+    render, video, frame extraction, validation, subset, crops, mAP
+    evaluation, AOT export -> batch-from-artifact exact match, the
+    serving daemon round trip via the client, and the weight-validation
+    gate. Detection outputs are compared with
+    output_files_are_identical semantics where determinism allows.
     Returns 'ok' or raises.
     """
 
     import subprocess
     import sys
 
+    from megadetector_tpu.utils.md_tests import \
+        output_files_are_identical
+
+    def log(msg):
+        if verbose:
+            print('[md-tests] CLI tier: ' + msg)
+
+    # --- md-run-detector-batch (the workhorse; capacity pinned so the
+    # AOT comparison below runs the identical program)
     cli_out = os.path.join(scratch, 'results_cli.json')
-    cmd = [sys.executable, '-m',
-           'megadetector_tpu.detection.run_detector_batch',
-           model_file, image_dir, cli_out,
-           '--recursive', '--output_relative_filenames',
-           '--batch_size', '2', '--detector_options', 'force_cpu=true']
-    r = subprocess.run(cmd, capture_output=True, text=True)
-    assert r.returncode == 0, \
-        'batch CLI failed:\n{}'.format(r.stderr[-2000:])
+    # Options are pinned (no escalation, one square canvas) so every
+    # identity comparison below runs the exact same compiled program
+    batch_args = [model_file, image_dir, cli_out,
+                  '--recursive', '--output_relative_filenames',
+                  '--batch_size', '2', '--detector_options',
+                  'force_cpu=true', 'auto_escalate_topk=false',
+                  'canvas_mode=square']
+    _run_cli('detection.run_detector_batch', batch_args)
+    log('run-detector-batch OK')
 
-    r = subprocess.run(
-        [sys.executable, '-m',
-         'megadetector_tpu.postprocessing.validate_batch_results',
-         cli_out], capture_output=True, text=True)
-    assert r.returncode == 0, \
-        'validator CLI failed:\n{}'.format(r.stderr[-2000:])
+    # --- md-validate-results
+    _run_cli('postprocessing.validate_batch_results', [cli_out])
+    log('validate-results OK')
 
-    if api_results_file is not None:
-        with open(api_results_file) as f:
-            api = json.load(f)
-        with open(cli_out) as f:
-            cli = json.load(f)
-        # Identity modulo the info block (completion timestamps differ)
-        assert api['images'] == cli['images'], \
-            'CLI detections differ from the API run'
-        assert api['detection_categories'] == \
-            cli['detection_categories']
+    if api_results_file is None:
+        # Self-contained API reference run with the SAME pinned options
+        # as the CLI run; the CLI must be byte-identical to it
+        from megadetector_tpu.detection.run_detector_batch import (
+            load_and_run_detector_batch, write_results_to_file)
+        from megadetector_tpu.utils.path_utils import find_images
+        api_results = load_and_run_detector_batch(
+            model_file, find_images(image_dir, recursive=True),
+            quiet=True, batch_size=2,
+            detector_options={'force_cpu': True,
+                              'auto_escalate_topk': False,
+                              'canvas_mode': 'square'})
+        api_results_file = os.path.join(scratch, 'results_api_ref.json')
+        write_results_to_file(api_results, api_results_file,
+                              relative_path_base=image_dir,
+                              detector_file=model_file)
+    with open(api_results_file) as f:
+        api = json.load(f)
+    with open(cli_out) as f:
+        cli = json.load(f)
+    # Identity modulo the info block (completion timestamps differ)
+    assert api['images'] == cli['images'], \
+        'CLI detections differ from the API run'
+    assert api['detection_categories'] == cli['detection_categories']
+    log('CLI-vs-API identity OK')
 
-    # Subset CLI round trip
+    # --- checkpoint-resume: craft a partial checkpoint from the full
+    # run, resume from it, and require the resumed output to be
+    # identical to the straight-through run (reference: md_tests
+    # checkpoint tier)
+    with open(cli_out) as f:
+        full = json.load(f)
+    if len(full['images']) >= 2:
+        checkpoint_file = os.path.join(scratch, 'partial_checkpoint.json')
+        # Checkpoint records carry the ENUMERATED (absolute) path form;
+        # the results file was written with relative filenames
+        partial_records = []
+        for im in full['images'][:2]:
+            rec = dict(im)
+            rec['file'] = os.path.join(image_dir, im['file'])
+            partial_records.append(rec)
+        partial = {'checkpoint': partial_records}
+        with open(checkpoint_file, 'w') as f:
+            json.dump(partial, f)
+        resumed_out = os.path.join(scratch, 'results_resumed.json')
+        r = _run_cli('detection.run_detector_batch',
+                     [model_file, image_dir, resumed_out,
+                      '--recursive', '--output_relative_filenames',
+                      '--batch_size', '2',
+                      '--resume_from_checkpoint', checkpoint_file,
+                      '--detector_options', 'force_cpu=true',
+                      'auto_escalate_topk=false', 'canvas_mode=square'])
+        assert 'Bypassing' in r.stdout + r.stderr, \
+            'resume did not report bypassed images'
+        assert output_files_are_identical(cli_out, resumed_out), \
+            'resumed results differ from the straight-through run'
+        log('checkpoint resume OK')
+
+    # --- md-run-detector (single-image render CLI)
+    from megadetector_tpu.utils.path_utils import find_images
+    good_images = [fn for fn in find_images(image_dir, recursive=True)
+                   if 'corrupt' not in fn]
+    render_dir = os.path.join(scratch, 'cli_render')
+    _run_cli('detection.run_detector',
+             [model_file, '--image_file', good_images[0],
+              '--output_dir', render_dir, '--detector_options',
+              'force_cpu=true'])
+    assert os.path.isdir(render_dir) and os.listdir(render_dir)
+    log('run-detector OK')
+
+    # --- md-process-video + md-extract-frames
+    if video_dir is not None and os.path.isdir(video_dir):
+        video_out = os.path.join(scratch, 'videos_cli.json')
+        _run_cli('detection.process_video',
+                 [model_file, video_dir, '--output_json_file', video_out,
+                  '--frame_sample', '4', '--detector_options',
+                  'force_cpu=true'])
+        with open(video_out) as f:
+            vd = json.load(f)
+        assert len(vd['images']) > 0
+        log('process-video OK')
+
+        frames_dir = os.path.join(scratch, 'frames_cli')
+        _run_cli('utils.extract_frames_from_video',
+                 [video_dir, frames_dir, '--frame_sample', '4'])
+        assert os.path.isdir(frames_dir)
+        log('extract-frames OK')
+
+    # --- subset CLI round trip
     subset_out = os.path.join(scratch, 'subset_cli.json')
-    r = subprocess.run(
-        [sys.executable, '-m',
-         'megadetector_tpu.postprocessing.subset_json_detector_output',
-         cli_out, subset_out, '--confidence_threshold', '0.5'],
-        capture_output=True, text=True)
-    assert r.returncode == 0, \
-        'subset CLI failed:\n{}'.format(r.stderr[-2000:])
+    _run_cli('postprocessing.subset_json_detector_output',
+             [cli_out, subset_out, '--confidence_threshold', '0.5'])
+    log('subset OK')
+
+    # --- md-crop-detections
+    crops_dir = os.path.join(scratch, 'crops_cli')
+    _run_cli('classification.crop_detections',
+             [cli_out, crops_dir, '--images_dir', image_dir,
+              '--threshold', '0.3'])
+    log('crop-detections OK')
+
+    # --- md-evaluate-detections: GT synthesized from the results
+    # themselves must score a perfect mAP@0.5
+    gt_file = os.path.join(scratch, 'gt_cli.json')
+    categories = sorted(set(
+        d['category'] for im in full['images']
+        for d in (im.get('detections') or [])))
+    gt = {'images': [], 'annotations': [], 'categories': [
+        {'id': int(c), 'name': full['detection_categories'][c]}
+        for c in categories]}
+    for im in full['images']:
+        if im.get('detections') is None:
+            continue
+        gt['images'].append({'id': im['file'], 'file_name': im['file']})
+        for d in im['detections']:
+            if d['conf'] < 0.5 or d['bbox'][2] <= 0 or \
+                    d['bbox'][3] <= 0:
+                continue
+            gt['annotations'].append({
+                'id': len(gt['annotations']), 'image_id': im['file'],
+                'category_id': int(d['category']), 'bbox': d['bbox']})
+    with open(gt_file, 'w') as f:
+        json.dump(gt, f)
+    eval_out = os.path.join(scratch, 'map_cli.json')
+    _run_cli('postprocessing.evaluate_detections',
+             [cli_out, gt_file, '--min_confidence', '0.5',
+              '--output_file', eval_out])
+    with open(eval_out) as f:
+        metrics = json.load(f)
+    assert metrics['mAP'] is None or metrics['mAP'] >= 0.99, metrics
+    log('evaluate-detections OK (mAP {})'.format(metrics['mAP']))
+
+    # --- md-validate-weights (fast stages)
+    gate_out = os.path.join(scratch, 'gate_cli.json')
+    _run_cli('utils.validate_weights',
+             [model_file, '--image_dir', image_dir, '--skip_int8',
+              '--skip_export', '--force_cpu', '--scratch_dir',
+              os.path.join(scratch, 'gate_scratch'),
+              '--output_file', gate_out])
+    with open(gate_out) as f:
+        assert json.load(f)['status'] == 'ok'
+    log('validate-weights OK')
+
+    # --- md-convert-weights: requires a torch-format checkpoint; build
+    # one from the repo's torch mirror when importable (dev checkouts),
+    # otherwise record the stage as skipped
+    convert_status = 'ok'
+    try:
+        import torch  # noqa: F401
+        repo_tests = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), 'tests')
+        build_script = (
+            "import sys, torch\n"
+            "sys.path.insert(0, {tests!r})\n"
+            "from megadetector_tpu.models.yolov5 import YoloV5Config\n"
+            "from torch_yolo_ref import make_torch_model\n"
+            "m = make_torch_model(YoloV5Config('yolov5n', num_classes=3),"
+            " seed=3)\n"
+            "m.names = ['animal', 'person', 'vehicle']\n"
+            "torch.save({{'model': m}}, {out!r})\n").format(
+                tests=repo_tests,
+                out=os.path.join(scratch, 'cli_convert.pt'))
+        r = subprocess.run([sys.executable, '-c', build_script],
+                           capture_output=True, text=True, timeout=300)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr[-500:])
+        converted = os.path.join(scratch, 'cli_converted.npz')
+        _run_cli('models.convert_weights',
+                 [os.path.join(scratch, 'cli_convert.pt'), converted,
+                  '--arch', 'yolov5n', '--model_version', 'v5a.0.1'])
+        assert os.path.isfile(converted)
+        log('convert-weights OK')
+    except Exception as e:
+        convert_status = 'skipped: {}'.format(e)
+        log('convert-weights skipped ({})'.format(e))
+
+    # --- md-export-detector -> batch from the artifact -> exact match
+    artifact = os.path.join(scratch, 'cli_model.mdpkg')
+    _run_cli('detection.export_detector',
+             [model_file, artifact, '--batch_sizes', '2',
+              '--aspects', '1:1',
+              '--detector_options', 'force_cpu=true',
+              'canvas_mode=square'])
+    aot_out = os.path.join(scratch, 'results_aot_cli.json')
+    _run_cli('detection.run_detector_batch',
+             [artifact, image_dir, aot_out,
+              '--recursive', '--output_relative_filenames',
+              '--batch_size', '2', '--detector_options',
+              'force_cpu=true', 'auto_escalate_topk=false'])
+    # XLA-CPU numerics are context-dependent (fresh-compiled vs
+    # deserialized-AOT executables flip near-tied random-weight
+    # detections at the max_det boundary; NEXT.md round-3 notes), so
+    # the artifact comparison uses the tolerance comparator rather
+    # than byte identity; real weights separate ties by far more than
+    # the tolerance
+    from megadetector_tpu.utils.md_tests import compare_results
+    r = compare_results(cli_out, aot_out)
+    with open(aot_out) as f:
+        n_dets = sum(len(im.get('detections') or [])
+                     for im in json.load(f)['images'])
+    assert len(r['errors']) <= max(2, n_dets // 20), \
+        'AOT artifact results differ from the checkpoint run: ' \
+        '{}'.format(r['errors'][:3])
+    log('export-detector + batch-from-artifact comparator match OK')
+
+    # --- md-serve + md-serve-client round trip (folder -> MD results)
+    import socket
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+    serve_out = os.path.join(scratch, 'results_serve_cli.json')
+    server = subprocess.Popen(
+        [sys.executable, '-m', 'megadetector_tpu.serving.server',
+         model_file, '--port', str(port), '--force_cpu',
+         '--max_batch_size', '2'],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        import time
+        import urllib.request
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        'http://127.0.0.1:{}/healthz'.format(port),
+                        timeout=2):
+                    break
+            except Exception:
+                if server.poll() is not None:
+                    raise RuntimeError(
+                        'md-serve exited early:\n{}'.format(
+                            server.stdout.read()[-2000:]))
+                time.sleep(1.0)
+        else:
+            raise RuntimeError('md-serve never became healthy')
+        _run_cli('serving.client',
+                 ['http://127.0.0.1:{}'.format(port), image_dir,
+                  '--output_file', serve_out])
+        with open(serve_out) as f:
+            served = json.load(f)
+        assert len(served['images']) == len(full['images'])
+    finally:
+        # Known PID, CPU-only server: direct terminate is safe (the
+        # never-kill rule protects TPU-attached processes)
+        server.terminate()
+        try:
+            server.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            server.kill()
+    log('serve + serve-client round trip OK')
+
     if verbose:
-        print('[md-tests] CLI tier: batch + validate + subset OK')
+        print('[md-tests] CLI tier: all console scripts OK '
+              '(convert: {})'.format(convert_status))
     return 'ok'
 
 
