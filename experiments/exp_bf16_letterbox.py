@@ -1,0 +1,119 @@
+"""
+A/B: the production serving combo (DCT-scaled staging -> on-device
+letterbox -> int8-chain forward -> selection -> NMS) with the letterbox
+interpolation matmuls in f32 (exact, but EMULATED on v5e at ~1/5 MXU
+rate) vs bf16 operands + f32 accumulation (uint8 pixels exact in bf16;
+only the fractional weights round; the forward re-rounds its input to
+bf16 anyway).
+
+Prior numbers (exp_device_preprocess_dct2.py, f32 letterbox):
+379.7 img/s b64 / 408.0 b128, vs 464.5 post-letterbox — i.e. the f32
+letterbox cost ~0.30 ms/img, almost exactly its ~8.5 GMAC/img at the
+emulated-f32 matmul rate. bf16 should cut that ~5x.
+
+Run alone; self-exits via watchdog.
+"""
+
+import os
+import sys
+import threading
+import time
+
+os.environ.setdefault('OMP_NUM_THREADS', '1')
+
+threading.Timer(int(os.environ.get('EXP_WALL', '1500')),
+                lambda: os._exit(3)).start()
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from megadetector_tpu.utils.compile_cache import \
+        enable_persistent_cache
+    enable_persistent_cache()
+
+    from megadetector_tpu.models import yolov5
+    from megadetector_tpu.ops import folding
+    from megadetector_tpu.ops import quantization as q
+    from megadetector_tpu.ops.decode import select_topk_candidates
+    from megadetector_tpu.ops.nms import nms_on_candidates
+    from megadetector_tpu.ops.preprocess_device import letterbox_one
+
+    print('platform:', jax.devices()[0].platform, file=sys.stderr)
+
+    config = yolov5.YoloV5Config('yolov5l6', num_classes=3)
+    params_f32 = folding.fold_early_params(
+        yolov5.init_params(config, seed=0), config)
+    detect_name = 'l{}'.format(len(config.layers) - 1)
+    params = q.quantize_params_chain(
+        params_f32, skip_names=(detect_name,),
+        float_store_names=q.default_float_store(params_f32))
+    calib = np.random.RandomState(1).uniform(
+        0, 1, (2, 320, 320, 3)).astype(np.float32)
+    q.calibrate_chain_scales(yolov5.apply, config, params, calib)
+    params = jax.device_put(params)
+
+    canvas = (960, 1280)
+    scale_target = 1280
+    staging = (1024, 1280)
+
+    def make_step(resize_dtype):
+        def step(params, staged_u8, sizes, conf, iou):
+            x = jax.vmap(
+                lambda img, hw: letterbox_one(
+                    img, hw[0], hw[1], canvas,
+                    scale_target=scale_target,
+                    resize_dtype=resize_dtype)
+            )(staged_u8, sizes)
+            heads = yolov5.apply(config, params,
+                                 x.astype(jnp.bfloat16),
+                                 dtype=jnp.bfloat16, decode=False)
+            cands = select_topk_candidates(
+                heads, config.anchors, config.strides,
+                config.num_classes, conf, 512)
+            return nms_on_candidates(cands, jnp.float32(0.45),
+                                     max_det=300)
+        return jax.jit(step)
+
+    rng = np.random.RandomState(0)
+    for batch in (64, 128):
+        seed = rng.randint(0, 255, (batch, 64, 64, 3), dtype=np.uint8)
+        expand = jax.jit(lambda s: jnp.tile(
+            s, (1, staging[0] // 64, staging[1] // 64, 1)))
+        staged_d = expand(jax.device_put(seed))
+        staged_d.block_until_ready()
+        sizes_d = jax.device_put(
+            np.tile(np.int32([960, 1280]), (batch, 1)))
+        _ = np.asarray(jax.device_get(sizes_d[:1]))
+
+        for label, rd in (('f32 ', None), ('bf16', jnp.bfloat16)):
+            fn = make_step(rd)
+            t0 = time.time()
+            out = fn(params, staged_d, sizes_d, jnp.float32(0.005),
+                     jnp.float32(0.45))
+            _ = np.asarray(jax.device_get(out['scores'].ravel()[:4]))
+            print('b{} {}: compile+first {:.1f}s'.format(
+                batch, label, time.time() - t0), flush=True)
+
+            n = 8
+            t0 = time.time()
+            outs = [fn(params, staged_d, sizes_d, jnp.float32(0.005),
+                       jnp.float32(0.45)) for _ in range(n)]
+            _ = np.asarray(jax.device_get(
+                outs[-1]['scores'].ravel()[:4]))
+            dt = (time.time() - t0) / n
+            print('combo {} letterbox b{}: {:.1f} img/s '
+                  '({:.2f} ms/img)'.format(
+                      label.strip(), batch, batch / dt,
+                      1000.0 * dt / batch), flush=True)
+            del outs, out
+        del staged_d
+
+
+main()
+os._exit(0)

@@ -525,11 +525,19 @@ class TPUDetector:
 
         fused = self._fused_decode
 
+        # The interpolation matmuls run at the model's compute dtype: a
+        # bf16 forward re-rounds the canvas to bf16 at its input cast
+        # anyway, and bf16 MXU operands run ~5x faster than emulated-f32
+        # matmuls on v5e (accumulation stays f32 either way) — this was
+        # the 12% production-combo gap vs the post-letterbox bench
+        resize_dtype = dtype if dtype == jnp.bfloat16 else None
+
         def program(params, staged_u8, sizes, conf_thres, iou_thres):
             x = jax.vmap(
                 lambda img, hw: letterbox_one(img, hw[0], hw[1],
                                               canvas_hw,
-                                              scale_target=scale_target)
+                                              scale_target=scale_target,
+                                              resize_dtype=resize_dtype)
             )(staged_u8, sizes)
             if fused:
                 heads = apply_fn(config, params, x.astype(dtype),

@@ -379,6 +379,14 @@ def _c3_folded(params, x, n, shortcut, dtype=None):
         y2 = y12[..., half:]
     for j in range(n):
         m = params['m{}'.format(j)]
+        # The folded bottleneck is the same fusable shape (1x1 C->C,
+        # 3x3 C->C SAME, add) — the folded 3x3 kernel already encodes
+        # the original receptive field, so the fused Pallas kernel
+        # applies unchanged (see ops/pallas_bottleneck.py)
+        fused = q.fused_bottleneck(m, y1, shortcut)
+        if fused is not None:
+            y1 = fused
+            continue
         h = _conv(m['cv1'], y1, 1, dtype, pad=0)
         h = _conv(m['cv2'], h, 1, dtype, pad=1)
         y1 = q.qt_add(y1, h) if shortcut else h
@@ -414,6 +422,12 @@ def _c3(params, x, n, shortcut, dtype=None):
     y2 = _conv(params['cv2'], x, 1, dtype)
     for j in range(n):
         m = params['m{}'.format(j)]
+        # Pallas backend: the whole bottleneck (1x1 -> 3x3 -> add) runs
+        # as one fused int8 kernel, bit-exact vs the unfused chain
+        fused = q.fused_bottleneck(m, y1, shortcut)
+        if fused is not None:
+            y1 = fused
+            continue
         h = _conv(m['cv1'], y1, 1, dtype)
         h = _conv(m['cv2'], h, 1, dtype)
         y1 = q.qt_add(y1, h) if shortcut else h

@@ -58,7 +58,7 @@ def _out_hw(out_size):
 
 
 def letterbox_one(image_u8, height, width, out_size, pad_value=114.0,
-                  use_matmul=True, scale_target=None):
+                  use_matmul=True, scale_target=None, resize_dtype=None):
     """
     Letterbox one image from a staging canvas onto [out_h, out_w].
 
@@ -86,6 +86,14 @@ def letterbox_one(image_u8, height, width, out_size, pad_value=114.0,
             stride-rectangle out canvas reproduces the reference's
             letterbox(auto=True) geometry exactly
             (pytorch_detector.py:1064-1068).
+        resize_dtype: MXU operand dtype for the two interpolation
+            matmuls (matmul path only; accumulation is always f32).
+            None/f32 = exact f32 operands; bfloat16 runs the resize at
+            native MXU rate (~5x the emulated-f32 matmul on v5e) at a
+            bounded <=2/255 pixel drift — uint8 pixel values are exact
+            in bf16, only the fractional interpolation weights round.
+            Pass the model's compute dtype: a bf16 forward re-rounds
+            the canvas to bf16 at its input cast anyway.
 
     Returns:
         [out_h, out_w, 3] float32 in [0, 1]
@@ -93,13 +101,15 @@ def letterbox_one(image_u8, height, width, out_size, pad_value=114.0,
 
     if use_matmul:
         return _letterbox_one_matmul(image_u8, height, width, out_size,
-                                     pad_value, scale_target)
+                                     pad_value, scale_target,
+                                     resize_dtype)
     return _letterbox_one_gather(image_u8, height, width, out_size,
                                  pad_value, scale_target)
 
 
 def _letterbox_one_matmul(image_u8, height, width, out_size,
-                          pad_value=114.0, scale_target=None):
+                          pad_value=114.0, scale_target=None,
+                          resize_dtype=None):
     s_h, s_w = _out_hw(out_size)
     t = float(scale_target) if scale_target is not None \
         else float(max(s_h, s_w))
@@ -132,10 +142,19 @@ def _letterbox_one_matmul(image_u8, height, width, out_size,
     m_v = m_v * row_ok[:, None].astype(jnp.float32)
     m_h = m_h * col_ok[:, None].astype(jnp.float32)
 
-    img = image_u8.astype(jnp.float32).reshape(s0h, s0w * 3)
-    y = m_v @ img                                           # [s_h, S0w*3]
+    # Both matmuls accumulate in f32 regardless of operand dtype; with
+    # bf16 operands the MXU runs at native rate (f32 matmul is emulated
+    # ~5x slower on v5e) and uint8 pixel values stay exact — only the
+    # interpolation weights round, bounding drift at ~2 u8 levels.
+    rd = jnp.float32 if resize_dtype is None else resize_dtype
+    mm = functools.partial(jax.lax.dot_general,
+                           dimension_numbers=(((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+    img = image_u8.astype(rd).reshape(s0h, s0w * 3)
+    y = mm(m_v.astype(rd), img)                             # [s_h, S0w*3]
     y = y.reshape(s_h, s0w, 3).transpose(0, 2, 1)           # [s_h, 3, S0w]
-    out = y @ m_h.T                                         # [s_h, 3, s_w]
+    out = mm(y.astype(rd).reshape(s_h * 3, s0w),
+             m_h.T.astype(rd)).reshape(s_h, 3, s_w)         # [s_h, 3, s_w]
     out = out.transpose(0, 2, 1)                            # [s_h, s_w, 3]
 
     mask = (row_ok[:, None] & col_ok[None, :])[..., None]
@@ -199,8 +218,10 @@ def _letterbox_one_gather(image_u8, height, width, out_size,
     return out / 255.0
 
 
-@functools.partial(jax.jit, static_argnames=('out_size', 'scale_target'))
-def letterbox_batch(images_u8, sizes, out_size, scale_target=None):
+@functools.partial(jax.jit, static_argnames=('out_size', 'scale_target',
+                                             'resize_dtype'))
+def letterbox_batch(images_u8, sizes, out_size, scale_target=None,
+                    resize_dtype=None):
     """
     Batched on-device letterbox.
 
@@ -209,6 +230,7 @@ def letterbox_batch(images_u8, sizes, out_size, scale_target=None):
         sizes: [B, 2] int32 (height, width) of each valid region
         out_size: static canvas — side int (e.g. 1280) or (h, w) tuple
         scale_target: see letterbox_one
+        resize_dtype: see letterbox_one (None = exact f32 matmuls)
 
     Returns:
         [B, out_h, out_w, 3] float32 in [0, 1]
@@ -216,7 +238,8 @@ def letterbox_batch(images_u8, sizes, out_size, scale_target=None):
 
     return jax.vmap(
         lambda img, hw: letterbox_one(img, hw[0], hw[1], out_size,
-                                      scale_target=scale_target)
+                                      scale_target=scale_target,
+                                      resize_dtype=resize_dtype)
     )(images_u8, sizes)
 
 

@@ -386,6 +386,43 @@ def _pallas_chain_conv(params, xq, x_scale, strides, pads, act):
     return QTensor(y_q, y_scale)
 
 
+def fused_bottleneck(m_params, x, shortcut):
+    """
+    Route a whole CSP bottleneck (1x1 chained conv -> 3x3 chained conv
+    -> qt_add residual) to the fused Pallas kernel
+    (ops/pallas_bottleneck.py) when the backend selects it and the
+    shapes are covered. Returns the output QTensor, or None (caller
+    runs the unfused chain). Numerics are bit-exact vs the unfused
+    path — the kernel replicates every intermediate int8 rounding.
+    """
+
+    if _CONV_BACKEND == 'xla':
+        return None
+    interpret = _CONV_BACKEND == 'pallas-interpret'
+    if not interpret and jax.default_backend() != 'tpu':
+        return None
+    if not isinstance(x, QTensor):
+        return None
+    cv1, cv2 = m_params.get('cv1'), m_params.get('cv2')
+    for p in (cv1, cv2):
+        if p is None or 'w_q' not in p or 'y_scale' not in p:
+            return None
+    from megadetector_tpu.ops import pallas_bottleneck
+    if not pallas_bottleneck.supports(x.shape, cv1['w_q'].shape,
+                                      cv2['w_q'].shape):
+        return None
+    s_in = float(x.scale)
+    mid_scale = float(cv1['y_scale'])
+    scale1 = jnp.asarray(cv1['w_scale'], jnp.float32) * np.float32(s_in)
+    scale2 = jnp.asarray(cv2['w_scale'], jnp.float32) * \
+        np.float32(mid_scale)
+    out_q, out_scale = pallas_bottleneck.bottleneck_chain(
+        x.q, cv1['w_q'], scale1, cv1['b'], mid_scale,
+        cv2['w_q'], scale2, cv2['b'], float(cv2['y_scale']),
+        s_in, shortcut, interpret=interpret)
+    return QTensor(out_q, out_scale)
+
+
 DEFAULT_FLOAT_STORE_LAYERS = ('l0', 'l1', 'l2')
 
 # With width-folded early layers (ops/folding.py) the former <=128-channel

@@ -56,6 +56,32 @@ def test_pad_region_is_gray():
     assert np.allclose(out[96:], 114.0, atol=0.5)
 
 
+def test_resize_dtype_bf16_drift_bounded():
+    """bf16 matmul operands (the production fast path: ~5x on v5e where
+    f32 matmuls are emulated) must stay within ~2 u8 levels of the exact
+    f32 resize — uint8 pixels are exact in bf16, only the fractional
+    interpolation weights round."""
+
+    import jax.numpy as jnp
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+            for (h, w) in [(480, 640), (97, 211)]]
+    staged, sizes = stage_images(imgs)
+    exact = np.asarray(letterbox_batch(staged, sizes, 128)) * 255.0
+    fast = np.asarray(letterbox_batch(
+        staged, sizes, 128, resize_dtype=jnp.bfloat16)) * 255.0
+    diff = np.abs(fast - exact)
+    assert np.percentile(diff, 99) <= 2.0, np.percentile(diff, 99)
+    assert diff.max() <= 4.0, diff.max()
+    # and the fast path still matches the host letterbox at the
+    # standard tolerance
+    for i, im in enumerate(imgs):
+        host, _, _ = box_ops.letterbox(im, (128, 128), auto=False,
+                                       scaleup=True)
+        d = np.abs(fast[i] - host.astype(np.float32))
+        assert np.mean(d) < 1.0 and np.percentile(d, 99) <= 4.0
+
+
 def test_batch_heterogeneous_sizes():
     rng = np.random.RandomState(2)
     imgs = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
