@@ -60,14 +60,21 @@ params_int8 = jax.device_put(params_int8)
 print('devices:', jax.devices(), flush=True)
 
 
-def step_int8(params, images_u8, conf, iou):
-    x = images_u8.astype(jnp.float32) / jnp.float32(255.0)
-    heads = yolov5.apply(config, params, x, dtype=jnp.bfloat16,
-                         decode=False)
-    cands = select_topk_candidates(
-        heads, config.anchors, config.strides, config.num_classes,
-        conf, 512)
-    return nms_on_candidates(cands, iou, max_det=300)
+def make_step():
+    # A FRESH function object per backend: jax.jit caches traces by
+    # function identity, so reusing one step function across
+    # set_conv_backend() calls silently re-runs the first backend's
+    # program (observed: "pallas" compiled in 0.3s = cache hit on the
+    # xla executable)
+    def step_int8(params, images_u8, conf, iou):
+        x = images_u8.astype(jnp.float32) / jnp.float32(255.0)
+        heads = yolov5.apply(config, params, x, dtype=jnp.bfloat16,
+                             decode=False)
+        cands = select_topk_candidates(
+            heads, config.anchors, config.strides, config.num_classes,
+            conf, 512)
+        return nms_on_candidates(cands, iou, max_det=300)
+    return step_int8
 
 
 rng = np.random.RandomState(0)
@@ -80,7 +87,7 @@ images.block_until_ready()
 results = {}
 for backend in BACKENDS:
     q.set_conv_backend(backend)
-    fn = jax.jit(step_int8)
+    fn = jax.jit(make_step())
     try:
         t0 = time.time()
         out = fn(params_int8, images, jnp.float32(0.005),

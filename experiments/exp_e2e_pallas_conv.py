@@ -11,6 +11,14 @@ rest — stride-2 downsamples, 1x1s, head, selection, NMS — stays XLA).
 Run alone. Self-exits via watchdog. EXP_BACKENDS=pallas to measure just
 one backend (fresh compiles of l6 programs through the relay take
 minutes; do them one run at a time if the wall budget is tight).
+
+INVALID-RESULT NOTE (found in round 4): the original version of this
+script reused ONE step function object across set_conv_backend()
+calls; jax.jit caches traces by function identity, so the second
+backend silently re-ran the first backend's compiled program. The
+round-3 conclusion "pallas e2e-neutral (384.0 vs 386.4 img/s)" is an
+artifact — both numbers were the XLA program. Fixed here with a fresh
+closure per backend; exp_e2e_bottleneck.py carries the valid A/B.
 """
 
 import os
@@ -53,14 +61,17 @@ params_int8 = jax.device_put(params_int8)
 print('devices:', jax.devices(), flush=True)
 
 
-def step_int8(params, images_u8, conf, iou):
-    x = images_u8.astype(jnp.float32) / jnp.float32(255.0)
-    heads = yolov5.apply(config, params, x, dtype=jnp.bfloat16,
-                         decode=False)
-    cands = select_topk_candidates(
-        heads, config.anchors, config.strides, config.num_classes,
-        conf, 512)
-    return nms_on_candidates(cands, iou, max_det=300)
+def make_step():
+    # fresh function object per backend — see INVALID-RESULT NOTE
+    def step_int8(params, images_u8, conf, iou):
+        x = images_u8.astype(jnp.float32) / jnp.float32(255.0)
+        heads = yolov5.apply(config, params, x, dtype=jnp.bfloat16,
+                             decode=False)
+        cands = select_topk_candidates(
+            heads, config.anchors, config.strides, config.num_classes,
+            conf, 512)
+        return nms_on_candidates(cands, iou, max_det=300)
+    return step_int8
 
 
 rng = np.random.RandomState(0)
@@ -72,7 +83,7 @@ images.block_until_ready()
 
 for backend in BACKENDS:
     q.set_conv_backend(backend)
-    fn = jax.jit(step_int8)
+    fn = jax.jit(make_step())
     try:
         out = fn(params_int8, images, jnp.float32(0.005),
                  jnp.float32(0.6))

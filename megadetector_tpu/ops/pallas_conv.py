@@ -21,13 +21,15 @@ backends the XLA path is used regardless). Numerics: identical math to
 the XLA path (f32 epilogue, same rounding); interpret-mode tests pin
 exact equality.
 
-STATUS (2026-08-18, hardware-measured): correct and opt-in, NOT the
-default. Isolated conv chains win +4-9% over XLA, but the full
-production step measures e2e-neutral (384.0 vs 386.4 img/s @b64,
-experiments/exp_e2e_pallas_conv.py): the pallas_call boundary blocks
-XLA's cross-op fusion of the surrounding concat/add epilogues, and
-producer-scale folding already removed the input-requant advantage the
-isolated benchmark included. The known next lever — a bf16 VPU
+STATUS (updated 2026-08-19): correct and opt-in, NOT the default.
+Isolated conv chains win +4-9% over XLA. The round-3 "e2e-neutral"
+verdict (384.0 vs 386.4 img/s @b64) was an INVALID measurement — the
+A/B reused one step function across set_conv_backend() calls and
+jax.jit's function-identity cache re-ran the first backend's program
+both times (see exp_e2e_pallas_conv.py's INVALID-RESULT NOTE). The
+fused-bottleneck kernel (ops/pallas_bottleneck.py) supersedes this
+kernel on the bottleneck 3x3s; exp_e2e_bottleneck.py carries the
+valid e2e A/B. The known next lever — a bf16 VPU
 epilogue, worth ~15% at the high-res layers (exp_pallas_conv3x3b nosilu
 bound) — is blocked by a Mosaic verifier bug on this toolchain: ANY
 bf16 vector math in the epilogue (even sigmoid alone, with explicit
