@@ -305,6 +305,17 @@ class TPUDetector:
                 options.get('conv_backend', 'xla')).lower()
             from megadetector_tpu.ops import quantization as _q
             _q.set_conv_backend(self._conv_backend)
+            # Stem im2col-GEMM: run thin-input convs (C_in <= 16, i.e.
+            # the folded/raw stem) as patches + one deep-contraction
+            # dot — the profiled l0 block wastes ~91% of MXU lanes
+            # through the conv emitter (ops/im2col.py). Exact MAC set;
+            # f32 reduction order changes (strict mode keeps it off).
+            # Default off pending the hardware A/B
+            # (experiments/exp_l0_im2col.py).
+            self._stem_gemm = _to_bool(
+                options.get('stem_gemm', False)) and not strict
+            from megadetector_tpu.ops import im2col as _im2col
+            _im2col.set_stem_gemm(self._stem_gemm)
         self.letterbox_stride = int(self.config.max_stride)
 
         image_size = options.get('image_size',
@@ -349,6 +360,8 @@ class TPUDetector:
 
         from megadetector_tpu.ops import quantization as _q
         _q.set_conv_backend(getattr(self, '_conv_backend', 'xla'))
+        from megadetector_tpu.ops import im2col as _im2col
+        _im2col.set_stem_gemm(getattr(self, '_stem_gemm', False))
 
     def _effective_topk(self, topk):
         """The candidate capacity that would actually execute for a

@@ -323,12 +323,19 @@ def _conv(params, x, stride, dtype=None, pad=None):
         w = w.astype(dtype)
         b = b.astype(dtype)
     strides, pads = conv_geom(stride, pad, w.shape[0])
-    y = jax.lax.conv_general_dilated(
-        x, w,
-        window_strides=strides,
-        padding=pads,
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-    )
+    from megadetector_tpu.ops import im2col
+    if im2col.routes(w.shape):
+        # Thin-input stem conv as patches + one GEMM: raises the MXU
+        # contraction from C_in lanes per tap to kh*kw*C_in (see
+        # ops/im2col.py). Exact MAC set; f32 reduction order changes.
+        y = im2col.conv_im2col(x, w, strides, pads)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=strides,
+            padding=pads,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        )
     y = y + b
     y = y * jax.nn.sigmoid(y)
     # Float-compute / int8-storage nodes: MXU runs bf16 (int8 convs
