@@ -27,6 +27,22 @@ the XLA folded conv (13.3 ms at b64 @1280, vs this kernel's ~6-8 ms
 projected). See experiments/exp_pallas_l0.py and NEXT.md.
 Retried 2026-08-17 (round 3): unchanged — full-array DMA compile still
 crashes the remote compile helper (HTTP 500, subprocess exit 1).
+Retried 2026-08-19 (round 4): the toolchain UPDATED — sliced HBM DMAs
+now compile and give real diagnostics instead of crashing. Progress
+ladder this session:
+  - rank-4 [.., Wf+2, 12] DMA slice: "Slice shape along dimension 2
+    must be aligned to tiling (8), but is 322" -> fixed by padding the
+    folded-col extent to 8-aligned;
+  - then "Slice shape along dimension 3 must be aligned to tiling
+    (128), but is 12" -> the 12-lane minor dim can never satisfy it;
+  - flat [B, Hp, Wfp*12] view (Wfp*12 % 128 == 0): the DMA COMPILES.
+    The in-kernel lane-split back to [.., Wfp, 12] is the remaining
+    blocker: vector reshape -> clean reject ("infer-vector-layout:
+    unsupported shape cast"); ref.reshape view before the load ->
+    compile-helper crash (HTTP 500).
+The kernel is kept on the flat-DMA + ref-free vector-reshape form
+(interpret-exact); one supported lane-splitting primitive (or a
+rank-3 DMA with relaxed minor-dim alignment) is all that is missing.
 
 This kernel:
   1. DMAs raw u8 row bands straight from HBM (one band per grid step),
@@ -56,7 +72,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _l0_kernel(w_ref, b_ref, x_hbm, out_ref, scratch, im2col_ref, sem, *,
-               rows_per_band):
+               rows_per_band, wf):
     """One grid step: output rows [i*R, (i+1)*R) of one image.
 
     w_ref:   [216, 128] bf16 (im2col layout, /255 pre-folded) in VMEM
@@ -70,24 +86,33 @@ def _l0_kernel(w_ref, b_ref, x_hbm, out_ref, scratch, im2col_ref, sem, *,
     bi = pl.program_id(0)
     i = pl.program_id(1)
 
-    # Input band: padded rows [2*i*r, 2*i*r + 2r + 4) of image bi
+    # Input band: padded rows [2*i*r, 2*i*r + 2r + 8) of image bi.
+    # The HBM array is the FLAT row view [B, Hp, Wfp*12] with
+    # Wfp*12 % 128 == 0: Mosaic requires slice extents aligned to the
+    # (8, 128) tile on the last two dims, which the natural
+    # [..., Wfp, 12] rank-4 view can never satisfy on its 12-lane
+    # minor dim. The slice takes 2r+8 rows (8-aligned); rows beyond
+    # 2r+4 are padding and never read by the taps.
     dma = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(i * (2 * r), 2 * r + 4)], scratch, sem)
+        x_hbm.at[bi, pl.ds(i * (2 * r), 2 * r + 8)], scratch, sem)
     dma.start()
     dma.wait()
 
-    # Mosaic has no direct u8->bf16 cast; widen through int32
-    x = scratch[:].astype(jnp.int32).astype(jnp.bfloat16)  # [2r+4, Wf+2, 12]
-
-    wp = x.shape[1]
-    wf = wp - 2
+    # Split the flat rows back into folded columns, then widen (Mosaic
+    # has no direct u8->bf16 cast). This vector-level lane split is the
+    # remaining toolchain blocker (see STATUS): kept in the form that
+    # produces a clean diagnostic ("unsupported shape cast") rather
+    # than the ref.reshape view, which crashes the compile helper.
+    wp = scratch.shape[1] // 12
+    x = scratch[:].reshape(2 * r + 8, wp, 12)
+    x = x.astype(jnp.int32).astype(jnp.bfloat16)
     # Output row rr reads padded input row 2*rr + ky. Mosaic has no
     # strided vector slices, so view the band as row pairs once: row
     # 2g+j lives at pair (g, j), and tap ky = 2a+b selects the
     # unit-stride pair range [a, a+r) at parity b. Pieces land in the
     # im2col scratch via 12-wide column stores (Mosaic's minor-dim
     # vector concat rejects this many narrow pieces).
-    xpairs = x.reshape((2 * r + 4) // 2, 2, wp, 12)
+    xpairs = x.reshape((2 * r + 8) // 2, 2, wp, 12)
     for ky in range(6):
         a, parity = divmod(ky, 2)
         rows = xpairs[a:a + r, parity]  # [r, Wf+2, 12]
@@ -151,11 +176,19 @@ def l0_fused(images_u8, w_im2col, bias, rows_per_band=32):
     # One padded u8 staging copy: row halo 2 (conv pad 2), folded-col
     # halo 1 (conv pad 1 in the folded layout)
     xf = images_u8.reshape(b, h, wf, 12)
-    xp = jnp.pad(xf, ((0, 0), (2, 2), (1, 1), (0, 0)))
+    # Folded-col halo is (1, 1); pad the right side so the flat row
+    # width (wfp*12) is 128-lane aligned (wfp % 32 == 0), and pad 4
+    # extra bottom rows so every 8-aligned (2r+8)-row DMA slice stays
+    # in bounds. The flat [B, Hp, wfp*12] view is what the kernel
+    # slices — see _l0_kernel.
+    pad_r = 1 + (-(wf + 2)) % 32
+    wfp = wf + 1 + pad_r
+    xp = jnp.pad(xf, ((0, 0), (2, 6), (1, pad_r), (0, 0)))
+    xp = xp.reshape(b, h + 8, wfp * 12)
 
     grid = (b, h_out // r)
     out = pl.pallas_call(
-        functools.partial(_l0_kernel, rows_per_band=r),
+        functools.partial(_l0_kernel, rows_per_band=r, wf=wf),
         grid=grid,
         in_specs=[
             pl.BlockSpec((216, n_out), lambda bi, i: (0, 0),
@@ -170,7 +203,7 @@ def l0_fused(images_u8, w_im2col, bias, rows_per_band=32):
         out_shape=jax.ShapeDtypeStruct((b, h_out, wf, n_out),
                                        jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((2 * r + 4, wf + 2, 12), jnp.uint8),
+            pltpu.VMEM((2 * r + 8, wfp * 12), jnp.uint8),
             pltpu.VMEM((r * wf, 216), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
