@@ -61,11 +61,17 @@ def select_topk_candidates(head_outputs, anchors, strides, num_classes,
         n = h * w * na
         x = raw.reshape(b, n, no)
 
-        # Ranking score from obj/cls logits only, f32 compute fused by XLA
+        # Ranking score from obj/cls logits only, f32 compute fused by
+        # XLA. sigmoid is monotone, so max/argmax run on the RAW class
+        # logits and only the winning logit gets sigmoided — bitwise
+        # identical to sigmoiding all classes first (ties in the
+        # logits are ties in the sigmoids, same first-index argmax),
+        # at half the per-anchor transcendental work.
         obj = jax.nn.sigmoid(x[..., 4].astype(jnp.float32))
-        cls = jax.nn.sigmoid(x[..., 5:].astype(jnp.float32))
-        best_cls = jnp.max(cls, axis=-1)
-        best_class = jnp.argmax(cls, axis=-1).astype(jnp.int32)
+        cls_logits = x[..., 5:]
+        best_cls = jax.nn.sigmoid(
+            jnp.max(cls_logits, axis=-1).astype(jnp.float32))
+        best_class = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
         score = obj * best_cls
         valid = (obj > conf_thres) & (score > conf_thres)
         # Above-floor candidate count: lets the host detect when the
