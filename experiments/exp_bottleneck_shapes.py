@@ -32,7 +32,12 @@ from megadetector_tpu.ops import pallas_bottleneck as pb
 from megadetector_tpu.ops import quantization as q
 
 B = int(os.environ.get('EXP_B', '64'))
-SHAPES = [(120, 160, 128), (60, 80, 256), (30, 40, 384)]
+# (240,160,128) is the folded-l2 bottleneck — the HBM-bound C3 (the
+# stage profile shows l2 at 74 TOP/s, consistent with activation
+# traffic, where the fused kernel's 2.5x traffic cut should bite);
+# the other three are the compute-bound mid-network interiors.
+SHAPES = [(240, 160, 128), (120, 160, 128), (60, 80, 256),
+          (30, 40, 384)]
 N_BOT = 3
 
 rng = np.random.RandomState(0)

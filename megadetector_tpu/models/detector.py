@@ -511,20 +511,25 @@ class TPUDetector:
 
     def _get_compiled_device_preprocess(self, batch_size, staging_hw,
                                         canvas_hw, scale_target,
-                                        pre_nms_topk=None):
+                                        pre_nms_topk=None,
+                                        identity=False):
         """Compiled program: staged uint8 -> letterbox -> forward -> NMS.
 
         staging_hw / canvas_hw are (h, w) tuples; scale_target is the
         square size the letterbox ratio derives from (see
         ops/preprocess_device.letterbox_one) so rectangular canvases
         reproduce the host letterbox(auto=True) geometry exactly.
+        identity=True compiles the ratio-1 fast path (every image's
+        content equals the canvas): slice + normalize, no resize —
+        bit-identical to the letterbox at r=1, ~0.39 ms/img cheaper
+        (experiments/exp_letterbox_profile.py).
         """
 
         pre_nms_topk = pre_nms_topk or self.pre_nms_topk
         staging_hw = tuple(int(v) for v in staging_hw)
         canvas_hw = tuple(int(v) for v in canvas_hw)
         key = ('dev', batch_size, staging_hw, canvas_hw, scale_target,
-               pre_nms_topk)
+               pre_nms_topk, identity)
         if key in self._compiled:
             return self._compiled[key]
         self._assert_trace_globals()
@@ -546,12 +551,16 @@ class TPUDetector:
         resize_dtype = dtype if dtype == jnp.bfloat16 else None
 
         def program(params, staged_u8, sizes, conf_thres, iou_thres):
-            x = jax.vmap(
-                lambda img, hw: letterbox_one(img, hw[0], hw[1],
-                                              canvas_hw,
-                                              scale_target=scale_target,
-                                              resize_dtype=resize_dtype)
-            )(staged_u8, sizes)
+            if identity:
+                x = staged_u8[:, :canvas_hw[0], :canvas_hw[1], :] \
+                    .astype(jnp.float32) / jnp.float32(255.0)
+            else:
+                x = jax.vmap(
+                    lambda img, hw: letterbox_one(
+                        img, hw[0], hw[1], canvas_hw,
+                        scale_target=scale_target,
+                        resize_dtype=resize_dtype)
+                )(staged_u8, sizes)
             if fused:
                 heads = apply_fn(config, params, x.astype(dtype),
                                  dtype=dtype, decode=False)
@@ -888,10 +897,26 @@ class TPUDetector:
                 raw_imgs, multiple=self.staging_multiple)
             h, w = canvas
 
+            # Identity fast path: when every image's content already
+            # equals the canvas (common with DCT-scaled native decode
+            # — e.g. a 2048x1536 source lands at exactly 1280x960 via
+            # libjpeg scale 5/8), the letterbox ratio is exactly 1 and
+            # the bilinear resize is an exact copy; the program then
+            # skips the whole resize stage (hardware-profiled at
+            # ~0.39 ms/img, experiments/exp_letterbox_profile.py) and
+            # just slices + normalizes. Bit-identical output: at r=1
+            # the interpolation weights are (1, 0) at integer source
+            # positions and the padding is empty.
+            # r = min(T/h, T/w) == 1 exactly iff T == max(canvas) when
+            # content == canvas
+            identity = scale_target == max(canvas) and \
+                all(im.shape[:2] == canvas for im in raw_imgs)
+
             def run_program(topk=None):
                 fn = self._get_compiled_device_preprocess(
                     staged.shape[0], staged.shape[1:3], canvas,
-                    scale_target, pre_nms_topk=topk)
+                    scale_target, pre_nms_topk=topk,
+                    identity=identity)
                 return fn(self.params, staged, sizes,
                           jnp.float32(detection_threshold),
                           jnp.float32(nms_iou))

@@ -190,3 +190,53 @@ def test_native_loader_rect(checkpoint, tmp_path):
     diff = np.abs(info_native['img_processed'].astype(int) -
                   info_python['img_processed'].astype(int))
     assert diff.mean() < 3.0
+
+
+def test_device_identity_fast_path(checkpoint):
+    """When every image's content equals the canvas (ratio exactly 1 —
+    the DCT-scaled-decode common case), the device-preprocess program
+    skips the resize stage; results must be identical to the full
+    letterbox program on the same batch."""
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+
+    det = TPUDetector(checkpoint, detector_options={
+        'preprocess_mode': 'device', 'use_mesh': 'false'})
+    r_fast = det.generate_detections_one_batch(
+        [img.copy()], ['a.jpg'], detection_threshold=0.01)
+
+    # identity program was compiled and used
+    assert any(k[0] == 'dev' and k[-1] is True
+               for k in det._compiled), list(det._compiled)
+
+    # force the full letterbox program on the same batch
+    det2 = TPUDetector(checkpoint, detector_options={
+        'preprocess_mode': 'device', 'use_mesh': 'false'})
+    orig = det2._get_compiled_device_preprocess
+
+    def no_identity(*args, **kwargs):
+        kwargs['identity'] = False
+        return orig(*args, **kwargs)
+
+    det2._get_compiled_device_preprocess = no_identity
+    r_full = det2.generate_detections_one_batch(
+        [img.copy()], ['a.jpg'], detection_threshold=0.01)
+    assert all(k[-1] is False for k in det2._compiled
+               if k[0] == 'dev')
+
+    assert _detection_key(r_fast[0]) == _detection_key(r_full[0])
+
+
+def test_device_identity_not_taken_when_resize_needed(checkpoint):
+    """Content smaller than the canvas must keep the letterbox
+    program (and still produce detections for the content region)."""
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 255, (90, 120, 3), dtype=np.uint8)
+    det = TPUDetector(checkpoint, detector_options={
+        'preprocess_mode': 'device', 'use_mesh': 'false'})
+    r = det.generate_detections_one_batch(
+        [img], ['b.jpg'], detection_threshold=0.01)
+    assert r[0].get('failure') is None
+    assert all(k[-1] is False for k in det._compiled if k[0] == 'dev')
