@@ -171,6 +171,7 @@ class TPUDetector:
         self.slots_run = 0
         self.programs_run = 0
         self._fused_decode = False  # set per-architecture in _load_model
+        self._approx_select = True  # refined per-architecture below
         self._conv_backend = 'xla'  # may be overridden in _load_model
 
         # Pad partial batches up to this size so one compiled program
@@ -291,6 +292,14 @@ class TPUDetector:
             # ops/decode.py. Anchor-based yolov5 heads only.
             self._fused_decode = _to_bool(
                 options.get('fused_decode', not strict))
+            # Verified approx candidate selection: per-level
+            # approx_max_k with an exact-count runtime proof and a
+            # lax.cond fallback to exact top_k — results are identical
+            # by construction (ops/decode._verified_approx_topk), at
+            # about half the selection cost. Off in strict mode only so
+            # the unoptimized graph stays literally reproducible.
+            self._approx_select = _to_bool(
+                options.get('approx_select', not strict))
             # Width-fold the early high-resolution layers (exact weight
             # rewrite, hardware-measured ~1.2x forward win; see
             # ops/folding.py). Opt out with folded_early=false.
@@ -388,7 +397,7 @@ class TPUDetector:
         if self.mesh is None:
             global_key = ('std', _config_cache_key(config),
                           str(dtype), pre_nms_topk, max_det,
-                          self._fused_decode,
+                          self._fused_decode, self._approx_select,
                           batch_size, height, width)
             if global_key in _PROGRAM_CACHE:
                 fn = _PROGRAM_CACHE[global_key]
@@ -396,6 +405,7 @@ class TPUDetector:
                 return fn
 
         fused = self._fused_decode
+        approx_sel = self._approx_select
 
         def program(params, images_u8, conf_thres, iou_thres):
             x = images_u8.astype(dtype) / dtype(255.0)
@@ -404,7 +414,8 @@ class TPUDetector:
                                  decode=False)
                 cands = select_topk_candidates(
                     heads, config.anchors, config.strides,
-                    config.num_classes, conf_thres, pre_nms_topk)
+                    config.num_classes, conf_thres, pre_nms_topk,
+                    approx=approx_sel)
                 return nms_on_candidates(
                     cands, iou_thres, max_det=max_det,
                     class_agnostic=(config.num_classes == 1))
@@ -462,6 +473,7 @@ class TPUDetector:
 
         passes = tta_passes(height, width, stride)
         fused = self._fused_decode
+        approx_sel = self._approx_select
 
         def program(params, images_u8, conf_thres, iou_thres):
             x = images_u8.astype(dtype) / dtype(255.0)
@@ -491,7 +503,8 @@ class TPUDetector:
                 c = select_topk_candidates(
                     heads[lvl_slice], config.anchors[lvl_slice],
                     config.strides[lvl_slice],
-                    config.num_classes, conf_thres, pre_nms_topk)
+                    config.num_classes, conf_thres, pre_nms_topk,
+                    approx=approx_sel)
                 bx = c['boxes_cxcywh'] / jnp.float32(s)
                 if flip:
                     cx = width - bx[..., 0]
@@ -542,6 +555,7 @@ class TPUDetector:
         apply_fn = self._apply_fn
 
         fused = self._fused_decode
+        approx_sel = self._approx_select
 
         # The interpolation matmuls run at the model's compute dtype: a
         # bf16 forward re-rounds the canvas to bf16 at its input cast
@@ -566,7 +580,8 @@ class TPUDetector:
                                  dtype=dtype, decode=False)
                 cands = select_topk_candidates(
                     heads, config.anchors, config.strides,
-                    config.num_classes, conf_thres, pre_nms_topk)
+                    config.num_classes, conf_thres, pre_nms_topk,
+                    approx=approx_sel)
                 return nms_on_candidates(
                     cands, iou_thres, max_det=max_det,
                     class_agnostic=(config.num_classes == 1))

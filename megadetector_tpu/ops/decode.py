@@ -31,9 +31,57 @@ the same YOLOv5-v6 form ((2s-0.5+g)*stride, (2s)^2*anchor).
 import jax
 import jax.numpy as jnp
 
+# Test-injectable handle (tests substitute a deliberately lossy
+# implementation to exercise the exact-fallback branch below).
+_approx_max_k = jax.lax.approx_max_k
+
+
+def _verified_approx_topk(ranked, k, n_above):
+    """lax.top_k semantics at approx_max_k speed, verified at runtime.
+
+    `ranked` is the per-level score map where every above-floor
+    candidate is positive and every below-floor slot is exactly -1.0
+    (see select_topk_candidates). Only the above-floor candidates ever
+    matter downstream: below-floor slots keep score <= 0 through the
+    merge and are masked by `valid = final_scores > 0` before NMS, so
+    their (arbitrary) identities never reach emission.
+
+    The fast path runs jax.lax.approx_max_k (TPU PartialReduce — about
+    half the cost of the exact per-level lax.top_k at the production
+    shape, experiments/exp_topk_approx.py) and then PROVES the result
+    equivalent: it counts the positive entries the approx set captured
+    and compares against `n_above`, the exact above-floor count already
+    computed from the full map. captured == n_above implies every
+    above-floor candidate is in the approx set (captured can never
+    exceed n_above because positive ranked values occur only at valid
+    slots). The captured set is then re-sorted by (score desc, index
+    asc) — lax.top_k's documented tie rule — so the output is
+    elementwise identical to exact lax.top_k in every slot that can
+    influence results. If any candidate was missed (or n_above > k,
+    where approx could silently swap tail candidates), a lax.cond falls
+    back to the exact lax.top_k, so results are identical by
+    construction in ALL cases, not just at the approx recall target.
+    """
+
+    a_scores, a_idx = _approx_max_k(ranked, k)
+    captured = jnp.sum((a_scores > 0.0).astype(jnp.int32), axis=-1)
+    ok = jnp.all(captured == n_above)
+
+    def use_approx(operands):
+        s, i = operands
+        neg = -s
+        neg_sorted, idx_sorted = jax.lax.sort((neg, i), num_keys=2)
+        return (-neg_sorted, idx_sorted)
+
+    def use_exact(_):
+        s, i = jax.lax.top_k(ranked, k)
+        return (s, i)
+
+    return jax.lax.cond(ok, use_approx, use_exact, (a_scores, a_idx))
+
 
 def select_topk_candidates(head_outputs, anchors, strides, num_classes,
-                           conf_thres, k):
+                           conf_thres, k, approx=True):
     """
     Args:
         head_outputs: list of raw per-level head tensors
@@ -44,6 +92,9 @@ def select_topk_candidates(head_outputs, anchors, strides, num_classes,
         conf_thres: confidence floor (objectness AND obj*cls, as in the
             reference filter chain)
         k: candidate count to keep across all levels
+        approx: select per-level candidates through the runtime-verified
+            approx_max_k fast path (results identical by construction —
+            see _verified_approx_topk; False forces plain lax.top_k)
 
     Returns:
         dict with f32 'boxes_cxcywh' [B, K, 4] (canvas pixels),
@@ -83,7 +134,11 @@ def select_topk_candidates(head_outputs, anchors, strides, num_classes,
         ranked = jnp.where(valid, score, -1.0)
 
         k_l = min(k, n)
-        top_scores, top_idx = jax.lax.top_k(ranked, k_l)
+        if approx and k_l < n:
+            top_scores, top_idx = _verified_approx_topk(
+                ranked, k_l, lvl_count)
+        else:
+            top_scores, top_idx = jax.lax.top_k(ranked, k_l)
 
         # Gather only the winners' raw rows ([B, k_l, no])
         rows = jnp.take_along_axis(x, top_idx[..., None], axis=1)

@@ -136,3 +136,106 @@ def test_per_level_topk_equals_global(small_model):
 
     got = np.sort(np.asarray(jax.device_get(cands['scores'][0])))[::-1]
     np.testing.assert_allclose(got, ref_top, atol=1e-5)
+
+
+def _toy_ranked():
+    """[3, 64] ranked map: positives (incl. an exact score tie), one
+    single-candidate row, one all-invalid row; invalid slots are -1."""
+    ranked = np.full((3, 64), -1.0, np.float32)
+    ranked[0, 9] = 0.9
+    ranked[0, 5] = 0.5
+    ranked[0, 33] = 0.5   # tie with index 5: top_k puts 5 first
+    ranked[1, 10] = 0.25
+    return jnp.asarray(ranked), jnp.asarray([3, 1, 0], jnp.int32)
+
+
+def test_verified_approx_resorts_to_exact_topk_order(monkeypatch):
+    """A complete-but-shuffled approx set must come out in exact
+    lax.top_k order (score desc, tie -> lower index first)."""
+
+    from megadetector_tpu.ops import decode
+
+    def shuffled(ranked, k):
+        s, i = jax.lax.top_k(ranked, k)
+        return s[..., ::-1], i[..., ::-1]
+
+    monkeypatch.setattr(decode, '_approx_max_k', shuffled)
+    ranked, n_above = _toy_ranked()
+    got_s, got_i = jax.device_get(
+        decode._verified_approx_topk(ranked, 8, n_above))
+    exact_s, exact_i = jax.device_get(jax.lax.top_k(ranked, 8))
+    np.testing.assert_array_equal(got_s, exact_s)
+    # Same 8-element set reversed: even the -1 fillers re-sort to
+    # top_k's tie order (ascending index), so indices match everywhere
+    np.testing.assert_array_equal(got_i, exact_i)
+
+
+def test_verified_approx_fast_branch_actually_runs(monkeypatch):
+    """With all positives captured but different filler slots, the fast
+    branch keeps the mock's fillers — proof the cond did NOT fall back —
+    while every slot that matters (score > 0) matches exact top_k."""
+
+    from megadetector_tpu.ops import decode
+
+    def odd_fillers(ranked, k):
+        s, i = jax.lax.top_k(ranked, k)
+        n = ranked.shape[-1]
+        high = jnp.arange(n - 1, n - 1 - k, -1, dtype=i.dtype)
+        high = jnp.broadcast_to(high, i.shape)
+        return jnp.where(s > 0, s, -1.0), jnp.where(s > 0, i, high)
+
+    monkeypatch.setattr(decode, '_approx_max_k', odd_fillers)
+    ranked, n_above = _toy_ranked()
+    got_s, got_i = jax.device_get(
+        decode._verified_approx_topk(ranked, 8, n_above))
+    exact_s, exact_i = jax.device_get(jax.lax.top_k(ranked, 8))
+    np.testing.assert_array_equal(got_s, exact_s)
+    n_above = np.asarray(n_above)
+    for b in range(3):
+        np.testing.assert_array_equal(got_i[b, :n_above[b]],
+                                      exact_i[b, :n_above[b]])
+    # Fillers differ from exact's -> the approx branch produced them
+    assert not np.array_equal(got_i, exact_i)
+
+
+def test_verified_approx_falls_back_on_missed_candidate(monkeypatch):
+    """A lossy approx set (top candidate dropped) must trigger the
+    exact-top_k fallback: output identical to lax.top_k in every slot."""
+
+    from megadetector_tpu.ops import decode
+
+    def lossy(ranked, k):
+        s, i = jax.lax.top_k(ranked, k)
+        # Drop each row's best candidate
+        s = s.at[..., 0].set(-1.0)
+        return s, i
+
+    monkeypatch.setattr(decode, '_approx_max_k', lossy)
+    ranked, n_above = _toy_ranked()
+    got_s, got_i = jax.device_get(
+        decode._verified_approx_topk(ranked, 8, n_above))
+    exact_s, exact_i = jax.device_get(jax.lax.top_k(ranked, 8))
+    np.testing.assert_array_equal(got_s, exact_s)
+    np.testing.assert_array_equal(got_i, exact_i)
+
+
+def test_select_topk_approx_matches_exact_e2e(small_model):
+    """select_topk_candidates(approx=True) (the default) must equal the
+    approx=False path on real head outputs."""
+
+    config, params = small_model
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 192, 192, 3)), jnp.float32)
+    heads = yolov5.apply(config, params, x, decode=False)
+
+    a = jax.device_get(select_topk_candidates(
+        heads, config.anchors, config.strides, config.num_classes,
+        jnp.float32(0.005), 128, approx=True))
+    e = jax.device_get(select_topk_candidates(
+        heads, config.anchors, config.strides, config.num_classes,
+        jnp.float32(0.005), 128, approx=False))
+    np.testing.assert_array_equal(a['scores'], e['scores'])
+    np.testing.assert_array_equal(a['classes'][a['valid']],
+                                  e['classes'][e['valid']])
+    np.testing.assert_array_equal(a['boxes_cxcywh'][a['valid']],
+                                  e['boxes_cxcywh'][e['valid']])
