@@ -300,12 +300,31 @@ class TPUDetector:
             # the unoptimized graph stays literally reproducible.
             self._approx_select = _to_bool(
                 options.get('approx_select', not strict))
+            # Channel-major candidate selection (ops/decode.
+            # _select_level_cm): same candidate set/scores in the
+            # transposed [B, na, 5+nc, H*W] layout. Hardware-measured
+            # NEUTRAL (exp_select_cm_profile: the full-map score work
+            # is free in either layout; the selection segment is
+            # top_k+gather-bound), so default off; kept as a measured
+            # design point.
+            self._select_cm = _to_bool(
+                options.get('select_cm', False)) and not strict
             # Width-fold the early high-resolution layers (exact weight
             # rewrite, hardware-measured ~1.2x forward win; see
             # ops/folding.py). Opt out with folded_early=false.
             if _to_bool(options.get('folded_early', not strict)):
                 from megadetector_tpu.ops import folding
-                params = folding.fold_early_params(params, self.config)
+                # folded_h2=true additionally height-folds l0
+                # (ops/folding.fold_l0_h2, [3,3,24,*] at 9 taps).
+                # Hardware-measured 1.4% SLOWER e2e than the w4 form
+                # (exp_h2_cm_e2e: XLA's conv emitter does not pay the
+                # naive per-tap lane-padding cost the fold targets), so
+                # default off; kept as a measured design point for
+                # future toolchains.
+                h2 = (_to_bool(options.get('folded_h2', False)) and
+                      not _to_bool(options.get('stem_gemm', False)))
+                params = folding.fold_early_params(params, self.config,
+                                                   h2=h2)
             # Chained-int8 conv backend: 'xla' (default) or 'pallas'
             # (TPU-only custom kernel for the 3x3 stride-1 chain convs;
             # see ops/pallas_conv.py). Trace-time and process-global —
@@ -398,6 +417,7 @@ class TPUDetector:
             global_key = ('std', _config_cache_key(config),
                           str(dtype), pre_nms_topk, max_det,
                           self._fused_decode, self._approx_select,
+                          self._select_cm,
                           batch_size, height, width)
             if global_key in _PROGRAM_CACHE:
                 fn = _PROGRAM_CACHE[global_key]
@@ -406,6 +426,7 @@ class TPUDetector:
 
         fused = self._fused_decode
         approx_sel = self._approx_select
+        select_cm = self._select_cm
 
         def program(params, images_u8, conf_thres, iou_thres):
             x = images_u8.astype(dtype) / dtype(255.0)
@@ -415,7 +436,7 @@ class TPUDetector:
                 cands = select_topk_candidates(
                     heads, config.anchors, config.strides,
                     config.num_classes, conf_thres, pre_nms_topk,
-                    approx=approx_sel)
+                    approx=approx_sel, channel_major=select_cm)
                 return nms_on_candidates(
                     cands, iou_thres, max_det=max_det,
                     class_agnostic=(config.num_classes == 1))
@@ -474,6 +495,7 @@ class TPUDetector:
         passes = tta_passes(height, width, stride)
         fused = self._fused_decode
         approx_sel = self._approx_select
+        select_cm = self._select_cm
 
         def program(params, images_u8, conf_thres, iou_thres):
             x = images_u8.astype(dtype) / dtype(255.0)
@@ -504,7 +526,7 @@ class TPUDetector:
                     heads[lvl_slice], config.anchors[lvl_slice],
                     config.strides[lvl_slice],
                     config.num_classes, conf_thres, pre_nms_topk,
-                    approx=approx_sel)
+                    approx=approx_sel, channel_major=select_cm)
                 bx = c['boxes_cxcywh'] / jnp.float32(s)
                 if flip:
                     cx = width - bx[..., 0]
@@ -556,6 +578,7 @@ class TPUDetector:
 
         fused = self._fused_decode
         approx_sel = self._approx_select
+        select_cm = self._select_cm
 
         # The interpolation matmuls run at the model's compute dtype: a
         # bf16 forward re-rounds the canvas to bf16 at its input cast
@@ -581,7 +604,7 @@ class TPUDetector:
                 cands = select_topk_candidates(
                     heads, config.anchors, config.strides,
                     config.num_classes, conf_thres, pre_nms_topk,
-                    approx=approx_sel)
+                    approx=approx_sel, channel_major=select_cm)
                 return nms_on_candidates(
                     cands, iou_thres, max_det=max_det,
                     class_agnostic=(config.num_classes == 1))

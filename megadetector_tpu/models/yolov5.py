@@ -411,6 +411,15 @@ def _apply_folded_layer(i, entry, params_i, src, dtype):
         assert c == 3 and w % 4 == 0, \
             'Folded l0 needs RGB input with width % 4 == 0'
         xf = src.reshape(b, h, w // 4, 12)
+        wk = params_i.get('w', params_i.get('w_q'))
+        if wk.shape[0] == 3:
+            # h2+w4 fold (ops/folding.fold_l0_h2): pack the row parity
+            # into channels too — [B, H/2, W/4, 24], q*12+g order —
+            # so the kernel is [3,3,24,*] at stride (1,1)
+            assert h % 2 == 0, 'h2-folded l0 needs an even canvas height'
+            xf = xf.reshape(b, h // 2, 2, w // 4, 12)
+            xf = xf.transpose(0, 1, 3, 2, 4).reshape(b, h // 2, w // 4, 24)
+            return _conv(params_i, xf, (1, 1), dtype, pad=((1, 1), (1, 1)))
         return _conv(params_i, xf, (2, 1), dtype, pad=((2, 2), (1, 1)))
     if i == 1:
         return _conv(params_i, src, (2, 2), dtype, pad=((1, 1), (1, 1)))

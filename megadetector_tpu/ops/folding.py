@@ -97,6 +97,46 @@ def fold_l0(node):
     return out
 
 
+def fold_l0_h2(node):
+    """fold_l0 + a height-fold by 2: [6,3,12,2C] -> [3,3,24,2C] s(1,1).
+
+    Motivation (hardware profile, docs/perf-profile.md): under a naive
+    per-tap lane-padding model the w4-folded l0 (18 taps at K=12) runs
+    at ~9% MXU utilization; packing the input row parity into channels
+    as well halves the tap count (3x3=9 at K=24) for the same true MAC
+    set. MEASURED OUTCOME (experiments/exp_h2_cm_e2e.py, v5e): 1.4%
+    SLOWER e2e than the w4 form — XLA's conv emitter evidently does
+    not pay that per-tap padding cost, and the extra input h-fold
+    relayout is not free. Kept as an opt-in design point
+    (detector option folded_h2=true) to retry on toolchain updates.
+
+    Derivation: true output row r reads true input rows 2r+ky-2
+    (ky in 0..5). With h-folded input rows X[R] = (x[2R], x[2R+1]),
+    input row 2r+ky-2 = 2*(r + ky//2 - 1) + (ky%2), i.e. folded row
+    r + ty - 1 with ty = ky//2 and parity q = ky%2 — 3 unit-stride row
+    taps. Input channel order is q*12 + g (h-parity major), matching
+    the view built in models/yolov5._apply_folded_layer. The true
+    2-row padding becomes exactly 1 folded zero row per side. Use with
+    stride (1,1), padding ((1,1),(1,1)) on the [B, H/2, W/4, 24] view;
+    the output layout is IDENTICAL to fold_l0's, so l1..l3 are
+    untouched.
+    """
+
+    key, _ = _conv_keys(node)
+    if tuple(_np(node[key]).shape[:3]) == (6, 6, 3):
+        node = fold_l0(node)
+    w = _np(node[key])
+    assert tuple(w.shape[:3]) == (6, 3, 12), \
+        'fold_l0_h2 needs a raw or w4-folded l0 kernel, got {}'.format(
+            w.shape)
+    co = w.shape[3]
+    wf = np.zeros((3, 3, 24, co), w.dtype)
+    for ky in range(6):
+        q = ky % 2
+        wf[ky // 2, :, q * 12:q * 12 + 12, :] = w[ky]
+    return _like(node, {key: wf})
+
+
 def fold_conv_s2(node):
     """[3,3,Ci,Co] s2 -> [3,3,2Ci,2Co] s(2,2) folded-in, folded-out.
 
@@ -229,13 +269,15 @@ def fold_c3(c3_params, n):
 
 
 def params_are_folded(params):
-    """True when the l0 node carries a folded weight ([6,3,12,*])."""
+    """True when the l0 node carries a folded weight ([6,3,12,*] w4 or
+    [3,3,24,*] h2+w4)."""
 
     node = params.get('l0')
     if not isinstance(node, dict):
         return False
     w = node.get('w', node.get('w_q'))
-    return w is not None and tuple(w.shape[:3]) == (6, 3, 12)
+    return w is not None and tuple(w.shape[:3]) in ((6, 3, 12),
+                                                    (3, 3, 24))
 
 
 def foldable(config):
@@ -253,18 +295,22 @@ def foldable(config):
             min(config.save_indices, default=4) >= 4)
 
 
-def fold_early_params(params, config):
+def fold_early_params(params, config, h2=False):
     """
     Return a copy of [params] with l0..l3 rewritten into folded form
     (shared references for everything else), or [params] unchanged when
-    the architecture prefix doesn't match. Idempotent.
+    the architecture prefix doesn't match. Idempotent. h2 selects the
+    h2+w4 l0 kernel (fold_l0_h2) — hardware-measured 1.4% slower e2e
+    on the current toolchain (experiments/exp_h2_cm_e2e.py), so the
+    default stays the w4-only form, which is also what the opt-in
+    pallas_l0 / stem_gemm paths consume.
     """
 
     if params_are_folded(params) or not foldable(config):
         return params
     try:
         folded = {
-            'l0': fold_l0(params['l0']),
+            'l0': fold_l0_h2(params['l0']) if h2 else fold_l0(params['l0']),
             'l1': fold_conv_s2(params['l1']),
             'l2': fold_c3(params['l2'], config.layers[2]['n']),
             'l3': fold_conv_s2_exit(params['l3']),

@@ -13,11 +13,14 @@ from megadetector_tpu.models import yolov5
 from megadetector_tpu.ops import folding
 
 
+@pytest.mark.parametrize('h2', [True, False])
 @pytest.mark.parametrize('arch', ['yolov5n6', 'yolov5n'])
-def test_folded_forward_matches_plain(arch):
+def test_folded_forward_matches_plain(arch, h2):
     config = yolov5.YoloV5Config(arch, num_classes=3)
     params = yolov5.init_params(config, seed=3)
-    folded = folding.fold_early_params(params, config)
+    folded = folding.fold_early_params(params, config, h2=h2)
+    assert folded['l0']['w'].shape == ((3, 3, 24, 32) if h2
+                                       else (6, 3, 12, 32))
     assert folding.params_are_folded(folded)
     assert not folding.params_are_folded(params)
 

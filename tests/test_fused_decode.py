@@ -239,3 +239,53 @@ def test_select_topk_approx_matches_exact_e2e(small_model):
                                   e['classes'][e['valid']])
     np.testing.assert_array_equal(a['boxes_cxcywh'][a['valid']],
                                   e['boxes_cxcywh'][e['valid']])
+
+
+@pytest.mark.parametrize('approx', [True, False])
+def test_select_channel_major_matches_row_major(small_model, approx):
+    """The channel-major selection layout (_select_level_cm) must
+    produce the same candidate set: same sorted scores, and identical
+    boxes/classes wherever scores are distinct (random logits make
+    exact ties measure-zero)."""
+
+    config, params = small_model
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 192, 256, 3)), jnp.float32)
+    heads = yolov5.apply(config, params, x, decode=False)
+
+    rm = jax.device_get(select_topk_candidates(
+        heads, config.anchors, config.strides, config.num_classes,
+        jnp.float32(0.005), 128, approx=approx, channel_major=False))
+    cm = jax.device_get(select_topk_candidates(
+        heads, config.anchors, config.strides, config.num_classes,
+        jnp.float32(0.005), 128, approx=approx, channel_major=True))
+
+    np.testing.assert_array_equal(cm['scores'], rm['scores'])
+    np.testing.assert_array_equal(cm['valid'], rm['valid'])
+    np.testing.assert_array_equal(cm['n_candidates'], rm['n_candidates'])
+    v = rm['valid']
+    np.testing.assert_array_equal(cm['classes'][v], rm['classes'][v])
+    np.testing.assert_array_equal(cm['boxes_cxcywh'][v],
+                                  rm['boxes_cxcywh'][v])
+
+
+def test_select_channel_major_single_class(small_model):
+    """nc=1 exercises the class-agnostic shape corner (cls axis of 1)."""
+
+    config, _ = small_model
+    cfg1 = yolov5.YoloV5Config('yolov5n6', num_classes=1)
+    params1 = yolov5.init_params(cfg1, seed=2)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 192, 192, 3)), jnp.float32)
+    heads = yolov5.apply(cfg1, params1, x, decode=False)
+
+    rm = jax.device_get(select_topk_candidates(
+        heads, cfg1.anchors, cfg1.strides, 1,
+        jnp.float32(0.005), 64, channel_major=False))
+    cm = jax.device_get(select_topk_candidates(
+        heads, cfg1.anchors, cfg1.strides, 1,
+        jnp.float32(0.005), 64, channel_major=True))
+    np.testing.assert_array_equal(cm['scores'], rm['scores'])
+    v = rm['valid']
+    np.testing.assert_array_equal(cm['boxes_cxcywh'][v],
+                                  rm['boxes_cxcywh'][v])

@@ -49,7 +49,7 @@ def test_model_routing_identical_outputs():
 
     config = yolov5.YoloV5Config('yolov5n', num_classes=3)
     params = folding.fold_early_params(
-        yolov5.init_params(config, seed=0), config)
+        yolov5.init_params(config, seed=0), config, h2=False)
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)), jnp.float32)
 

@@ -24,7 +24,7 @@ from megadetector_tpu.ops import pallas_l0
 def folded_l0():
     config = yolov5.YoloV5Config('yolov5l6', num_classes=3)
     folded = folding.fold_early_params(
-        yolov5.init_params(config, seed=0), config)
+        yolov5.init_params(config, seed=0), config, h2=False)
     return folded['l0']
 
 
