@@ -656,6 +656,52 @@ def run_cli_tests(model_file, image_dir, scratch,
         convert_status = 'skipped: {}'.format(e)
         log('convert-weights skipped ({})'.format(e))
 
+    # --- md-convert-speciesnet: synthetic release bundle (weights +
+    # labels.txt + taxonomy + geofence) -> dry run -> full conversion
+    try:
+        import torch  # noqa: F401
+        repo_tests = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), 'tests')
+        bundle = os.path.join(scratch, 'sn_bundle')
+        os.makedirs(bundle, exist_ok=True)
+        labels = [
+            'aaaa0001-0000-0000-0000-000000000001;mammalia;rodentia;'
+            'muridae;mus;musculus;house mouse',
+            'f1856211-cfb7-4a5b-9158-c0f72fd09ee6;;;;;;blank',
+        ]
+        build_script = (
+            "import sys, json, torch\n"
+            "sys.path.insert(0, {tests!r})\n"
+            "from torch_effnet_ref import make_torch_effnet\n"
+            "m = make_torch_effnet('efficientnetv2_test',"
+            " num_classes=2, seed=0)\n"
+            "torch.save(m.state_dict(), {w!r})\n").format(
+                tests=repo_tests,
+                w=os.path.join(bundle, 'always_crop.pt'))
+        r = subprocess.run([sys.executable, '-c', build_script],
+                           capture_output=True, text=True, timeout=300)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr[-500:])
+        with open(os.path.join(bundle, 'labels.txt'), 'w') as f:
+            f.write('\n'.join(labels) + '\n')
+        with open(os.path.join(bundle, 'taxonomy_release.txt'),
+                  'w') as f:
+            f.write('\n'.join(labels) + '\n')
+        with open(os.path.join(bundle, 'geofence_base.json'),
+                  'w') as f:
+            json.dump({labels[0]: {'allow': {'USA': []}}}, f)
+        _run_cli('models.convert_speciesnet', [bundle, '--dry_run'])
+        sn_out = os.path.join(scratch, 'sn_converted')
+        _run_cli('models.convert_speciesnet',
+                 [bundle, sn_out, '--arch', 'efficientnetv2_test',
+                  '--image_size', '64'])
+        assert os.path.isfile(os.path.join(sn_out, 'classifier.npz'))
+        assert os.path.isfile(os.path.join(sn_out, 'geofence.json'))
+        log('convert-speciesnet OK')
+    except Exception as e:
+        log('convert-speciesnet skipped ({})'.format(e))
+
     # --- md-export-detector -> batch from the artifact -> exact match
     artifact = os.path.join(scratch, 'cli_model.mdpkg')
     _run_cli('detection.export_detector',
