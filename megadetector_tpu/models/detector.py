@@ -172,6 +172,7 @@ class TPUDetector:
         self.programs_run = 0
         self._fused_decode = False  # set per-architecture in _load_model
         self._approx_select = True  # refined per-architecture below
+        self._select_cm = False
         self._conv_backend = 'xla'  # may be overridden in _load_model
 
         # Pad partial batches up to this size so one compiled program
