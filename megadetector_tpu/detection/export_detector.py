@@ -239,7 +239,8 @@ class ExportedDetector(TPUDetector):
         options = dict(detector_options or {})
         for forbidden in ('mesh', 'image_size', 'arch', 'dtype',
                           'fused_decode', 'folded_early', 'folded_h2',
-                          'approx_select', 'conv_backend',
+                          'approx_select', 'select_cm', 'stem_gemm',
+                          'bf16_resize', 'conv_backend',
                           'pre_nms_topk'):
             assert options.get(forbidden) is None, \
                 '{} is fixed at export time for AOT artifacts'.format(

@@ -320,6 +320,11 @@ def load_and_run_detector(model_file, image_file_names, output_dir,
             detection_results.append(result)
             time_infer.append(time.time() - start_time)
         except Exception as e:
+            from megadetector_tpu.models.detector import \
+                PROGRAMMING_ERRORS, reraise_programming_errors
+            if isinstance(e, PROGRAMMING_ERRORS) and \
+                    reraise_programming_errors():
+                raise
             print('An error occurred while running the detector on image '
                   '{}: {}'.format(im_file, e))
             detection_results.append({

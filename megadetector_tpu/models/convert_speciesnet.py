@@ -139,6 +139,48 @@ def _sha256(path):
     return h.hexdigest()
 
 
+#: Pickle GLOBAL opcodes resolving outside these module prefixes are
+#: replaced with inert stubs by the restricted fallback loader below —
+#: a malicious bundle cannot resolve (and therefore cannot REDUCE-call)
+#: arbitrary importables like os.system
+_SAFE_PICKLE_MODULE_PREFIXES = (
+    'torch', 'collections', 'numpy', '_codecs', 'builtins')
+
+
+def _restricted_torch_load(path):
+    """torch.load for release bundles whose pickles reference classes
+    weights_only=True rejects (e.g. argparse.Namespace training args):
+    classes from torch/numpy/stdlib-container modules resolve normally,
+    everything else becomes an inert stub — never an arbitrary
+    importable, so untrusted bundles cannot execute code through the
+    unpickler (same posture as convert_weights.extract_torch_state_dict,
+    hardened from stub-on-failure to stub-on-unknown)."""
+
+    import pickle
+    import io
+    import torch
+    from megadetector_tpu.models.convert_weights import _make_stub_class
+
+    class _RestrictedUnpickler(pickle.Unpickler):
+
+        def find_class(self, module, name):
+            root = module.split('.', 1)[0]
+            if root in _SAFE_PICKLE_MODULE_PREFIXES:
+                try:
+                    return super().find_class(module, name)
+                except (ImportError, AttributeError):
+                    pass
+            return _make_stub_class(module, name)
+
+    shim = type(pickle)('speciesnet_restricted_pickle')
+    shim.Unpickler = _RestrictedUnpickler
+    shim.load = lambda f, **kw: _RestrictedUnpickler(f).load()
+    shim.loads = lambda b, **kw: _RestrictedUnpickler(
+        io.BytesIO(b)).load()
+    return torch.load(path, map_location='cpu', pickle_module=shim,
+                      weights_only=False)
+
+
 def load_torch_state_dict(path):
     """Load the weight file into a flat {name: tensor} state dict,
     unwrapping the common wrapper keys. torchscript archives are
@@ -151,8 +193,7 @@ def load_torch_state_dict(path):
         blob = torch.load(path, map_location='cpu', weights_only=True)
     except Exception:
         try:
-            blob = torch.load(path, map_location='cpu',
-                              weights_only=False)
+            blob = _restricted_torch_load(path)
         except RuntimeError as e:
             if 'torchscript' in str(e).lower() or \
                     'constants.pkl' in str(e).lower():

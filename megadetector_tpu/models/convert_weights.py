@@ -555,6 +555,17 @@ def convert_megadetector_checkpoint(checkpoint_path, output_path=None,
     state_dict, extras = extract_torch_state_dict(
         checkpoint_path, verbose=verbose)
 
+    # RF-DETR checkpoints (MDv1000-sorrel-rfdetr) route to their own
+    # converter, so the one CLI works for every detector family
+    # (reference loader: megadetector/detection/rfdetr_detector.py:34-141)
+    if 'class_embed.bias' in state_dict or any(
+            k.startswith('transformer.decoder') for k in state_dict):
+        return convert_rfdetr_checkpoint(
+            checkpoint_path, output_path,
+            arch=arch if (arch or '').startswith('rfdetr')
+            else 'rfdetr_base',
+            num_classes=num_classes, verbose=verbose)
+
     if model_version is None:
         model_version = registry.get_detector_version_from_model_file(
             checkpoint_path) or 'unknown'

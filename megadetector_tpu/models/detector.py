@@ -47,6 +47,27 @@ from megadetector_tpu.utils import ct_utils
 FAILURE_INFER = 'inference failure'
 FAILURE_IMAGE_OPEN = 'image access failure'
 
+# Failure containment exists for DATA errors (corrupt images, device
+# faults on a batch); bug-shaped exceptions coming out of our own
+# program-build/dispatch code must not be silently converted to
+# per-batch 'inference failure' records — that masked a real
+# AttributeError for most of round 4. Under pytest, or when
+# MD_STRICT_FAILURES is set, these exception classes re-raise out of
+# the containment blocks instead. (UnboundLocalError subclasses
+# NameError; listed for the reader.)
+PROGRAMMING_ERRORS = (AttributeError, NameError, UnboundLocalError,
+                      ImportError)
+
+
+def reraise_programming_errors():
+    """True when containment should let bug-shaped exceptions surface:
+    under pytest, or when MD_STRICT_FAILURES is set non-false."""
+
+    if os.environ.get('PYTEST_CURRENT_TEST'):
+        return True
+    return os.environ.get('MD_STRICT_FAILURES', '').lower() \
+        not in ('', '0', 'false')
+
 # Decimal places for confidences and coordinates
 # (reference: detection/run_detector.py:58-60)
 CONF_DIGITS = 3
@@ -116,6 +137,7 @@ class TPUDetector:
     def __init__(self, model_path, detector_options=None, verbose=False):
 
         options = dict(detector_options or {})
+        self._options = options
         self.verbose = verbose
 
         if _to_bool(options.get('force_cpu', False)):
@@ -419,6 +441,8 @@ class TPUDetector:
                           str(dtype), pre_nms_topk, max_det,
                           self._fused_decode, self._approx_select,
                           self._select_cm,
+                          getattr(self, '_stem_gemm', False),
+                          getattr(self, '_conv_backend', 'xla'),
                           batch_size, height, width)
             if global_key in _PROGRAM_CACHE:
                 fn = _PROGRAM_CACHE[global_key]
@@ -545,6 +569,25 @@ class TPUDetector:
         self._compiled[key] = fn
         return fn
 
+    def _resize_dtype(self):
+        """MXU operand dtype for the device-letterbox interpolation
+        matmuls. A bf16 forward re-rounds the canvas to bf16 at its
+        input cast anyway, and bf16 MXU operands run ~5x faster than
+        emulated-f32 matmuls on v5e (accumulation stays f32 either
+        way) — this was the 12% production-combo gap vs the
+        post-letterbox bench. It IS numerics-changing (up to ~2/255
+        pixel drift vs the f32 resize), so like every other
+        reduction-order rewrite it is forced OFF in strict
+        compatibility modes; the bf16_resize detector option opts the
+        heuristic out elsewhere."""
+
+        if 'strict' in self.compatibility_mode:
+            return None
+        if not _to_bool(self._options.get('bf16_resize', True)):
+            return None
+        dtype = self.compute_dtype
+        return dtype if dtype == jnp.bfloat16 else None
+
     def _get_compiled_device_preprocess(self, batch_size, staging_hw,
                                         canvas_hw, scale_target,
                                         pre_nms_topk=None,
@@ -581,12 +624,7 @@ class TPUDetector:
         approx_sel = self._approx_select
         select_cm = self._select_cm
 
-        # The interpolation matmuls run at the model's compute dtype: a
-        # bf16 forward re-rounds the canvas to bf16 at its input cast
-        # anyway, and bf16 MXU operands run ~5x faster than emulated-f32
-        # matmuls on v5e (accumulation stays f32 either way) — this was
-        # the 12% production-combo gap vs the post-letterbox bench
-        resize_dtype = dtype if dtype == jnp.bfloat16 else None
+        resize_dtype = self._resize_dtype()
 
         def program(params, staged_u8, sizes, conf_thres, iou_thres):
             if identity:
@@ -862,6 +900,9 @@ class TPUDetector:
                 self._run_batch(group, results, detection_threshold,
                                 augment)
             except Exception as e:
+                if isinstance(e, PROGRAMMING_ERRORS) and \
+                        reraise_programming_errors():
+                    raise
                 # Failure containment is contractual (reference
                 # pytorch_detector.py:1240-1249), but never silently:
                 # one diagnostic line always, full trace when verbose

@@ -110,7 +110,12 @@ def _select_level_cm(raw, anchors_l, stride, num_classes, conf_thres,
     cls_logits = xt[:, :, 5:, :]
     best_cls = jax.nn.sigmoid(
         jnp.max(cls_logits, axis=2).astype(jnp.float32))
-    best_class = jnp.argmax(cls_logits, axis=2).astype(jnp.int32)
+    # argmax in sigmoid space for the reference's saturated-logit tie
+    # rule (see the global path below); full-map VPU work is measured
+    # free in this layout (exp_select_cm_profile)
+    best_class = jnp.argmax(
+        jax.nn.sigmoid(cls_logits.astype(jnp.float32)),
+        axis=2).astype(jnp.int32)
     score = obj * best_cls                                  # [B, na, HW]
     valid = (obj > conf_thres) & (score > conf_thres)
     lvl_count = jnp.sum(valid.astype(jnp.int32), axis=(1, 2))
@@ -248,9 +253,19 @@ def select_topk_candidates(head_outputs, anchors, strides, num_classes,
     else:
         top_scores, top_idx = jax.lax.top_k(ranked, k_g)
 
-    # One gather of the K winners' raw rows ([B, K, no])
+    # One gather of the K winners' raw rows ([B, K, no]). The class
+    # argmax runs on the SIGMOIDED f32 winner rows, not the raw logits:
+    # sigmoid is monotone so the max VALUE is identical either way, but
+    # when two class logits both exceed ~16.6 their f32 sigmoids round
+    # to exactly 1.0 and the reference's sigmoid-space argmax
+    # (pytorch_detector.py:502-610) tie-breaks to the LOWER class index
+    # — raw-logit argmax would pick the genuinely larger logit and
+    # report a different class on saturated detections. Only K rows get
+    # the extra transcendentals, so the full-map saving stands.
     rows = jnp.take_along_axis(x_all, top_idx[..., None], axis=1)
-    classes = jnp.argmax(rows[..., 5:], axis=-1).astype(jnp.int32)
+    classes = jnp.argmax(
+        jax.nn.sigmoid(rows[..., 5:].astype(jnp.float32)),
+        axis=-1).astype(jnp.int32)
     boxp = jax.nn.sigmoid(rows[..., :4].astype(jnp.float32))
 
     # Level recovery from the global flat index (static boundaries),

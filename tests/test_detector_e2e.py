@@ -234,3 +234,62 @@ def test_batch_padding_single_compile(tiny_checkpoint):
     # Exactly one compiled program, keyed on the padded batch size
     assert len(detector._compiled) == 1
     assert list(detector._compiled)[0][0] == 4
+
+
+def test_programming_error_surfaces_not_masked(tiny_checkpoint):
+    """Round 4 shipped an AttributeError masked as per-batch 'inference
+    failure' records for most of the round (commit ce6e5f4). Bug-shaped
+    exceptions from our own dispatch code must re-raise under pytest /
+    MD_STRICT_FAILURES instead of being contained as data failures."""
+
+    from megadetector_tpu.models.detector import TPUDetector
+
+    detector = TPUDetector(tiny_checkpoint)
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 255, (60, 80, 3), dtype=np.uint8)]
+
+    def broken_run_batch(*args, **kwargs):
+        raise AttributeError("'TPUDetector' object has no attribute "
+                             "'_deliberately_missing'")
+
+    detector._run_batch = broken_run_batch
+    with pytest.raises(AttributeError):
+        detector.generate_detections_one_batch(
+            imgs, ['x.jpg'], detection_threshold=0.1)
+
+    # Data-shaped exceptions stay contained (the reference contract:
+    # run_detector.py:54-56 failure records, pytorch_detector.py's
+    # per-batch containment)
+    def broken_data(*args, **kwargs):
+        raise ValueError('simulated device data fault')
+
+    detector._run_batch = broken_data
+    out = detector.generate_detections_one_batch(
+        imgs, ['x.jpg'], detection_threshold=0.1)
+    assert out[0]['failure'] == 'inference failure'
+    assert out[0]['detections'] is None
+
+
+def test_strict_mode_disables_bf16_resize(tiny_checkpoint):
+    """classic-strict promises bit-level reproduction of the
+    unoptimized graph; the bf16 device-letterbox resize (a
+    numerics-changing fast path) must be off there, on for plain
+    classic bf16 detectors, and opt-out-able via bf16_resize."""
+
+    import jax.numpy as jnp
+    from megadetector_tpu.models.detector import TPUDetector
+
+    strict = TPUDetector(tiny_checkpoint, detector_options={
+        'dtype': 'bfloat16', 'compatibility_mode': 'classic-strict'})
+    assert strict._resize_dtype() is None
+
+    fast = TPUDetector(tiny_checkpoint,
+                       detector_options={'dtype': 'bfloat16'})
+    assert fast._resize_dtype() == jnp.bfloat16
+
+    opted_out = TPUDetector(tiny_checkpoint, detector_options={
+        'dtype': 'bfloat16', 'bf16_resize': 'false'})
+    assert opted_out._resize_dtype() is None
+
+    f32 = TPUDetector(tiny_checkpoint)
+    assert f32._resize_dtype() is None

@@ -289,3 +289,38 @@ def test_select_channel_major_single_class(small_model):
     v = rm['valid']
     np.testing.assert_array_equal(cm['boxes_cxcywh'][v],
                                   rm['boxes_cxcywh'][v])
+
+
+@pytest.mark.parametrize('channel_major', [False, True])
+def test_saturated_logit_class_tiebreak(channel_major):
+    """When two class logits both saturate sigmoid-f32 to exactly 1.0
+    (logit > ~16.6), the reference argmaxes in SIGMOID space and
+    tie-breaks to the lower class index (pytorch_detector.py:502-610);
+    a raw-logit argmax would report the larger logit's class instead.
+    Both selection layouts must reproduce the reference rule."""
+
+    b, h, w, na, nc = 1, 2, 2, 1, 3
+    raw = np.full((b, h, w, na * (5 + nc)), -20.0, np.float32)
+    # one hot cell: centered box, confident objectness, classes 1 and 2
+    # both saturated (sigmoid(18) == sigmoid(20) == 1.0 in f32)
+    raw[0, 1, 1, :] = [0.0, 0.0, 0.0, 0.0, 8.0, -5.0, 20.0, 18.0]
+    sat = np.float32(1.0 / (1.0 + np.exp(-18.0)))
+    assert sat == np.float32(1.0)  # the premise of the tie
+
+    anchors = jnp.asarray([[[16.0, 16.0]]], jnp.float32)
+    out = jax.device_get(select_topk_candidates(
+        [jnp.asarray(raw)], anchors, (8,), nc,
+        jnp.float32(0.1), 4, approx=False, channel_major=channel_major))
+    assert bool(out['valid'][0, 0])
+    # class index 1 (logit 20) vs 2 (logit 18): sigmoid-space argmax
+    # keeps 1 here; but with the order swapped the LOWER index must win
+    assert int(out['classes'][0, 0]) == 1
+
+    raw2 = raw.copy()
+    raw2[0, 1, 1, 5:] = [-5.0, 18.0, 20.0]  # larger logit at HIGHER idx
+    out2 = jax.device_get(select_topk_candidates(
+        [jnp.asarray(raw2)], anchors, (8,), nc,
+        jnp.float32(0.1), 4, approx=False, channel_major=channel_major))
+    assert bool(out2['valid'][0, 0])
+    assert int(out2['classes'][0, 0]) == 1, \
+        'saturated tie must resolve to the lower class index'

@@ -119,3 +119,30 @@ def test_checkpoint_and_detector(tiny_config, tmp_path):
         assert det['category'] in ('1', '2', '3')
         x, y, w, h = det['bbox']
         assert -0.001 <= x <= 1.001 and w >= 0
+
+
+def test_unified_cli_converter_routes_rfdetr(tiny_config, tmp_path):
+    """md-convert-weights must recognize the RF-DETR key layout and
+    route to convert_rfdetr_checkpoint — one converter CLI for every
+    detector family (docs/weights-runbook.md section 3)."""
+
+    torch = pytest.importorskip('torch')
+    from torch_rfdetr_ref import make_torch_rfdetr
+    from megadetector_tpu.models.convert_weights import (
+        convert_megadetector_checkpoint, load_checkpoint)
+
+    c = tiny_config
+    model = make_torch_rfdetr(c, seed=4)
+    ckpt = str(tmp_path / 'sorrel_rfdetr.pth')
+    torch.save({'model': model,
+                'model_config': {'resolution': IMAGE_SIZE,
+                                 'num_classes': 3}}, ckpt)
+
+    out = convert_megadetector_checkpoint(
+        ckpt, str(tmp_path / 'sorrel.npz'), arch='rfdetr_test')
+    params, metadata = load_checkpoint(out)
+    assert metadata['model_type'] == 'rfdetr'
+    assert metadata['image_size'] == IMAGE_SIZE
+    assert metadata['num_classes'] == 3
+    assert 'class_embed' in params or any(
+        'class_embed' in k for k in params)
