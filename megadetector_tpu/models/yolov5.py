@@ -408,10 +408,18 @@ def _apply_folded_layer(i, entry, params_i, src, dtype):
 
     if i == 0:
         b, h, w, c = src.shape
+        wk = params_i.get('w', params_i.get('w_q'))
+        if c == 24:
+            # Input already in the h2+w4 folded layout (the device
+            # letterbox emitted it via preprocess_device
+            # fold_canvas_h2 — no relayout in this program)
+            assert wk.shape[0] == 3, \
+                'Pre-folded h2 input needs an h2-folded l0 kernel'
+            return _conv(params_i, src, (1, 1), dtype,
+                         pad=((1, 1), (1, 1)))
         assert c == 3 and w % 4 == 0, \
             'Folded l0 needs RGB input with width % 4 == 0'
         xf = src.reshape(b, h, w // 4, 12)
-        wk = params_i.get('w', params_i.get('w_q'))
         if wk.shape[0] == 3:
             # h2+w4 fold (ops/folding.fold_l0_h2): pack the row parity
             # into channels too — [B, H/2, W/4, 24], q*12+g order —

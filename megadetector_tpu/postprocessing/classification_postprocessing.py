@@ -50,6 +50,17 @@ class ClassificationSmoothingOptions:
         self.propagate_classifications_through_taxonomy = True
         self.taxonomy_propagation_level_weight = 1.0
         self.taxonomy_propagation_count_weight = 0.01
+        # Within-family smoothing (reference:
+        # classification_postprocessing.py:69-77,696-784): when the
+        # dominant category is below-family level (genus/species) with
+        # at least [min_detections_to_overwrite_secondary_same_family]
+        # detections, flip same-family minority categories with at most
+        # [max_detections_nondominant_class_same_family] detections to
+        # it. The -1 default disables the rule (every count exceeds
+        # -1), matching the reference; manage_local_batch's
+        # allow_same_family_smoothing sets the max to 10000.
+        self.min_detections_to_overwrite_secondary_same_family = 2
+        self.max_detections_nondominant_class_same_family = -1
 
 
 def _category_descriptions(data):
@@ -250,7 +261,78 @@ def _smooth_image_group(images, options, category_names,
         n_changed += _flip_classifications(
             images, dominant_category, options, category_names)
 
+    if descriptions:
+        n_changed += _within_family_smoothing(images, options,
+                                              category_names,
+                                              descriptions)
+
     return n_changed
+
+
+def _within_family_smoothing(images, options, category_names,
+                             descriptions):
+    """
+    Flip same-family minority classifications to the dominant category
+    (reference: classification_postprocessing.py:696-784): runs only
+    when the dominant category is below-family level (genus/species)
+    with >= min_detections_to_overwrite_secondary_same_family
+    detections; a minority category flips when it has <=
+    max_detections_nondominant_class_same_family detections (not a
+    tie), shares the dominant's family, and is not a species being
+    "flipped up" to its own genus.
+    """
+
+    if options.min_detections_to_overwrite_secondary_same_family <= 0 \
+            or options.max_detections_nondominant_class_same_family < 1:
+        return 0
+
+    counts = _collect_class_counts(images, options)
+    if len(counts) < 2:
+        return 0
+    sorted_counts = sorted(counts.items(), key=lambda kv: -kv[1])
+    dominant_category, dominant_count = sorted_counts[0]
+    if category_names.get(dominant_category, '') in \
+            options.other_category_names:
+        return 0
+    if dominant_count < \
+            options.min_detections_to_overwrite_secondary_same_family:
+        return 0
+
+    prefix_dom = _taxonomy_prefix(descriptions.get(dominant_category, ''))
+    # Below-family level = genus or species present (class, order,
+    # family, genus, ... -> prefix length > 3)
+    if not prefix_dom or len(prefix_dom) <= 3:
+        return 0
+    family_dom = prefix_dom[2]
+    genus_dom = prefix_dom[3] if len(prefix_dom) > 3 else ''
+
+    flip_categories = set()
+    for cat, count in counts.items():
+        if cat == dominant_category:
+            continue
+        if count > options.max_detections_nondominant_class_same_family:
+            continue
+        if count == dominant_count:
+            # Don't flip classes when it's a tie
+            continue
+        prefix = _taxonomy_prefix(descriptions.get(cat, ''))
+        if not prefix or len(prefix) <= 2 or not prefix[2] or \
+                not family_dom:
+            continue
+        if prefix[2] != family_dom:
+            continue
+        # Don't flip from a species up to the genus level in the same
+        # genus (the dominant being the less specific of the two)
+        genus = prefix[3] if len(prefix) > 3 else ''
+        if genus == genus_dom and len(prefix) > len(prefix_dom):
+            continue
+        flip_categories.add(cat)
+
+    if not flip_categories:
+        return 0
+    return _flip_classifications(images, dominant_category, options,
+                                 category_names,
+                                 only_categories=flip_categories)
 
 
 def smooth_classification_results_image_level(input_file, output_file=None,

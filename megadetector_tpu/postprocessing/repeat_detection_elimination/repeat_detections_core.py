@@ -85,7 +85,46 @@ class RepeatDetectionOptions:
 
         self.bRenderOtherDetections = False
         self.otherDetectionsThreshold = 0.2
+        # Line width / colors for the "other detections" context boxes
+        # (reference: repeat_detections_core.py:233,270)
+        self.otherDetectionsLineWidth = 1
+        self.otherDetectionsColors = [(105, 105, 105, 100)]
+
+        # Render each sample image as a composite with a grid of every
+        # instance's crop beside it (reference:
+        # repeat_detections_core.py:237-259). Off by default here
+        # (reference default is on): tile mosaics re-open every instance
+        # image, which dominates filtering-folder time on large jobs.
+        self.bRenderDetectionTiles = False
+        self.detectionTilesMaxCrops = 150
+        #: None = the (possibly resized) sample image's own width
+        self.detectionTilesPrimaryImageWidth = None
+        #: <=1.0 = fraction of the primary image width, else pixels
+        self.detectionTilesCroppedGridWidth = 0.6
+        self.detectionTilesPrimaryImageLocation = 'right'
+
+        # Within-location ordering of rendered candidates so similar
+        # detections are adjacent during human review (reference:
+        # repeat_detections_core.py:280-283,463-558): None, 'xsort'
+        # (by box center x), or 'clustersort' (agglomerative clustering
+        # of box centers, clusters ordered by centroid x)
+        self.smartSort = 'xsort'
+        #: Only relevant if smartSort == 'clustersort'
+        self.smartSortDistanceThreshold = 0.1
+
+        # Substring replacements applied to image paths before opening
+        # them for rendering (reference: repeat_detections_core.py:199)
+        self.filenameReplacements = {}
+
+        # Raise rendering errors instead of warning and continuing
+        self.bFailOnRenderError = False
+
         self.debugMaxDir = -1
+        # Accepted for reference API parity; declared but never consumed
+        # by the reference either (repeat_detections_core.py:150-156)
+        self.debugMaxRenderDir = -1
+        self.debugMaxRenderDetection = -1
+        self.debugMaxRenderInstance = -1
 
 
 class RepeatDetectionResults:
@@ -341,7 +380,50 @@ def _find_matches_in_directory(dir_name, images, options):
                              'instances': [instance]}
                 index.insert(bbox, candidate)
 
-    return index.all_items()
+    return _sort_candidates_for_directory(index.all_items(), options)
+
+
+def _sort_candidates_for_directory(candidates, options):
+    """
+    Order one location's candidates so spatially-nearby boxes render
+    adjacently in the filtering folder, making human review faster
+    (reference: repeat_detections_core.py:463-558). 'xsort' orders by
+    box-center x; 'clustersort' clusters box centers (complete-linkage
+    agglomerative, distance options.smartSortDistanceThreshold) and
+    orders clusters by centroid x. Returns a sorted copy.
+    """
+
+    if len(candidates) <= 1 or not getattr(options, 'smartSort', None):
+        return candidates
+
+    if options.smartSort == 'xsort':
+        return sorted(candidates,
+                      key=lambda c: c['bbox'][0] + c['bbox'][2] / 2.0)
+
+    if options.smartSort == 'clustersort':
+        import numpy as np
+        import sklearn.cluster
+        points = np.array([[c['bbox'][0] + c['bbox'][2] / 2.0,
+                            c['bbox'][1] + c['bbox'][3] / 2.0]
+                           for c in candidates])
+        labels = sklearn.cluster.AgglomerativeClustering(
+            n_clusters=None,
+            distance_threshold=options.smartSortDistanceThreshold,
+            linkage='complete').fit_predict(points)
+        # Order clusters by their centroid x so the sort key is spatial
+        label_to_x = {}
+        for label in np.unique(labels):
+            label_to_x[int(label)] = float(
+                points[labels == label, 0].mean())
+        order = {label: rank for rank, label in enumerate(
+            sorted(label_to_x, key=label_to_x.get))}
+        return [c for _, _, c in sorted(
+            ((order[int(labels[i])], i, c)
+             for i, c in enumerate(candidates)),
+            key=lambda t: (t[0], t[1]))]
+
+    raise ValueError('Unrecognized sort method {}'.format(
+        options.smartSort))
 
 
 def _find_matches_job(args):
@@ -503,8 +585,14 @@ def _render_candidate(i_candidate, candidate, data, options,
     from megadetector_tpu.visualization import visualization_utils as \
         vis_utils
 
+    def _resolve(filename):
+        # reference: repeat_detections_core.py:1197-1199
+        for s, r in (options.filenameReplacements or {}).items():
+            filename = filename.replace(s, r)
+        return os.path.join(options.imageBase, filename)
+
     instance = candidate['instances'][0]
-    source = os.path.join(options.imageBase, instance['filename'])
+    source = _resolve(instance['filename'])
     rendered_name = 'detection_{:0>4d}.jpg'.format(i_candidate)
     target = os.path.join(options.outputBase, rendered_name)
 
@@ -528,9 +616,9 @@ def _render_candidate(i_candidate, candidate, data, options,
                       'bbox': d['bbox']} for d in others], image,
                     label_map=None,
                     confidence_threshold=0.0,
-                    thickness=max(1, options.lineThickness // 2),
+                    thickness=options.otherDetectionsLineWidth,
                     expansion=options.boxExpansion,
-                    colormap=['Gray'])
+                    colormap=list(options.otherDetectionsColors))
         vis_utils.render_detection_bounding_boxes(
             [detection], image,
             confidence_threshold=0.0,
@@ -538,13 +626,42 @@ def _render_candidate(i_candidate, candidate, data, options,
             expansion=options.boxExpansion)
         if options.maxOutputImageWidth is not None and \
                 image.size[0] > options.maxOutputImageWidth:
-            vis_utils.resize_image(
-                image, target_width=options.maxOutputImageWidth,
-                output_file=target, quality=85)
-        else:
-            image.save(target)
+            image = vis_utils.resize_image(
+                image, target_width=options.maxOutputImageWidth)
+        image.save(target)
+
+        if options.bRenderDetectionTiles:
+            # Overwrite the sample image with a composite that shows
+            # every instance's crop beside it (reference:
+            # repeat_detections_core.py:1053-1095)
+            from megadetector_tpu.visualization \
+                .render_images_with_thumbnails import \
+                render_images_with_thumbnails
+            primary_width = options.detectionTilesPrimaryImageWidth \
+                if options.detectionTilesPrimaryImageWidth is not None \
+                else image.size[0]
+            grid_width = options.detectionTilesCroppedGridWidth
+            if grid_width <= 1.0:
+                grid_width = round(grid_width * primary_width)
+            instances = candidate['instances']
+            if options.detectionTilesMaxCrops is not None:
+                instances = instances[:options.detectionTilesMaxCrops]
+            render_images_with_thumbnails(
+                primary_image_filename=target,
+                primary_image_width=primary_width,
+                secondary_image_filename_list=[
+                    _resolve(inst['filename']) for inst in instances],
+                secondary_image_bounding_box_list=[
+                    inst['bbox'] for inst in instances],
+                cropped_grid_width=grid_width,
+                output_image_filename=target,
+                primary_image_location=(
+                    options.detectionTilesPrimaryImageLocation))
+
         return rendered_name
     except Exception as e:
+        if options.bFailOnRenderError:
+            raise
         print('Warning: rendering error for {}: {}'.format(source, e))
         return None
 

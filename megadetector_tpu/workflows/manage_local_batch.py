@@ -56,6 +56,35 @@ class BatchJobOptions:
         self.classification_confidence_threshold = 0.1
         # Optional classification smoothing after classification
         self.smooth_classifications = True
+        # Also run sequence-level smoothing (requires sequence
+        # information; see sequence_method)
+        self.sequence_smoothing = False
+        # How build_sequences determines sequences: 'exif' (EXIF
+        # datetimes), 'folder' (each leaf folder is one sequence, the
+        # frames-from-video convention), or 'json' (a CCT-formatted
+        # file with seq_id/seq_num_frames/frame_num, via
+        # cct_formatted_json) — reference notebook cells :1702-1850
+        self.sequence_method = 'exif'
+        self.cct_formatted_json = None
+        # Same-family smoothing: force same-family minority species to
+        # the dominant one (reference knob allow_same_family_smoothing,
+        # manage_local_batch.py:344-348; don't set when multiple
+        # species of one family co-occur in your sequences)
+        self.allow_same_family_smoothing = False
+        # Remove classifications from person/vehicle detections after
+        # the classification stage (reference cell :1640)
+        self.remove_classifications_from_non_animals = True
+        # Optional custom taxa restriction (reference cells :326-342,
+        # :1617, :1898): a taxa-list file, the taxonomy release file,
+        # and whether to apply before or after smoothing
+        self.custom_taxa_list = None
+        self.custom_taxa_stage = 'before_smoothing'
+        self.custom_taxa_allow_walk_down = False
+        self.taxonomy_file = None
+        # audit_results() raises when more than this many images failed
+        # (reference knob max_tolerable_failed_images,
+        # manage_local_batch.py:115)
+        self.max_tolerable_failed_images = 100
         # Keep a preview from every pipeline stage (the reference's
         # preview chain) instead of only the final one
         self.preview_each_stage = False
@@ -170,7 +199,14 @@ class BatchJob:
         self.final_file = self.filtered_file
 
     def run_classifier(self):
-        """Stage 4c (optional): species classification + smoothing."""
+        """
+        Stage 4c (optional): species classification, then the
+        reference's post-classification chain in its order
+        (manage_local_batch.py:1617-1932): custom taxa
+        (before_smoothing) -> strip non-animal classifications ->
+        within-image smoothing -> sequence smoothing -> custom taxa
+        (after_smoothing) -> remove unused categories.
+        """
 
         if self.options.classifier_model is None:
             return None
@@ -194,17 +230,46 @@ class BatchJob:
             str(i): name
             for i, name in enumerate(classifier.class_names)}
 
-        if self.options.smooth_classifications:
-            from megadetector_tpu.postprocessing \
-                .classification_postprocessing import \
-                smooth_classification_results_image_level
-            data = smooth_classification_results_image_level(data)
-
         classified_file = self.final_file.replace(
             '.json', '_classified.json')
         ct_utils.write_json(classified_file, data, force_str=True)
         self.final_file = classified_file
-        return classified_file
+
+        o = self.options
+        if o.custom_taxa_list is not None and \
+                o.custom_taxa_stage == 'before_smoothing':
+            self.apply_custom_taxa(o.custom_taxa_list, o.taxonomy_file,
+                                   o.custom_taxa_allow_walk_down)
+        if o.remove_classifications_from_non_animals:
+            self.strip_nonanimal_classifications()
+        if o.smooth_classifications:
+            from megadetector_tpu.postprocessing \
+                .classification_postprocessing import \
+                smooth_classification_results_image_level
+            smooth_classification_results_image_level(
+                self.final_file, self.final_file,
+                options=self._smoothing_options())
+        if o.sequence_smoothing:
+            self.smooth_sequences()
+        if o.custom_taxa_list is not None and \
+                o.custom_taxa_stage == 'after_smoothing':
+            self.apply_custom_taxa(o.custom_taxa_list, o.taxonomy_file,
+                                   o.custom_taxa_allow_walk_down)
+        self.remove_unused_categories()
+        return self.final_file
+
+    def _smoothing_options(self):
+        """ClassificationSmoothingOptions honoring
+        allow_same_family_smoothing (reference:
+        manage_local_batch.py:1679-1680,1871-1872)."""
+
+        from megadetector_tpu.postprocessing \
+            .classification_postprocessing import \
+            ClassificationSmoothingOptions
+        s_options = ClassificationSmoothingOptions()
+        if self.options.allow_same_family_smoothing:
+            s_options.max_detections_nondominant_class_same_family = 10000
+        return s_options
 
     #%% Operator affordances (reference notebook cells :494-785,
     #%% :863-980, :1617-1971, :2037)
@@ -279,8 +344,11 @@ class BatchJob:
     def audit_results(self):
         """
         Look for failed and missing images in the results (the
-        reference's post-run audit, manage_local_batch.py:863-980).
-        Returns {'n_images', 'failures': [...], 'missing': [...]}.
+        reference's post-run audit, manage_local_batch.py:863-980);
+        raises when failures exceed
+        options.max_tolerable_failed_images (reference knob at :115,
+        asserted at :925-927). Returns
+        {'n_images', 'failures': [...], 'missing': [...]}.
         """
 
         with open(self.final_file) as f:
@@ -295,6 +363,11 @@ class BatchJob:
         missing = sorted(expected - result_files)
         print('Audit: {} results, {} failures, {} missing'.format(
             len(result_files), len(failures), len(missing)))
+        max_failures = self.options.max_tolerable_failed_images
+        if max_failures is not None and len(failures) > max_failures:
+            raise RuntimeError(
+                '{} failures (max tolerable set to {})'.format(
+                    len(failures), max_failures))
         return {'n_images': len(result_files), 'failures': failures,
                 'missing': missing}
 
@@ -322,7 +395,8 @@ class BatchJob:
             .classification_postprocessing import \
             smooth_classification_results_sequence_level
         smooth_classification_results_sequence_level(
-            self.final_file, sequence_information, self.final_file)
+            self.final_file, sequence_information, self.final_file,
+            options=self._smoothing_options())
 
     def remove_unused_categories(self):
         """Drop classification categories with no remaining
@@ -409,14 +483,25 @@ class BatchJob:
         return subset_json_detector_output(self.final_file, out_dir,
                                            options)
 
-    def build_sequences(self, max_gap_seconds=10.0):
+    def build_sequences(self, max_gap_seconds=10.0, method=None):
         """
-        Group this job's images into time-based sequences from their
-        EXIF datetimes, location = parent folder (the reference's
-        build-sequences cell, manage_local_batch.py:1702-1850). Stores
-        and returns the image-info list create_sequences populated
-        (usable directly by smooth_sequences()).
+        Group this job's images into sequences (the reference's
+        build-sequences cell, manage_local_batch.py:1702-1850). Method
+        (default options.sequence_method):
+
+        - 'exif': time-based sequences from EXIF datetimes, location =
+          parent folder
+        - 'folder': each leaf folder is one sequence (the
+          frames-from-one-video convention, reference :1793-1833)
+        - 'json': load a CCT-formatted file with
+          seq_id/seq_num_frames/frame_num (options.cct_formatted_json,
+          reference :1836-1849)
+
+        Stores and returns the image-info list (usable directly by
+        smooth_sequences()).
         """
+
+        method = method or self.options.sequence_method
 
         from megadetector_tpu.data_management.cct_json_utils import (
             SequenceOptions, create_sequences)
@@ -427,6 +512,33 @@ class BatchJob:
 
         with open(self.final_file) as f:
             data = json.load(f)
+
+        if method == 'folder':
+            image_info = [{'file_name': im['file'],
+                           'seq_id': os.path.dirname(im['file'])
+                           .replace('\\', '/') or 'root'}
+                          for im in data['images']]
+            self.sequence_information = image_info
+            print('Extracted {} sequences from {} images'.format(
+                len({im['seq_id'] for im in image_info}),
+                len(image_info)))
+            return image_info
+
+        if method == 'json':
+            assert self.options.cct_formatted_json is not None, \
+                "sequence_method 'json' needs options.cct_formatted_json"
+            with open(self.options.cct_formatted_json) as f:
+                cct = json.load(f)
+            for im in cct['images']:
+                for field in ('seq_id', 'seq_num_frames', 'frame_num'):
+                    assert field in im, \
+                        'Image {} is missing field {}'.format(
+                            im.get('file_name'), field)
+            self.sequence_information = cct['images']
+            return cct['images']
+
+        assert method == 'exif', \
+            'Unrecognized sequence method {}'.format(method)
 
         image_info = []
         for im in data['images']:

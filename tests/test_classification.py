@@ -524,3 +524,92 @@ def test_restrict_to_taxa_walk_down(tmp_path):
     out = restrict_to_taxa_list(['puma', 'lynx'], taxonomy_file,
                                 _data(), allow_walk_down=True)
     assert out['images'][0]['detections'][0]['classifications'] == []
+
+
+def test_within_family_smoothing():
+    """Same-family minority species flip to the dominant species when
+    max_detections_nondominant_class_same_family allows it (the
+    reference's allow_same_family_smoothing knob); different-family
+    minorities and the -1 default never flip."""
+
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import (ClassificationSmoothingOptions,
+                smooth_classification_results_image_level)
+
+    def scenario():
+        return {
+            'images': [{
+                'file': 'x.jpg',
+                'detections': (
+                    # 4x red fox (dominant, canidae)
+                    [{'category': '1', 'conf': 0.9,
+                      'classifications': [['0', 0.9]]}] * 4 +
+                    # 1x coyote (same family canidae, different genus)
+                    [{'category': '1', 'conf': 0.9,
+                      'classifications': [['1', 0.8]]}] +
+                    # 1x bobcat (felidae)
+                    [{'category': '1', 'conf': 0.9,
+                      'classifications': [['2', 0.8]]}]),
+            }],
+            'classification_categories': {
+                '0': 'red fox', '1': 'coyote', '2': 'bobcat'},
+            'classification_category_descriptions': {
+                '0': 'u0;mammalia;carnivora;canidae;vulpes;vulpes;red fox',
+                '1': 'u1;mammalia;carnivora;canidae;canis;latrans;coyote',
+                '2': 'u2;mammalia;carnivora;felidae;lynx;rufus;bobcat'},
+        }
+
+    def run(options):
+        out = smooth_classification_results_image_level(
+            scenario(), options=options)
+        return [d['classifications'][0][0]
+                for d in out['images'][0]['detections']]
+
+    base = ClassificationSmoothingOptions()
+    # Isolate the within-family rule from the generic overwrite rules
+    base.min_detections_to_overwrite_secondary = 100
+    base.min_detections_to_overwrite_other = 100
+    base.propagate_classifications_through_taxonomy = False
+
+    # Default (-1): rule disabled, nothing flips
+    assert run(base) == ['0'] * 4 + ['1', '2']
+
+    # allow_same_family_smoothing: the coyote flips to red fox; the
+    # bobcat (different family) does not
+    base.max_detections_nondominant_class_same_family = 10000
+    assert run(base) == ['0'] * 5 + ['2']
+
+
+def test_within_family_smoothing_never_flips_species_to_genus():
+    """A species prediction must not flip UP to a same-genus,
+    less-specific dominant (reference: the species->genus guard)."""
+
+    from megadetector_tpu.postprocessing.classification_postprocessing \
+        import (ClassificationSmoothingOptions,
+                smooth_classification_results_image_level)
+
+    data = {
+        'images': [{
+            'file': 'x.jpg',
+            'detections': (
+                # 4x genus-level vulpes (dominant)
+                [{'category': '1', 'conf': 0.9,
+                  'classifications': [['0', 0.9]]}] * 4 +
+                # 1x red fox (species under vulpes)
+                [{'category': '1', 'conf': 0.9,
+                  'classifications': [['1', 0.8]]}]),
+        }],
+        'classification_categories': {'0': 'vulpes', '1': 'red fox'},
+        'classification_category_descriptions': {
+            '0': 'u0;mammalia;carnivora;canidae;vulpes;;vulpes',
+            '1': 'u1;mammalia;carnivora;canidae;vulpes;vulpes;red fox'},
+    }
+    options = ClassificationSmoothingOptions()
+    options.min_detections_to_overwrite_secondary = 100
+    options.min_detections_to_overwrite_other = 100
+    options.propagate_classifications_through_taxonomy = False
+    options.max_detections_nondominant_class_same_family = 10000
+    out = smooth_classification_results_image_level(data, options=options)
+    tops = [d['classifications'][0][0]
+            for d in out['images'][0]['detections']]
+    assert tops == ['0'] * 4 + ['1']

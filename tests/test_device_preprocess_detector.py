@@ -65,3 +65,49 @@ def test_device_mode_matches_host_mode(tiny_checkpoint):
     assert total_matched > 0
     assert total_errors <= max(1, total_matched // 5), \
         '{} errors vs {} matches'.format(total_errors, total_matched)
+
+
+def test_h2_emission_matches_plain_device_mode(tiny_checkpoint):
+    """With folded_h2=true, the device letterbox emits the folded stem
+    layout itself (preprocess_device fold_layout='h2'); detections must
+    match the plain device path at tight tolerance (the h2 l0 is an
+    exact MAC-set rewrite; only f32 reduction order differs)."""
+
+    from megadetector_tpu.models.detector import TPUDetector
+
+    plain = TPUDetector(tiny_checkpoint,
+                        {'preprocess_mode': 'device'})
+    h2 = TPUDetector(tiny_checkpoint,
+                     {'preprocess_mode': 'device', 'folded_h2': 'true'})
+    assert not plain._stem_layout_h2()
+    assert h2._stem_layout_h2(), 'h2 fold did not engage'
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+            for (h, w) in [(60, 80), (64, 64)]]
+    ids = ['im{}.jpg'.format(i) for i in range(len(imgs))]
+
+    out_plain = plain.generate_detections_one_batch(
+        list(imgs), list(ids), detection_threshold=0.1)
+    out_h2 = h2.generate_detections_one_batch(
+        list(imgs), list(ids), detection_threshold=0.1)
+
+    from megadetector_tpu.utils.md_tests import (MDTestOptions,
+                                                 compare_detection_lists)
+    options = MDTestOptions()
+    options.comparison_confidence_threshold = 0.2
+    options.iou_match_threshold = 0.8
+    options.max_conf_error = 0.01
+    options.max_coord_error = 0.01
+
+    total_matched, total_errors = 0, 0
+    for p_im, h_im in zip(out_plain, out_h2):
+        assert p_im['file'] == h_im['file']
+        r = compare_detection_lists(p_im['detections'],
+                                    h_im['detections'], options,
+                                    image_id=p_im['file'])
+        total_matched += len(r['matched'])
+        total_errors += len(r['errors'])
+    assert total_matched > 0
+    assert total_errors == 0, \
+        '{} errors vs {} matches'.format(total_errors, total_matched)

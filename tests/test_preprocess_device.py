@@ -82,6 +82,37 @@ def test_resize_dtype_bf16_drift_bounded():
         assert np.mean(d) < 1.0 and np.percentile(d, 99) <= 4.0
 
 
+def test_fold_layout_h2_is_pure_relayout():
+    """letterbox(fold_layout='h2') must be bit-identical to
+    fold_canvas_h2(planar letterbox) — the in-epilogue permute changes
+    only the layout, never a value — and fold_canvas_h2 itself must
+    match the model-side fold view (models/yolov5._apply_folded_layer's
+    h2 branch: channel k = q*12 + (w%4)*3 + c)."""
+
+    from megadetector_tpu.ops.preprocess_device import fold_canvas_h2
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+            for (h, w) in [(100, 200), (128, 128)]]
+    staged, sizes = stage_images(imgs)
+
+    planar = np.asarray(letterbox_batch(staged, sizes, 128))
+    folded = np.asarray(letterbox_batch(staged, sizes, 128,
+                                        fold_layout='h2'))
+    assert folded.shape == (2, 64, 32, 24)
+
+    # numpy reference of the model-side view
+    ref = planar.reshape(2, 64, 2, 32, 12).transpose(0, 1, 3, 2, 4) \
+        .reshape(2, 64, 32, 24)
+    assert np.array_equal(folded, ref)
+
+    # fold_canvas_h2 (the identity-path view) agrees element-by-element
+    view = np.asarray(fold_canvas_h2(planar))
+    assert np.array_equal(view, ref)
+    # spot-check the channel order contract directly
+    assert planar[0, 7, 4 * 5 + 2, 1] == ref[0, 3, 5, 1 * 12 + 2 * 3 + 1]
+
+
 def test_batch_heterogeneous_sizes():
     rng = np.random.RandomState(2)
     imgs = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8)

@@ -243,3 +243,89 @@ def test_render_other_detections(tmp_path):
     rendered = [f for f in os.listdir(filter_folder)
                 if f.endswith('.jpg')]
     assert len(rendered) == 1
+
+
+def test_smart_sort_xsort_and_clustersort():
+    """smartSort orders candidates by box-center x (xsort) or by
+    x-ordered spatial clusters (clustersort) for faster human review
+    (reference: repeat_detections_core.py:463-558)."""
+
+    def cand(x, y):
+        return {'bbox': [x, y, 0.1, 0.1], 'category': '1',
+                'relative_dir': 'cam1', 'instances': []}
+
+    candidates = [cand(0.8, 0.1), cand(0.1, 0.5), cand(0.45, 0.3)]
+
+    options = rde.RepeatDetectionOptions()
+    options.smartSort = 'xsort'
+    xs = [c['bbox'][0] for c in
+          rde._sort_candidates_for_directory(list(candidates), options)]
+    assert xs == [0.1, 0.45, 0.8]
+
+    # Two tight clusters (around x~0.1 and x~0.8): clustersort must
+    # emit all of the left cluster before any of the right one
+    clustered = [cand(0.80, 0.1), cand(0.10, 0.5), cand(0.12, 0.52),
+                 cand(0.82, 0.12)]
+    options.smartSort = 'clustersort'
+    options.smartSortDistanceThreshold = 0.1
+    out = rde._sort_candidates_for_directory(list(clustered), options)
+    xs = [c['bbox'][0] for c in out]
+    assert set(xs[:2]) == {0.10, 0.12} and set(xs[2:]) == {0.80, 0.82}
+
+    options.smartSort = None
+    assert rde._sort_candidates_for_directory(
+        list(candidates), options) == candidates
+
+    options.smartSort = 'bogus'
+    with pytest.raises(ValueError):
+        rde._sort_candidates_for_directory(list(candidates), options)
+
+
+def test_detection_tiles_and_filename_replacements(tmp_path):
+    """bRenderDetectionTiles composites the instance crops beside the
+    sample image; filenameReplacements remaps image paths before
+    opening them (reference: repeat_detections_core.py:199,1053-1095)."""
+
+    path, image_base, _ = _make_rde_scenario(tmp_path, write_images=True)
+
+    # Move the images so only a path replacement can find them
+    moved_base = str(tmp_path / 'moved')
+    os.rename(os.path.join(image_base, 'cam1'),
+              os.path.join(os.makedirs(moved_base, exist_ok=True) or
+                           moved_base, 'cam1_moved'))
+
+    options = rde.RepeatDetectionOptions()
+    options.occurrenceThreshold = 20
+    options.imageBase = moved_base
+    options.outputBase = str(tmp_path / 'rde_tiles')
+    options.nWorkers = 1
+    options.bRenderDetectionTiles = True
+    options.detectionTilesMaxCrops = 5
+    options.filenameReplacements = {'cam1/': 'cam1_moved/'}
+    options.bFailOnRenderError = True
+
+    results = rde.find_repeat_detections(path, None, options)
+    folder = os.path.dirname(results.filter_file)
+    rendered = [f for f in os.listdir(folder) if f.endswith('.jpg')]
+    assert len(rendered) == 1
+    composite = Image.open(os.path.join(folder, rendered[0]))
+    # The composite is wider than the 60px source (primary + crop grid)
+    assert composite.size[0] > 60
+
+
+def test_fail_on_render_error(tmp_path):
+    """bFailOnRenderError surfaces rendering failures instead of
+    converting them to warnings."""
+
+    path, image_base, _ = _make_rde_scenario(tmp_path, write_images=False)
+
+    options = rde.RepeatDetectionOptions()
+    options.occurrenceThreshold = 20
+    options.imageBase = str(tmp_path / 'nonexistent')
+    options.outputBase = str(tmp_path / 'rde_fail')
+    options.nWorkers = 1
+    options.bParallelizeRendering = False
+    options.bFailOnRenderError = True
+
+    with pytest.raises(Exception):
+        rde.find_repeat_detections(path, None, options)

@@ -114,3 +114,50 @@ def test_classic_strict_mode(checkpoint):
     r = comparator.compare_detection_lists(
         r_s['detections'], r_d['detections'], options, image_id='x.jpg')
     assert not r['errors'], r['errors'][:3]
+
+
+def test_sequence_methods_and_failure_audit(tmp_path, checkpoint):
+    """build_sequences supports 'folder' and 'json' methods (reference
+    cells :1702-1849); audit_results raises past
+    max_tolerable_failed_images (reference knob at :115)."""
+
+    job = _make_job(tmp_path, checkpoint)
+    job.enumerate_images()
+    job.run_detector()
+
+    # folder method: each leaf folder is one sequence
+    info = job.build_sequences(method='folder')
+    assert len(info) == 4
+    assert {im['seq_id'] for im in info} == {'cam0', 'cam1'}
+
+    # json method: validated CCT pass-through
+    cct = {'images': [
+        {'file_name': im['file_name'], 'seq_id': im['seq_id'],
+         'seq_num_frames': 2, 'frame_num': 0} for im in info]}
+    cct_path = str(tmp_path / 'sequences.json')
+    ct_utils.write_json(cct_path, cct)
+    job.options.cct_formatted_json = cct_path
+    info_json = job.build_sequences(method='json')
+    assert len(info_json) == 4
+
+    # json method requires the sequence fields
+    bad = {'images': [{'file_name': 'x.jpg', 'seq_id': 's'}]}
+    bad_path = str(tmp_path / 'bad_sequences.json')
+    ct_utils.write_json(bad_path, bad)
+    job.options.cct_formatted_json = bad_path
+    with pytest.raises(AssertionError):
+        job.build_sequences(method='json')
+
+    # Failure audit: inject failures beyond the tolerance
+    with open(job.final_file) as f:
+        data = json.load(f)
+    for im in data['images']:
+        im['failure'] = 'image access failure'
+        im['detections'] = None
+    ct_utils.write_json(job.final_file, data, force_str=True)
+    job.options.max_tolerable_failed_images = 2
+    with pytest.raises(RuntimeError):
+        job.audit_results()
+    job.options.max_tolerable_failed_images = 100
+    audit = job.audit_results()
+    assert len(audit['failures']) == 4
