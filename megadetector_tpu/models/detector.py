@@ -338,12 +338,16 @@ class TPUDetector:
             if _to_bool(options.get('folded_early', not strict)):
                 from megadetector_tpu.ops import folding
                 # folded_h2=true additionally height-folds l0
-                # (ops/folding.fold_l0_h2, [3,3,24,*] at 9 taps).
-                # Hardware-measured 1.4% SLOWER e2e than the w4 form
-                # (exp_h2_cm_e2e: XLA's conv emitter does not pay the
-                # naive per-tap lane-padding cost the fold targets), so
-                # default off; kept as a measured design point for
-                # future toolchains.
+                # (ops/folding.fold_l0_h2, [3,3,24,*] at 9 taps); on
+                # the device-preprocess path the letterbox then emits
+                # the folded layout itself (fold_layout='h2').
+                # Hardware-measured e2e-NEUTRAL at best (r5
+                # exp_h2_emit_e2e: 424.5 vs 422.0 img/s b128 int8 with
+                # the emission; r4 exp_h2_cm_e2e: 1.4% slower with the
+                # in-model relayout) even though the conv alone wins
+                # 17% on a free input (exp_stem_s2d) — default off;
+                # kept as a measured design point for future
+                # toolchains.
                 h2 = (_to_bool(options.get('folded_h2', False)) and
                       not _to_bool(options.get('stem_gemm', False)))
                 params = folding.fold_early_params(params, self.config,

@@ -104,11 +104,16 @@ def fold_l0_h2(node):
     per-tap lane-padding model the w4-folded l0 (18 taps at K=12) runs
     at ~9% MXU utilization; packing the input row parity into channels
     as well halves the tap count (3x3=9 at K=24) for the same true MAC
-    set. MEASURED OUTCOME (experiments/exp_h2_cm_e2e.py, v5e): 1.4%
-    SLOWER e2e than the w4 form — XLA's conv emitter evidently does
-    not pay that per-tap padding cost, and the extra input h-fold
-    relayout is not free. Kept as an opt-in design point
-    (detector option folded_h2=true) to retry on toolchain updates.
+    set. MEASURED OUTCOMES (v5e): (r4, exp_h2_cm_e2e) 1.4% slower e2e
+    with the relayout in-model; (r5, exp_stem_s2d) the conv ALONE wins
+    17% on a pre-materialized folded input (9.76 vs 11.75 ms b64 bf16);
+    (r5, exp_h2_emit_e2e) but even with the relayout absorbed into the
+    device-letterbox epilogue (preprocess_device fold_layout='h2') the
+    e2e is NEUTRAL (424.5 vs 422.0 img/s b128 int8, noise) — the
+    isolated conv win does not survive the e2e fusion context. Kept as
+    an opt-in design point (detector option folded_h2=true, which now
+    uses the h2-emitting letterbox on the device path) to retry on
+    toolchain updates.
 
     Derivation: true output row r reads true input rows 2r+ky-2
     (ky in 0..5). With h-folded input rows X[R] = (x[2R], x[2R+1]),
