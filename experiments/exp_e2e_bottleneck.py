@@ -11,7 +11,9 @@ fused bottleneck swallows those epilogues, so this measures whether
 the boundary penalty — not the kernel math — was the whole story.
 
 Run alone. Self-exits via watchdog. EXP_BACKENDS=pallas for one
-backend per run if the wall budget is tight.
+backend per run if the wall budget is tight; a token may carry a cv2
+contraction variant as backend:variant (e.g. pallas:im2col — the
+output-stationary K=9C schedule, VERDICT-r4 item 2).
 """
 
 import os
@@ -84,9 +86,13 @@ expand = jax.jit(lambda s: jnp.tile(
 images = expand(jax.device_put(seed))
 images.block_until_ready()
 
+from megadetector_tpu.ops import pallas_bottleneck as pb
+
 results = {}
-for backend in BACKENDS:
+for token in BACKENDS:
+    backend, _, variant = token.partition(':')
     q.set_conv_backend(backend)
+    pb.set_variant(variant or 'taps')
     fn = jax.jit(make_step())
     try:
         t0 = time.time()
@@ -94,9 +100,9 @@ for backend in BACKENDS:
                  jnp.float32(0.6))
         jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
         print('{}: compile+first {:.1f}s'.format(
-            backend, time.time() - t0), flush=True)
+            token, time.time() - t0), flush=True)
     except Exception as e:  # noqa: BLE001
-        print('{} FAILED: {}: {}'.format(backend, type(e).__name__,
+        print('{} FAILED: {}: {}'.format(token, type(e).__name__,
                                          str(e)[:300]), flush=True)
         continue
     t0 = time.time()
@@ -104,13 +110,16 @@ for backend in BACKENDS:
             for _ in range(N_IT)]
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), outs[-1])
     dt = (time.time() - t0) / N_IT
-    results[backend] = BATCH / dt
+    results[token] = BATCH / dt
     print('{:8s}: {:7.2f} ms/batch  {:6.1f} img/s'.format(
-        backend, dt * 1000, BATCH / dt), flush=True)
+        token, dt * 1000, BATCH / dt), flush=True)
     del outs, out
 
-if len(results) == 2:
-    print('pallas/xla: {:.3f}x'.format(
-        results['pallas'] / results['xla']), flush=True)
+if 'xla' in results:
+    for k, v in results.items():
+        if k != 'xla':
+            print('{}/xla: {:.3f}x'.format(k, v / results['xla']),
+                  flush=True)
 q.set_conv_backend('xla')
+pb.set_variant('taps')
 os._exit(0)

@@ -196,6 +196,7 @@ class TPUDetector:
         self._approx_select = True  # refined per-architecture below
         self._select_cm = False
         self._conv_backend = 'xla'  # may be overridden in _load_model
+        self._bottleneck_variant = 'taps'  # idem (pallas backend only)
 
         # Pad partial batches up to this size so one compiled program
         # serves every step (tail batches otherwise each trigger a new
@@ -360,6 +361,16 @@ class TPUDetector:
                 options.get('conv_backend', 'xla')).lower()
             from megadetector_tpu.ops import quantization as _q
             _q.set_conv_backend(self._conv_backend)
+            # cv2 contraction schedule inside the fused bottleneck
+            # kernel (only meaningful with conv_backend=pallas):
+            # 'taps' (default) | 'im2col' | 'im2col3' — bit-identical
+            # outputs, different MXU schedules; every K-contracted
+            # form measured slower on the current toolchain
+            # (exp_bottleneck_os, docs/perf-profile.md).
+            from megadetector_tpu.ops import pallas_bottleneck as _pb
+            self._bottleneck_variant = str(
+                options.get('bottleneck_variant', 'taps')).lower()
+            _pb.set_variant(self._bottleneck_variant)
             # Stem im2col-GEMM: run thin-input convs (C_in <= 16, i.e.
             # the folded/raw stem) as patches + one deep-contraction
             # dot — the profiled l0 block wastes ~91% of MXU lanes
@@ -417,6 +428,8 @@ class TPUDetector:
         _q.set_conv_backend(getattr(self, '_conv_backend', 'xla'))
         from megadetector_tpu.ops import im2col as _im2col
         _im2col.set_stem_gemm(getattr(self, '_stem_gemm', False))
+        from megadetector_tpu.ops import pallas_bottleneck as _pb
+        _pb.set_variant(getattr(self, '_bottleneck_variant', 'taps'))
 
     def _effective_topk(self, topk):
         """The candidate capacity that would actually execute for a
@@ -447,6 +460,7 @@ class TPUDetector:
                           self._select_cm,
                           getattr(self, '_stem_gemm', False),
                           getattr(self, '_conv_backend', 'xla'),
+                          getattr(self, '_bottleneck_variant', 'taps'),
                           batch_size, height, width)
             if global_key in _PROGRAM_CACHE:
                 fn = _PROGRAM_CACHE[global_key]

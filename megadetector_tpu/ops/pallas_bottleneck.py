@@ -52,22 +52,65 @@ _BAND_CANDIDATES = (40, 32, 30, 24, 20, 16, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1)
 # Soft VMEM budget for weights + working set (bytes); v5e has 16 MB
 _VMEM_BUDGET = 10 * 1024 * 1024
 
+# cv2 contraction variants (VERDICT-r4 item 2): 'taps' = nine shifted
+# (M, C) x (C, C) dots at K=C (the round-4 row-band form); 'im2col' =
+# build the (M, 9C) patch matrix in VMEM (nine 128-lane-aligned column
+# stores) and run ONE output-stationary dot at K=9C — the deep-K layout
+# the 202.5 TOP/s Pallas matmul proved (exp_pallas_int8_matmul);
+# 'im2col3' = per-dy (M, 3C) patches, three dots at K=3C (same store
+# volume, shallower dots, 1/3 the scratch). All three compute the same
+# exact integer contraction — outputs are bit-identical (tested, and
+# checksummed on hardware).
+#
+# MEASURED (r5, exp_bottleneck_os, v5e, b64, 3 chained bottlenecks):
+# the K-contracted forms LOSE at every C3 shape — l2's 240x160x128:
+# xla 127.2 / taps 112.9 / im2col 93.4 / im2col3 90.5 eff TOP/s;
+# 60x80x256 is the only shape where im2col beats taps (145.2 vs
+# 133.8) and it still trails xla (152.6). The in-VMEM patch
+# materialization (nine column stores + one full re-read) costs more
+# than the deeper dots save; the 202.5 TOP/s matmul layout does not
+# transfer when the patches must be constructed. Kept for future
+# Mosaic stacks; production default stays 'taps' behind the default
+# 'xla' backend.
+VARIANTS = ('taps', 'im2col', 'im2col3')
 
-def _band_bytes(bh, w, c):
+# Trace-time process-global (same rationale as quantization's
+# _CONV_BACKEND: the choice lives deep inside model apply functions).
+_VARIANT = 'taps'
+
+
+def set_variant(variant):
+    global _VARIANT
+    assert variant in VARIANTS, variant
+    _VARIANT = variant
+
+
+def get_variant():
+    return _VARIANT
+
+
+def _band_bytes(bh, w, c, variant='taps'):
     """Rough working-set estimate for one grid step: int8 x band with
-    halos, int8 h1 band, i32 accumulator, and one f32 epilogue temp."""
+    halos, int8 h1 band, i32 accumulator, one f32 epilogue temp, and
+    the im2col patch scratch when the variant builds one."""
 
-    return (bh + 2) * w * c * (1 + 1 + 4) + bh * w * c * 4
+    base = (bh + 2) * w * c * (1 + 1 + 4) + bh * w * c * 4
+    if variant == 'im2col':
+        base += bh * w * 9 * c
+    elif variant == 'im2col3':
+        base += bh * w * 3 * c
+    return base
 
 
-def _pick_band(h, w, c):
+def _pick_band(h, w, c, variant='taps'):
     for cand in _BAND_CANDIDATES:
-        if h % cand == 0 and _band_bytes(cand, w, c) <= _VMEM_BUDGET // 2:
+        if h % cand == 0 and \
+                _band_bytes(cand, w, c, variant) <= _VMEM_BUDGET // 2:
             return cand
     return None
 
 
-def supports(x_shape, w1_shape, w2_shape):
+def supports(x_shape, w1_shape, w2_shape, variant='taps'):
     """
     True when the fused kernel covers this bottleneck: cv1 1x1 C->C,
     cv2 3x3 stride-1 SAME C->C, lane-aligned channels, sublane-aligned
@@ -87,12 +130,12 @@ def supports(x_shape, w1_shape, w2_shape):
         return False
     if 10 * c * c > _VMEM_BUDGET // 2:
         return False
-    return _pick_band(h, w, c) is not None
+    return _pick_band(h, w, c, variant) is not None
 
 
 def _kernel(top_ref, x_ref, bot_ref, w1_ref, w2_ref, sc1_ref, b1_ref,
-            sc2_ref, b2_ref, o_ref, *, n_bands, mid_scale, cv2_scale,
-            s_in, out_scale, shortcut):
+            sc2_ref, b2_ref, o_ref, *scratch, n_bands, mid_scale,
+            cv2_scale, s_in, out_scale, shortcut, variant):
     i = pl.program_id(1)
     bh, w, c = x_ref.shape[1:]
 
@@ -121,15 +164,42 @@ def _kernel(top_ref, x_ref, bot_ref, w1_ref, w2_ref, sc1_ref, b1_ref,
     h1q = jnp.where(edge, jnp.int8(0), h1q)
     h1q = jnp.pad(h1q, ((0, 0), (1, 1), (0, 0)))        # (bh+2, W+2, C)
 
-    # --- cv2: 3x3 as nine shifted flat taps on the MXU ---
-    acc = jnp.zeros((bh * w, c), jnp.int32)
-    for dy in range(3):
-        for dx in range(3):
-            xs = h1q[dy:dy + bh, dx:dx + w, :].reshape(bh * w, c)
+    # --- cv2: same exact integer contraction, three MXU schedules ---
+    if variant == 'im2col':
+        # Output-stationary deep-K form: materialize the (M, 9C) patch
+        # matrix (nine 128-lane-aligned column stores of already-VMEM
+        # slices), then ONE K=9C dot. w2_ref arrives reshaped (9C, C),
+        # row order (dy, dx, c_in) == the column-store order here.
+        patches = scratch[0]
+        for dy in range(3):
+            for dx in range(3):
+                t = dy * 3 + dx
+                patches[:, t * c:(t + 1) * c] = \
+                    h1q[dy:dy + bh, dx:dx + w, :].reshape(bh * w, c)
+        acc = jax.lax.dot_general(
+            patches[:], w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    elif variant == 'im2col3':
+        # Per-dy (M, 3C) patches, three K=3C dots; w2_ref is (3, 3C, C)
+        patches = scratch[0]
+        acc = jnp.zeros((bh * w, c), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                patches[:, dx * c:(dx + 1) * c] = \
+                    h1q[dy:dy + bh, dx:dx + w, :].reshape(bh * w, c)
             acc = acc + jax.lax.dot_general(
-                xs, w2_ref[dy, dx],
-                (((1,), (0,)), ((), ())),
+                patches[:], w2_ref[dy], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
+    else:
+        # nine shifted flat taps at K=C (round-4 form)
+        acc = jnp.zeros((bh * w, c), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                xs = h1q[dy:dy + bh, dx:dx + w, :].reshape(bh * w, c)
+                acc = acc + jax.lax.dot_general(
+                    xs, w2_ref[dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
 
     y = acc.astype(jnp.float32) * sc2_ref[0] + b2_ref[0]
     y = y * jax.nn.sigmoid(y)
@@ -149,7 +219,8 @@ def _kernel(top_ref, x_ref, bot_ref, w1_ref, w2_ref, sc1_ref, b1_ref,
 
 
 def bottleneck_chain(x_q, w1_q, scale1, bias1, mid_scale, w2_q, scale2,
-                     bias2, cv2_scale, s_in, shortcut, interpret=False):
+                     bias2, cv2_scale, s_in, shortcut, interpret=False,
+                     variant='taps'):
     """
     Fused int8 bottleneck: h = silu-conv1x1(x); h = silu-conv3x3(h);
     out = x + h (shortcut) or h.
@@ -163,14 +234,17 @@ def bottleneck_chain(x_q, w1_q, scale1, bias1, mid_scale, w2_q, scale2,
         s_in: float — x's scale (the residual dequant factor)
         shortcut: python bool
         interpret: Pallas interpret mode (tests / non-TPU)
+        variant: cv2 contraction schedule (see VARIANTS) — outputs are
+            bit-identical across variants
 
     Returns:
         [B, H, W, C] int8 at scale (s_in + cv2_scale) when shortcut,
         else cv2_scale — exactly quantization.qt_add's bound scale.
     """
 
+    assert variant in VARIANTS, variant
     bsz, h, w, c = x_q.shape
-    bh = _pick_band(h, w, c)
+    bh = _pick_band(h, w, c, variant)
     n_bands = h // bh
     out_scale = (s_in + cv2_scale) if shortcut else cv2_scale
 
@@ -178,7 +252,20 @@ def bottleneck_chain(x_q, w1_q, scale1, bias1, mid_scale, w2_q, scale2,
         _kernel, n_bands=n_bands,
         mid_scale=float(mid_scale), cv2_scale=float(cv2_scale),
         s_in=float(s_in), out_scale=float(out_scale),
-        shortcut=bool(shortcut))
+        shortcut=bool(shortcut), variant=variant)
+
+    if variant == 'im2col':
+        w2_pass = w2_q.reshape(9 * c, c)
+        w2_spec = pl.BlockSpec((9 * c, c), lambda b, i: (0, 0))
+        scratch_shapes = [pltpu.VMEM((bh * w, 9 * c), jnp.int8)]
+    elif variant == 'im2col3':
+        w2_pass = w2_q.reshape(3, 3 * c, c)
+        w2_spec = pl.BlockSpec((3, 3 * c, c), lambda b, i: (0, 0, 0))
+        scratch_shapes = [pltpu.VMEM((bh * w, 3 * c), jnp.int8)]
+    else:
+        w2_pass = w2_q
+        w2_spec = pl.BlockSpec((3, 3, c, c), lambda b, i: (0, 0, 0, 0))
+        scratch_shapes = []
 
     out = pl.pallas_call(
         kern,
@@ -191,7 +278,7 @@ def bottleneck_chain(x_q, w1_q, scale1, bias1, mid_scale, w2_q, scale2,
                          lambda b, i: (b, jnp.minimum((i + 1) * bh, h - 1),
                                        0, 0)),
             pl.BlockSpec((1, 1, c, c), lambda b, i: (0, 0, 0, 0)),
-            pl.BlockSpec((3, 3, c, c), lambda b, i: (0, 0, 0, 0)),
+            w2_spec,
             pl.BlockSpec((1, c), lambda b, i: (0, 0)),
             pl.BlockSpec((1, c), lambda b, i: (0, 0)),
             pl.BlockSpec((1, c), lambda b, i: (0, 0)),
@@ -202,7 +289,8 @@ def bottleneck_chain(x_q, w1_q, scale1, bias1, mid_scale, w2_q, scale2,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'arbitrary')),
         interpret=interpret,
-    )(x_q, x_q, x_q, w1_q, w2_q,
+        scratch_shapes=scratch_shapes,
+    )(x_q, x_q, x_q, w1_q, w2_pass,
       jnp.asarray(scale1, jnp.float32).reshape(1, c),
       jnp.asarray(bias1, jnp.float32).reshape(1, c),
       jnp.asarray(scale2, jnp.float32).reshape(1, c),

@@ -408,8 +408,9 @@ def fused_bottleneck(m_params, x, shortcut):
         if p is None or 'w_q' not in p or 'y_scale' not in p:
             return None
     from megadetector_tpu.ops import pallas_bottleneck
+    variant = pallas_bottleneck.get_variant()
     if not pallas_bottleneck.supports(x.shape, cv1['w_q'].shape,
-                                      cv2['w_q'].shape):
+                                      cv2['w_q'].shape, variant):
         return None
     s_in = float(x.scale)
     mid_scale = float(cv1['y_scale'])
@@ -419,7 +420,7 @@ def fused_bottleneck(m_params, x, shortcut):
     out_q, out_scale = pallas_bottleneck.bottleneck_chain(
         x.q, cv1['w_q'], scale1, cv1['b'], mid_scale,
         cv2['w_q'], scale2, cv2['b'], float(cv2['y_scale']),
-        s_in, shortcut, interpret=interpret)
+        s_in, shortcut, interpret=interpret, variant=variant)
     return QTensor(out_q, out_scale)
 
 

@@ -157,6 +157,13 @@ def test_fixed_options_rejected(artifact):
     with pytest.raises(AssertionError):
         ExportedDetector(artifact[0],
                          detector_options={'image_size': 640})
+    # every trace-time-fixed option must be refused, including the
+    # round-5 bottleneck_variant (cannot take effect on precompiled
+    # programs)
+    with pytest.raises(AssertionError):
+        ExportedDetector(artifact[0],
+                         detector_options={'bottleneck_variant':
+                                           'im2col'})
 
 
 def test_failure_containment(artifact):

@@ -199,3 +199,61 @@ def test_supports_predicate():
     big = (1, 8, 8, 1280)
     assert not pallas_bottleneck.supports(big, (1, 1, 1280, 1280),
                                           (3, 3, 1280, 1280))
+
+
+@pytest.mark.parametrize('variant', ['im2col', 'im2col3'])
+@pytest.mark.parametrize('shortcut', [True, False])
+def test_kcontracted_variants_bitwise_match_taps(variant, shortcut):
+    """The K-contracted cv2 schedules (VERDICT-r4 item 2: one
+    output-stationary K=9C dot / per-dy K=3C dots) compute the same
+    exact integer contraction as the taps form — outputs must be
+    BIT-IDENTICAL, including across band boundaries and image edges."""
+
+    rng = np.random.RandomState(17)
+    c = 128
+    m = _bottleneck_params(rng, c)
+    # tall enough for multiple bands in interpret mode
+    x = q.QTensor(jnp.asarray(
+        rng.randint(-127, 128, (2, 12, 8, c)).astype(np.int8)), 0.007)
+
+    def run(v):
+        s_in = float(x.scale)
+        cv1, cv2 = m['cv1'], m['cv2']
+        scale1 = jnp.asarray(cv1['w_scale'], jnp.float32) * \
+            np.float32(s_in)
+        scale2 = jnp.asarray(cv2['w_scale'], jnp.float32) * \
+            np.float32(float(cv1['y_scale']))
+        out_q, out_scale = pallas_bottleneck.bottleneck_chain(
+            x.q, cv1['w_q'], scale1, cv1['b'], float(cv1['y_scale']),
+            cv2['w_q'], scale2, cv2['b'], float(cv2['y_scale']),
+            s_in, shortcut, interpret=True, variant=v)
+        return np.asarray(out_q), out_scale
+
+    ref_q, ref_scale = run('taps')
+    got_q, got_scale = run(variant)
+    assert got_scale == ref_scale
+    assert np.array_equal(got_q, ref_q)
+
+
+def test_variant_global_routes_fused_bottleneck():
+    """quantization.fused_bottleneck must honor the module-global
+    variant selector (identical results, and supports() consulted with
+    the variant's own VMEM footprint)."""
+
+    rng = np.random.RandomState(23)
+    c = 128
+    m = _bottleneck_params(rng, c)
+    x = q.QTensor(jnp.asarray(
+        rng.randint(-127, 128, (1, 8, 8, c)).astype(np.int8)), 0.009)
+
+    try:
+        q.set_conv_backend('pallas-interpret')
+        ref = q.fused_bottleneck(m, x, True)
+        pallas_bottleneck.set_variant('im2col')
+        got = q.fused_bottleneck(m, x, True)
+    finally:
+        pallas_bottleneck.set_variant('taps')
+        q.set_conv_backend('xla')
+    assert got is not None and ref is not None
+    assert got.scale == ref.scale
+    assert np.array_equal(np.asarray(got.q), np.asarray(ref.q))
