@@ -43,6 +43,12 @@ ladder this session:
 The kernel is kept on the flat-DMA + ref-free vector-reshape form
 (interpret-exact); one supported lane-splitting primitive (or a
 rank-3 DMA with relaxed minor-dim alignment) is all that is missing.
+Retried 2026-08-19 round 5 (experiments/exp_pallas_l0_retry.py):
+unchanged — the in-VMEM 12-lane group split still crashes the remote
+compile helper (HTTP 500, subprocess exit 1), and the minimal bf16 VPU
+epilogue probe still fails Mosaic 'vector.broadcast' verification
+(f32 -> vector<8x128xbf16> element-type mismatch). Both signatures
+identical to round 4; no Mosaic update between rounds.
 
 This kernel:
   1. DMAs raw u8 row bands straight from HBM (one band per grid step),
