@@ -106,25 +106,46 @@ def _is_video_result(im):
 
 def _consume_crop_queue(crop_q, n_producers, classifier, options):
     """Drain (det, crop) pairs from [crop_q], classifying in batches.
-    Returns the number of classified detections."""
+    Returns the number of classified detections.
+
+    Keeps ONE classifier batch in flight: batch N+1 is dispatched
+    (async jax dispatch — host staging + device compute overlap) before
+    batch N's results are fetched, so queue draining and crop
+    production continue while the device computes. Measured +6-57% on
+    host-staged classifier batches (experiments/exp_clf_staging.py);
+    results are identical to the serial discipline by construction
+    (same batches, same programs, only the fetch point moves)."""
 
     pending = []
+    in_flight = None  # (handle, dets) for the dispatched-not-fetched batch
     n_classified = 0
     n_sentinels = 0
 
+    def drain_in_flight():
+        nonlocal in_flight, n_classified
+        if in_flight is None:
+            return
+        handle, dets = in_flight
+        in_flight = None
+        probs = classifier.fetch_batch(handle)
+        for det, p in zip(dets, probs):
+            det['classifications'] = classifier.top_k(
+                p, k=options.top_k_classifications)
+        n_classified += len(dets)
+
     def flush():
-        nonlocal n_classified
+        nonlocal in_flight
         if not pending:
             return
         dets = [p[0] for p in pending]
         crops = [p[1] for p in pending]
-        probs = classifier.classify_batch(
-            crops, pad_to=options.classifier_batch_size)
-        for det, p in zip(dets, probs):
-            det['classifications'] = classifier.top_k(
-                p, k=options.top_k_classifications)
-        n_classified += len(pending)
         pending.clear()
+        # Dispatch the new batch BEFORE blocking on the previous one so
+        # the device always has work queued
+        handle = classifier.classify_batch_async(
+            crops, pad_to=options.classifier_batch_size)
+        drain_in_flight()
+        in_flight = (handle, dets)
 
     while n_sentinels < n_producers:
         item = crop_q.get()
@@ -135,6 +156,7 @@ def _consume_crop_queue(crop_q, n_producers, classifier, options):
         if len(pending) >= options.classifier_batch_size:
             flush()
     flush()
+    drain_in_flight()
     return n_classified
 
 

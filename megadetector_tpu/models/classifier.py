@@ -109,10 +109,15 @@ class SpeciesClassifier:
         out, _, _ = letterbox(crop, (s, s), auto=False, scaleup=True)
         return out
 
-    def classify_batch(self, crops, pad_to=None):
+    def classify_batch_async(self, crops, pad_to=None):
         """
-        Classify a list of HWC uint8 crops (pre-resized or raw). Returns
-        [N, num_classes] numpy probabilities.
+        Dispatch one classifier batch WITHOUT blocking on the result.
+        Returns an opaque handle for fetch_batch(); jax dispatch is
+        async, so the host can stage/assemble the next batch (and the
+        crop producers keep decoding) while this one computes — the
+        two-stage driver keeps one batch in flight
+        (run_md_and_classifier._consume_crop_queue), measured worth
+        +6-57% on host-staged batches (experiments/exp_clf_staging.py).
 
         pad_to: when set, pad the batch with zero crops up to this size
         so one compiled program serves every flush — without it, each
@@ -120,7 +125,7 @@ class SpeciesClassifier:
         """
 
         if len(crops) == 0:
-            return np.zeros((0, self.config.num_classes), np.float32)
+            return (None, 0)
 
         s = self.image_size
         processed = []
@@ -137,8 +142,26 @@ class SpeciesClassifier:
                                  np.uint8)], axis=0)
 
         fn = self._get_compiled(batch.shape[0])
-        probs = fn(self.params, batch)
+        return (fn(self.params, batch), n)
+
+    def fetch_batch(self, handle):
+        """Block on a classify_batch_async() handle; returns
+        [N, num_classes] numpy probabilities."""
+
+        probs, n = handle
+        if probs is None:
+            return np.zeros((0, self.config.num_classes), np.float32)
         return np.asarray(jax.device_get(probs), np.float32)[:n]
+
+    def classify_batch(self, crops, pad_to=None):
+        """
+        Classify a list of HWC uint8 crops (pre-resized or raw). Returns
+        [N, num_classes] numpy probabilities. Synchronous wrapper around
+        classify_batch_async + fetch_batch.
+        """
+
+        return self.fetch_batch(self.classify_batch_async(
+            crops, pad_to=pad_to))
 
     def top_k(self, probs, k=5):
         """[(class_id_str, conf), ...] descending, for one probs row."""

@@ -88,6 +88,74 @@ def test_classifier_batch(tiny_classifier):
     assert top[0][1] >= top[1][1]
 
 
+def test_classify_batch_async_matches_sync(tiny_classifier):
+    """classify_batch_async + fetch_batch runs the SAME compiled
+    program as classify_batch (bit-identical), and two handles can be
+    in flight at once (the pipelined-consumer discipline)."""
+
+    from megadetector_tpu.models.classifier import SpeciesClassifier
+    classifier = SpeciesClassifier(tiny_classifier)
+    rng = np.random.RandomState(5)
+    batch_a = [rng.randint(0, 255, (40, 30, 3), dtype=np.uint8)
+               for _ in range(3)]
+    batch_b = [rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+               for _ in range(2)]
+
+    sync_a = classifier.classify_batch(batch_a, pad_to=4)
+    sync_b = classifier.classify_batch(batch_b, pad_to=4)
+
+    # Dispatch both before fetching either (one-in-flight rotation)
+    h_a = classifier.classify_batch_async(batch_a, pad_to=4)
+    h_b = classifier.classify_batch_async(batch_b, pad_to=4)
+    np.testing.assert_array_equal(classifier.fetch_batch(h_a), sync_a)
+    np.testing.assert_array_equal(classifier.fetch_batch(h_b), sync_b)
+
+    # Empty-batch handle round-trips to an empty result
+    empty = classifier.fetch_batch(classifier.classify_batch_async([]))
+    assert empty.shape == (0, 4)
+
+
+def test_consume_crop_queue_pipelined(tiny_classifier):
+    """_consume_crop_queue with multiple flushes (the in-flight
+    rotation) classifies every det exactly once, identical to direct
+    classify_batch calls on the same batches."""
+
+    import queue as queue_mod
+    from megadetector_tpu.detection.run_md_and_classifier import (
+        MDAndClassifierOptions, _consume_crop_queue)
+    from megadetector_tpu.models.classifier import SpeciesClassifier
+
+    classifier = SpeciesClassifier(tiny_classifier)
+    options = MDAndClassifierOptions()
+    options.classifier_batch_size = 2
+    options.top_k_classifications = 2
+
+    rng = np.random.RandomState(9)
+    crops = [rng.randint(0, 255, (48, 40, 3), dtype=np.uint8)
+             for _ in range(5)]  # 2 full batches + tail of 1
+    dets = [{'category': '1', 'conf': 0.9, 'bbox': [0, 0, 1, 1]}
+            for _ in crops]
+
+    crop_q = queue_mod.Queue()
+    for det, crop in zip(dets, crops):
+        crop_q.put((det, crop))
+    crop_q.put(None)
+
+    n = _consume_crop_queue(crop_q, 1, classifier, options)
+    assert n == 5
+    assert all('classifications' in det for det in dets)
+
+    # Reference: the same batches through the sync API
+    for batch_start, det_batch, crop_batch in (
+            (0, dets[0:2], crops[0:2]),
+            (2, dets[2:4], crops[2:4]),
+            (4, dets[4:5], crops[4:5])):
+        probs = classifier.classify_batch(crop_batch, pad_to=2)
+        for det, p in zip(det_batch, probs):
+            expected = classifier.top_k(p, k=2)
+            assert det['classifications'] == expected
+
+
 def test_extract_crop():
     from megadetector_tpu.models.classifier import extract_crop
     img = np.arange(100 * 200 * 3, dtype=np.uint8).reshape(100, 200, 3)
