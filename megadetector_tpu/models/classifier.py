@@ -27,6 +27,11 @@ class SpeciesClassifier:
         image_size: input side (default from metadata, else 480)
         crop_mode: 'stretch' (resize bbox crop to the square input,
             SpeciesNet-style) or 'pad' (letterbox the crop)
+        folded_stem: 'auto' (default; folds 'w2' when image_size is
+            even), 'w2', 'w4', or 'off' — width-fold the stem conv for
+            MXU lane utilization (efficientnet.fold_stem; exact kernel
+            rewrite; hardware A/B in experiments/exp_clf_stem_e2e.py:
+            w2 +4.0% / w4 +3.3% e2e at 480px b128, so auto picks w2)
     """
 
     def __init__(self, model_path, classifier_options=None, verbose=False):
@@ -62,6 +67,20 @@ class SpeciesClassifier:
         self.std = np.asarray(
             self.metadata.get('normalization_std', [1.0, 1.0, 1.0]),
             np.float32)
+
+        fold = options.get('folded_stem', 'auto')
+        if fold in ('auto', True):
+            fold = 'w2' if self.image_size % 2 == 0 else 'off'
+        if fold not in ('off', False, 'w2', 'w4'):
+            raise ValueError(
+                'folded_stem must be auto/off/w2/w4, got {!r}'.format(
+                    options.get('folded_stem')))
+        if fold in ('w2', 'w4') and not efficientnet.stem_is_folded(
+                params):
+            assert self.image_size % (2 if fold == 'w2' else 4) == 0, \
+                'folded_stem={} requires image_size divisible by ' \
+                'the fold'.format(fold)
+            params = efficientnet.fold_stem(params, mode=fold)
 
         dtype_name = options.get('dtype', 'float32')
         self.compute_dtype = {'float32': jnp.float32,

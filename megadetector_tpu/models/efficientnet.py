@@ -153,6 +153,107 @@ def init_params(config, seed=0, train_init=False):
     return params
 
 
+#%% Stem width-folding
+#
+# The stem (3x3 s2, C_in=3) runs at ~1 TFLOP/s on TPU — C_in=3 uses 27
+# of the MXU's 128 contraction lanes (hardware-measured,
+# experiments/exp_clf_profile.py: 9.5 ms of an 83 ms V2-M b128 480px
+# forward). Same disease and same cure as the detector stem
+# (ops/folding.py): pack adjacent width pixels into channels with a
+# FREE row-major view ([B,H,W,3] -> [B,H,W/4,12]), and rewrite the stem
+# kernel so its taps reproduce the original multiply-accumulate terms
+# exactly — only lane placement changes.
+#
+#   w4 fold: input view [B,H,W/4,12]; kernel [3,2,12,2C] stride (2,1)
+#     pad ((1,1),(1,0)); the output [B,H/2,W/4,2C] is a w2-folded view
+#     of the true [B,H/2,W/2,C] stem output (channel index = phase*C+o,
+#     phase-major), so a second free reshape restores the normal layout
+#     and the rest of the network runs unchanged.
+#   w2 fold: input view [B,H,W/2,6]; kernel [3,2,6,C], output emitted
+#     directly in the normal layout.
+
+
+def fold_stem(params, mode='w4'):
+    """
+    Return a copy of [params] with the stem conv rewritten into the
+    width-folded layout ('w4' or 'w2'). Pure offline weight rewrite;
+    apply() detects the folded kernel shape. fold_stem(fold_stem(p)) is
+    rejected; pass the original params.
+    """
+
+    import copy
+
+    w = np.asarray(params['stem']['w'], np.float32)
+    b = np.asarray(params['stem']['b'], np.float32)
+    assert w.shape[:3] == (3, 3, 3), \
+        'fold_stem expects an unfolded [3,3,3,C] stem, got {}'.format(
+            w.shape)
+    c_out = w.shape[3]
+
+    out = dict(params)
+    if mode == 'w2':
+        wf = np.zeros((3, 2, 6, c_out), np.float32)
+        # out col j reads cols 2j-1,2j,2j+1 = folded (j-1,phase1),
+        # (j,phase0), (j,phase1)
+        wf[:, 0, 3:6, :] = w[:, 0, :, :]
+        wf[:, 1, 0:3, :] = w[:, 1, :, :]
+        wf[:, 1, 3:6, :] = w[:, 2, :, :]
+        bf = b
+    elif mode == 'w4':
+        wf = np.zeros((3, 2, 12, 2 * c_out), np.float32)
+        # output phase 0 (col 4m'): cols 4m'-1,4m',4m'+1
+        wf[:, 0, 9:12, :c_out] = w[:, 0, :, :]
+        wf[:, 1, 0:3, :c_out] = w[:, 1, :, :]
+        wf[:, 1, 3:6, :c_out] = w[:, 2, :, :]
+        # output phase 1 (col 4m'+1): cols 4m'+1,4m'+2,4m'+3
+        wf[:, 1, 3:6, c_out:] = w[:, 0, :, :]
+        wf[:, 1, 6:9, c_out:] = w[:, 1, :, :]
+        wf[:, 1, 9:12, c_out:] = w[:, 2, :, :]
+        bf = np.concatenate([b, b])
+    else:
+        raise ValueError('Unknown fold mode {}'.format(mode))
+    out['stem'] = {'w': wf, 'b': bf}
+    # Deep-copy nothing else: the other nodes are shared unchanged
+    out = {k: (copy.copy(v) if k == 'stem' else v)
+           for k, v in out.items()}
+    return out
+
+
+def stem_is_folded(params):
+    w = params['stem']['w']
+    return w.shape[0] == 3 and w.shape[1] == 2
+
+
+def _stem_conv(p, x, dtype=None):
+    """Run the stem conv, dispatching on the (possibly folded) kernel
+    shape. x: [B, H, W, 3] float; returns [B, H/2, W/2, C]."""
+
+    w = p['w']
+    if w.shape[1] == 3:
+        return _conv(p, x, stride=2, dtype=dtype)
+
+    c_in = w.shape[2]
+    fold = c_in // 3
+    batch, h, width, _ = x.shape
+    assert width % fold == 0, \
+        'folded stem requires width divisible by {} (got {}); load ' \
+        'the unfolded checkpoint for this size'.format(fold, width)
+    b = p['b']
+    if dtype is not None:
+        w = w.astype(dtype)
+        b = b.astype(dtype)
+    xf = x.reshape(batch, h, width // fold, 3 * fold)  # free view
+    y = jax.lax.conv_general_dilated(
+        xf, w, window_strides=(2, 1),
+        padding=[(1, 1), (1, 0)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    y = y + b
+    if fold == 4:
+        bo, ho, wo, co = y.shape
+        y = y.reshape(bo, ho, wo * 2, co // 2)  # free unfold view
+    return y * jax.nn.sigmoid(y)
+
+
 #%% Forward
 
 
@@ -201,7 +302,7 @@ def apply(config, params, x, dtype=None):
     if dtype is not None:
         x = x.astype(dtype)
 
-    x = _conv(params['stem'], x, stride=2, dtype=dtype)
+    x = _stem_conv(params['stem'], x, dtype=dtype)
 
     c_in = config.stem_channels
     for i_stage, (block, expansion, k, stride, c_out, layers) in \

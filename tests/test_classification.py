@@ -88,6 +88,64 @@ def test_classifier_batch(tiny_classifier):
     assert top[0][1] >= top[1][1]
 
 
+@pytest.mark.parametrize('mode', ['w2', 'w4'])
+def test_fold_stem_exact(mode):
+    """fold_stem rewrites the stem kernel into the width-folded layout
+    with identical multiply-accumulate terms: stem output and full
+    forward match the unfolded graph exactly on CPU (same dtype, same
+    reduction structure per output element)."""
+
+    import jax.numpy as jnp
+    cfg = efficientnet.EfficientNetConfig('efficientnetv2_test',
+                                          num_classes=5)
+    params = efficientnet.init_params(cfg, seed=1)
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    folded = efficientnet.fold_stem(params, mode=mode)
+    assert efficientnet.stem_is_folded(folded)
+    assert not efficientnet.stem_is_folded(params)
+
+    stem_base = np.asarray(efficientnet._stem_conv(
+        params['stem'], jnp.asarray(x)))
+    stem_fold = np.asarray(efficientnet._stem_conv(
+        folded['stem'], jnp.asarray(x)))
+    assert stem_fold.shape == stem_base.shape
+    np.testing.assert_array_equal(stem_fold, stem_base)
+
+    out_base = np.asarray(efficientnet.apply(cfg, params, x))
+    out_fold = np.asarray(efficientnet.apply(cfg, folded, x))
+    np.testing.assert_array_equal(out_fold, out_base)
+
+    # Double-folding is rejected
+    with pytest.raises(AssertionError):
+        efficientnet.fold_stem(folded, mode=mode)
+
+
+def test_classifier_folded_stem_option(tiny_classifier):
+    """The folded_stem classifier option folds at load (default auto
+    -> w4 at image_size 64) and classifies identically to off."""
+
+    from megadetector_tpu.models.classifier import SpeciesClassifier
+    rng = np.random.RandomState(2)
+    crops = [rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+             for _ in range(3)]
+
+    clf_off = SpeciesClassifier(tiny_classifier,
+                                {'folded_stem': 'off'})
+    clf_auto = SpeciesClassifier(tiny_classifier)
+    assert efficientnet.stem_is_folded(
+        {'stem': {'w': np.asarray(clf_auto.params['stem']['w'])}})
+    probs_off = clf_off.classify_batch(crops)
+    probs_auto = clf_auto.classify_batch(crops)
+    assert probs_auto.shape == probs_off.shape
+    assert (probs_auto.argmax(axis=1) == probs_off.argmax(axis=1)).all()
+    np.testing.assert_allclose(probs_auto, probs_off, atol=2e-3)
+
+    with pytest.raises(ValueError):
+        SpeciesClassifier(tiny_classifier, {'folded_stem': 'bogus'})
+
+
 def test_classify_batch_async_matches_sync(tiny_classifier):
     """classify_batch_async + fetch_batch runs the SAME compiled
     program as classify_batch (bit-identical), and two handles can be
