@@ -366,7 +366,10 @@ def run_md_and_classifier(options):
     # --- Classification step
     classifier = SpeciesClassifier(
         options.classifier_model,
-        classifier_options=options.classifier_options)
+        classifier_options=ct_utils.parse_kvp_list(
+            options.classifier_options)
+        if isinstance(options.classifier_options, list)
+        else options.classifier_options)
 
     n_classified = _classify_detections_for_images(
         data, options.input_folder, classifier, options)
@@ -450,6 +453,10 @@ def main():
     parser.add_argument('--frame_sample', type=int, default=None)
     parser.add_argument('--time_sample', type=float, default=None)
     parser.add_argument('--detector_options', nargs='*', default=None)
+    parser.add_argument('--classifier_options', nargs='*', default=None,
+                        help='k=v pairs for SpeciesClassifier (e.g. '
+                             'quantize=int8 folded_stem=w2 '
+                             'dtype=bfloat16)')
     parser.add_argument('--crop_workers', type=int, default=4)
     parser.add_argument('--apply_ensemble', action='store_true',
                         help='apply taxonomy rollup (+ geofencing when '

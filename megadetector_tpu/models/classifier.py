@@ -32,11 +32,41 @@ class SpeciesClassifier:
             MXU lane utilization (efficientnet.fold_stem; exact kernel
             rewrite; hardware A/B in experiments/exp_clf_stem_e2e.py:
             w2 +4.0% / w4 +3.3% e2e at 480px b128, so auto picks w2)
+        quantize: 'off' (default) or 'int8' — chained int8 inference
+            (efficientnet.quantize_params_chain): expand/project/head
+            convs run int8 on the MXU with the residual stream stored
+            int8; dw/SE/stem/fc stay float. Activation scales are
+            calibrated on the FIRST classified batch by default (that
+            batch also classifies through the calibrated program, so
+            results are consistent across the run), or explicitly via
+            calibrate(crops) with representative data.
+            MEASURED DESIGN POINT, not a speed mode on this hardware:
+            e2e V2-M 480px b128 on v5e it LOSES −6.1% (fused stages
+            only) to −21.7% (all stages) vs bf16
+            (experiments/exp_clf_int8.py; perf-profile.md ledger) —
+            the float dw/SE break the int8 chain at every MBConv
+            block, so the HBM-bound e6 expansion tensors pay an extra
+            activation-quantize pass, unlike the detector's unbroken
+            conv→conv chains where int8 wins. Kept for toolchains /
+            future hardware where the trade flips; class probabilities
+            also drift vs the float path — validate against
+            real-weight goldens before any production use.
+        calibration_headroom: absmax multiplier for the int8 activation
+            scales (default 1.0)
     """
+
+    KNOWN_OPTIONS = ('arch', 'num_classes', 'image_size', 'crop_mode',
+                     'folded_stem', 'dtype', 'quantize',
+                     'calibration_headroom')
 
     def __init__(self, model_path, classifier_options=None, verbose=False):
 
         options = dict(classifier_options or {})
+        unknown = sorted(set(options) - set(self.KNOWN_OPTIONS))
+        if unknown:
+            raise ValueError(
+                'Unknown classifier option(s) {} (known: {})'.format(
+                    unknown, list(self.KNOWN_OPTIONS)))
         self.verbose = verbose
 
         params, metadata = load_checkpoint(model_path)
@@ -82,19 +112,93 @@ class SpeciesClassifier:
                 'the fold'.format(fold)
             params = efficientnet.fold_stem(params, mode=fold)
 
-        dtype_name = options.get('dtype', 'float32')
+        quantize = options.get('quantize', 'off')
+        if quantize in (False, None, 'off'):
+            quantize = 'off'
+        elif quantize not in ('int8',):
+            raise ValueError(
+                "quantize must be 'off' or 'int8', got {!r}".format(
+                    quantize))
+        self.quantize = quantize
+        self.calibration_headroom = float(
+            options.get('calibration_headroom', 1.0))
+
+        # int8 mode defaults the float-part compute dtype to bf16
+        dtype_name = options.get(
+            'dtype', 'bfloat16' if quantize == 'int8' else 'float32')
         self.compute_dtype = {'float32': jnp.float32,
                               'bfloat16': jnp.bfloat16,
                               'bf16': jnp.bfloat16}[dtype_name]
-        if self.compute_dtype == jnp.bfloat16:
-            params = jax.tree_util.tree_map(
-                lambda a: jnp.asarray(a, jnp.bfloat16), params)
+
+        if quantize == 'int8':
+            if not efficientnet.params_are_chain_quantized(params):
+                params = efficientnet.quantize_params_chain(
+                    params, self.config)
+            else:
+                from megadetector_tpu.ops.quantization import \
+                    requalify_quantized
+                params = requalify_quantized(params)
+            # Float leaves stay f32 on device; apply() casts the float
+            # convs to compute_dtype at trace time (they are a small
+            # minority of the weights in chain mode). Calibration also
+            # needs f32 weights.
+            self.params = jax.device_put(params)
+            self._calibrated = self._chain_is_calibrated(self.params)
         else:
-            params = jax.tree_util.tree_map(
-                lambda a: jnp.asarray(a, jnp.float32), params)
-        self.params = jax.device_put(params)
+            if self.compute_dtype == jnp.bfloat16:
+                params = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.bfloat16), params)
+            else:
+                params = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.float32), params)
+            self.params = jax.device_put(params)
+            self._calibrated = True
 
         self._compiled = {}
+
+    @staticmethod
+    def _chain_is_calibrated(params):
+        nodes = []
+
+        def walk(node):
+            if isinstance(node, dict):
+                if 'w_q' in node:
+                    nodes.append(node)
+                else:
+                    for v in node.values():
+                        walk(v)
+        walk(params)
+        return bool(nodes) and all('y_scale' in n for n in nodes)
+
+    def calibrate(self, crops):
+        """
+        Bake static int8 activation scales from representative crops
+        (list of HWC uint8 arrays, or a stacked [N, H, W, 3] uint8
+        batch). Only meaningful with quantize='int8'; classify_batch
+        auto-calibrates on its first batch if this was never called.
+        """
+
+        assert self.quantize == 'int8', \
+            'calibrate() requires quantize=int8'
+        if isinstance(crops, np.ndarray) and crops.ndim == 4:
+            batch = crops
+        else:
+            s = self.image_size
+            batch = np.stack([
+                c if (c.shape[0] == s and c.shape[1] == s)
+                else self.preprocess_crop(c) for c in crops])
+        x = (batch.astype(np.float32) / 255.0 - self.mean) / self.std
+
+        from megadetector_tpu.ops.quantization import \
+            calibrate_chain_scales
+        calibrate_chain_scales(
+            efficientnet.apply, self.config, self.params, x,
+            headroom=self.calibration_headroom)
+        self._calibrated = True
+        self._compiled.clear()
+        if self.verbose:
+            print('Calibrated int8 scales on {} crops'.format(
+                batch.shape[0]))
 
     def _get_compiled(self, batch_size):
         if batch_size in self._compiled:
@@ -159,6 +263,12 @@ class SpeciesClassifier:
             batch = np.concatenate(
                 [batch, np.zeros((pad_to - n,) + batch.shape[1:],
                                  np.uint8)], axis=0)
+
+        if not self._calibrated:
+            # First batch in int8 mode: bake activation scales from it,
+            # then classify it through the calibrated chain program so
+            # every batch in the run uses identical numerics.
+            self.calibrate(batch[:n])
 
         fn = self._get_compiled(batch.shape[0])
         return (fn(self.params, batch), n)

@@ -258,6 +258,38 @@ def _stem_conv(p, x, dtype=None):
 
 
 def _conv(p, x, stride=1, groups=1, act=True, dtype=None):
+    """
+    Conv + bias (+ SiLU) over NHWC. Three parameter flavors, mirroring
+    models/yolov5._conv:
+    - float 'w': bf16/f32 path (stem, depthwise, SE, and any
+      float-policy stage)
+    - int8 'w_q' without y_scale: dynamic-scale / calibration path
+    - int8 'w_q' with calibrated x_scale/y_scale: CHAIN mode — int8 in,
+      int8 out, f32 epilogue fused by XLA (ops/quantization.chained_conv)
+    """
+
+    from megadetector_tpu.ops import quantization as q
+
+    if 'w_q' in p:
+        assert groups == 1, 'depthwise convs are never quantized'
+        k = p['w_q'].shape[0]
+        if 'y_scale' in p:
+            return q.chained_conv(p, x, stride, k // 2, act=act)
+        x = q.qt_dequant(x, dtype) if isinstance(x, q.QTensor) else x
+        if q._CALIBRATION_COLLECTOR is not None:
+            q._CALIBRATION_COLLECTOR.append(
+                (id(p), 'in',
+                 jnp.max(jnp.abs(x.astype(jnp.float32)))))
+        y = q.quantized_conv(p, x, stride, k // 2, act=act,
+                             accum_dtype=dtype or x.dtype)
+        if q._CALIBRATION_COLLECTOR is not None:
+            q._CALIBRATION_COLLECTOR.append(
+                (id(p), 'out',
+                 jnp.max(jnp.abs(y.astype(jnp.float32)))))
+        return y
+
+    if isinstance(x, q.QTensor):
+        x = q.qt_dequant(x, dtype or jnp.float32)
     w = p['w']
     b = p['b']
     if dtype is not None:
@@ -274,6 +306,38 @@ def _conv(p, x, stride=1, groups=1, act=True, dtype=None):
     if act:
         y = y * jax.nn.sigmoid(y)  # SiLU
     return y
+
+
+def _residual_add(proj_params, y, shortcut, dtype=None):
+    """
+    Residual add around a block, int8-chain-aware.
+
+    In CHAIN mode the project conv emits a QTensor; the sum is computed
+    in f32 (the dequants fuse into the add) and re-quantized at the
+    block's calibrated 'res_scale' — quantizing the SUM at its own
+    observed absmax rather than the qt_add bound (s_a + s_b), which
+    would compound ~linearly over V2-M's 14-18-block residual chains.
+    Without a res_scale (uncalibrated / float-policy blocks) the sum
+    stays float. During calibration the float sum's absmax is recorded
+    against the project node under the 'res' key
+    (ops/quantization.calibrate_chain_scales bakes it).
+    """
+
+    from megadetector_tpu.ops import quantization as q
+
+    if isinstance(y, q.QTensor) or isinstance(shortcut, q.QTensor):
+        s = q.qt_dequant(y, jnp.float32) + \
+            q.qt_dequant(shortcut, jnp.float32)
+        if isinstance(proj_params, dict) and 'res_scale' in proj_params:
+            return q.qt_quantize(s, float(proj_params['res_scale']))
+        return s.astype(dtype) if dtype is not None else s
+
+    s = y + shortcut
+    if q._CALIBRATION_COLLECTOR is not None and 'w_q' in proj_params:
+        q._CALIBRATION_COLLECTOR.append(
+            (id(proj_params), 'res',
+             jnp.max(jnp.abs(s.astype(jnp.float32)))))
+    return s
 
 
 def _se(block_params, x, dtype=None):
@@ -328,11 +392,14 @@ def apply(config, params, x, dtype=None):
                 y = _conv(bp['project'], y, act=False, dtype=dtype)
 
             if use_residual:
-                y = y + shortcut
+                y = _residual_add(bp['project'], y, shortcut, dtype=dtype)
             x = y
             c_in = c_out
 
     x = _conv(params['head'], x, dtype=dtype)
+    from megadetector_tpu.ops.quantization import QTensor, qt_dequant
+    if isinstance(x, QTensor):
+        x = qt_dequant(x, jnp.float32)
     x = jnp.mean(x, axis=(1, 2))
 
     w = params['fc']['w']
@@ -348,6 +415,86 @@ def apply(config, params, x, dtype=None):
 def num_params(params):
     return sum(int(np.prod(p.shape))
                for p in jax.tree_util.tree_leaves(params))
+
+
+#%% int8 chain quantization
+#
+# The detector's chained-int8 design (ops/quantization.py) applied to
+# the classifier: MBConv/FusedMBConv expand+project convs and the head
+# run int8 x int8 -> int32 on the MXU with f32 epilogues fused by XLA,
+# and the inter-block residual stream is stored int8 (half the HBM
+# bytes). Depthwise convs (VPU-bound, ~2% of FLOPs), SE (tiny), the
+# stem (3-lane contraction; also carries the width-fold rewrite), and
+# the fc stay float. Hardware profile motivating this:
+# experiments/exp_clf_profile.py — the fused stages run at the bf16
+# compute ceiling (int8's dot ceiling is ~1.75x higher) and the MBConv
+# 1x1s are HBM-bound at the e6 expansion shapes (int8 halves the
+# residual/input traffic).
+
+
+def quantize_params_chain(params, config, float_stages=('stage0',)):
+    """
+    Quantize an EfficientNetV2 param pytree for CHAIN mode: expand /
+    project / head conv nodes get int8 weights (per-output-channel
+    symmetric, ops/quantization.quantize_conv_weight) wrapped in
+    QConvParams; activation scales (x_scale/y_scale/res_scale) are
+    baked afterwards by ops/quantization.calibrate_chain_scales run
+    over this module's apply().
+
+    Args:
+        params: float param pytree (fold_stem before quantizing —
+            the stem stays float either way)
+        config: EfficientNetConfig
+        float_stages: stage names kept entirely float (default: the
+            low-channel high-resolution stage0, mirroring the
+            detector's float-store policy for <=128-lane layers)
+
+    Returns:
+        a new pytree sharing the float nodes.
+    """
+
+    from megadetector_tpu.ops import quantization as q
+
+    def quantize_node(node):
+        w_q, scale = q.quantize_conv_weight(np.asarray(node['w']))
+        return q.QConvParams(w_q=w_q, w_scale=scale,
+                             b=np.asarray(node['b'], np.float32))
+
+    out = {'stem': params['stem']}
+    for i_stage in range(len(config.stages)):
+        name = 'stage{}'.format(i_stage)
+        if name in (float_stages or ()):
+            out[name] = params[name]
+            continue
+        stage_out = {}
+        for key, bp in params[name].items():
+            nbp = {}
+            for slot, node in bp.items():
+                if slot in ('expand', 'project'):
+                    nbp[slot] = quantize_node(node)
+                else:
+                    nbp[slot] = node
+            stage_out[key] = nbp
+        out[name] = stage_out
+    out['head'] = quantize_node(params['head'])
+    out['fc'] = params['fc']
+    return out
+
+
+def params_are_chain_quantized(params):
+    """True when the pytree carries int8 chain conv nodes."""
+
+    found = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if 'w_q' in node:
+                found.append(node)
+            else:
+                for v in node.values():
+                    walk(v)
+    walk(params)
+    return len(found) > 0
 
 
 #%% Conversion from torchvision checkpoints

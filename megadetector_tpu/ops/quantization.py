@@ -144,7 +144,7 @@ class QConvParams(dict):
     constant-fold and QTensor scale bookkeeping works at trace time.
     """
 
-    _STATIC = ('x_scale', 'y_scale')
+    _STATIC = ('x_scale', 'y_scale', 'res_scale')
 
     def tree_flatten(self):
         dynamic_keys = tuple(sorted(
@@ -175,6 +175,8 @@ def requalify_quantized(params):
             if 'x_scale' in params:
                 node['x_scale'] = float(np.asarray(params['x_scale']))
             node['y_scale'] = float(np.asarray(params['y_scale']))
+            if 'res_scale' in params:
+                node['res_scale'] = float(np.asarray(params['res_scale']))
             return node
         return type(params)(
             (k, requalify_quantized(v)) for k, v in params.items())
@@ -520,7 +522,7 @@ def calibrate_chain_scales(apply_fn, config, params_q, sample_images,
     node_max = {}
     for (node_id, which), val in zip(keys, stats):
         cur = node_max.setdefault(node_id, {'in': 0.0, 'out': 0.0})
-        cur[which] = max(cur[which], val)
+        cur[which] = max(cur.get(which, 0.0), val)
 
     n_set = 0
     for node_id, vals in node_max.items():
@@ -532,6 +534,15 @@ def calibrate_chain_scales(apply_fn, config, params_q, sample_images,
                 max(vals['in'] * headroom, 1e-6) / 127.0)
         node['y_scale'] = float(
             max(vals['out'] * headroom, 1e-6) / 127.0)
+        # Residual-sum scale (recorded by block forwards that add a
+        # shortcut onto this conv's output — e.g. efficientnet MBConv
+        # projects): quantizing the SUM at its own calibrated absmax
+        # avoids the scale inflation of the qt_add bound (s_a + s_b),
+        # which would compound over long residual chains (V2-M stage6
+        # has 18 blocks).
+        if 'res' in vals:
+            node['res_scale'] = float(
+                max(vals['res'] * headroom, 1e-6) / 127.0)
         n_set += 1
     assert n_set > 0, 'Calibration matched no quantized convs'
     return params_q
