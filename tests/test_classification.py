@@ -266,6 +266,42 @@ def test_two_stage_pipeline(tiny_detector, tiny_classifier, tmp_path):
                 assert 0 <= c[1] <= 1
 
 
+def test_two_stage_cli_list_classifier_options(
+        tiny_detector, tiny_classifier, tmp_path):
+    """The CLI's --classifier_options k=v list form parses into the
+    SpeciesClassifier options dict (and unknown keys raise)."""
+
+    from megadetector_tpu.detection.run_md_and_classifier import (
+        MDAndClassifierOptions, run_md_and_classifier)
+
+    input_folder = str(tmp_path / 'images')
+    os.makedirs(input_folder)
+    rng = np.random.RandomState(3)
+    Image.fromarray(rng.randint(0, 255, (60, 80, 3),
+                                dtype=np.uint8)).save(
+        os.path.join(input_folder, 'im0.jpg'))
+
+    options = MDAndClassifierOptions()
+    options.input_folder = input_folder
+    options.output_file = str(tmp_path / 'two_stage.json')
+    options.detector_model = tiny_detector
+    options.classifier_model = tiny_classifier
+    options.classification_confidence_threshold = 0.01
+    options.include_videos = False
+    options.verbose = False
+    # argparse nargs='*' delivers a list of 'k=v' strings
+    options.classifier_options = ['folded_stem=off', 'dtype=float32',
+                                  'crop_mode=stretch']
+    data = run_md_and_classifier(options)
+    assert any('classifications' in det for im in data['images']
+               for det in im.get('detections') or [])
+
+    options.output_file = str(tmp_path / 'two_stage2.json')
+    options.classifier_options = ['no_such_option=1']
+    with pytest.raises(ValueError, match='no_such_option'):
+        run_md_and_classifier(options)
+
+
 def _smoothing_scenario():
     """5 cow detections, 1 deer, 1 'other' in one image."""
 
