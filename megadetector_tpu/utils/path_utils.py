@@ -355,12 +355,57 @@ def unzip_file(input_file, output_folder=None):
     return output_folder
 
 
-def get_file_sizes(base_dir, convert_slashes=True):
-    """{relative filename: size in bytes} for all files under [base_dir]."""
+def _get_file_size(filename, verbose=False):
+    """(filename, size-in-bytes-or-None) for one file."""
 
-    files = recursive_file_list(base_dir, convert_slashes=convert_slashes,
-                                return_relative_paths=True)
-    return {fn: os.path.getsize(os.path.join(base_dir, fn)) for fn in files}
+    try:
+        return filename, os.path.getsize(filename)
+    except OSError as e:
+        if verbose:
+            print('Error reading size of {}: {}'.format(filename, e))
+        return filename, None
+
+
+def get_file_sizes(filenames, max_workers=1, use_threads=True,
+                   verbose=False, recursive=True, convert_slashes=True,
+                   return_relative_paths=True):
+    """
+    {filename: size in bytes (None on error)} for a list of files, or
+    for every file under a folder when [filenames] is a folder path
+    (reference: path_utils.py:1215 — folder-or-list input, optional
+    worker pool, relative paths only meaningful for folder input).
+    """
+
+    folder_name = None
+    if isinstance(filenames, str):
+        folder_name = filenames
+        assert os.path.isdir(folder_name), \
+            'Could not find folder {}'.format(folder_name)
+        filenames = recursive_file_list(
+            folder_name, recursive=recursive, return_relative_paths=False)
+    else:
+        filenames = list(filenames)
+
+    if max_workers <= 1 or len(filenames) <= 1:
+        results = [_get_file_size(fn, verbose=verbose)
+                   for fn in filenames]
+    else:
+        from concurrent.futures import (ThreadPoolExecutor,
+                                        ProcessPoolExecutor)
+        pool_cls = ThreadPoolExecutor if use_threads \
+            else ProcessPoolExecutor
+        with pool_cls(max_workers=min(max_workers,
+                                      len(filenames))) as pool:
+            results = list(pool.map(_get_file_size, filenames))
+
+    to_return = {}
+    for fn, size in results:
+        if return_relative_paths and folder_name is not None:
+            fn = os.path.relpath(fn, folder_name)
+        if convert_slashes:
+            fn = fn.replace('\\', '/')
+        to_return[fn] = size
+    return to_return
 
 
 def fileparts(path):
@@ -481,7 +526,7 @@ def make_executable(filename, catch_exceptions=False):
 
 
 def zip_folder(input_folder, output_fn=None, overwrite=False,
-               compress_level=9):
+               verbose=False, compress_level=9):
     """Zip a folder tree (reference: path_utils.py:1449)."""
 
     import zipfile
@@ -489,7 +534,11 @@ def zip_folder(input_folder, output_fn=None, overwrite=False,
     if output_fn is None:
         output_fn = input_folder.rstrip('/\\') + '.zip'
     if os.path.isfile(output_fn) and not overwrite:
+        if verbose:
+            print('Skipping existing zipfile {}'.format(output_fn))
         return output_fn
+    if verbose:
+        print('Zipping {} to {}'.format(input_folder, output_fn))
     with zipfile.ZipFile(output_fn, 'w', zipfile.ZIP_DEFLATED,
                          compresslevel=compress_level) as zf:
         for root, _, files in os.walk(input_folder):

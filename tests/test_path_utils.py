@@ -133,6 +133,30 @@ def test_folder_utilities(tmp_path):
     assert pu.test_file_write(str(tmp_path / 'w.txt'))
 
 
+def test_get_file_sizes(tmp_path):
+    from megadetector_tpu.utils import path_utils as pu
+
+    folder = tmp_path / 'sizes'
+    (folder / 'sub').mkdir(parents=True)
+    (folder / 'a.txt').write_text('x' * 10)
+    (folder / 'sub' / 'b.txt').write_text('y' * 25)
+
+    # Folder form: relative paths by default
+    sizes = pu.get_file_sizes(str(folder))
+    assert sizes == {'a.txt': 10, 'sub/b.txt': 25}
+    # Non-recursive
+    assert pu.get_file_sizes(str(folder), recursive=False) == \
+        {'a.txt': 10}
+    # List form: keys as given, errors -> None
+    lst = [str(folder / 'a.txt'), str(folder / 'missing.txt')]
+    sizes = pu.get_file_sizes(lst)
+    assert sizes[str(folder / 'a.txt').replace('\\', '/')] == 10
+    assert sizes[str(folder / 'missing.txt').replace('\\', '/')] is None
+    # Worker pool path agrees with serial
+    assert pu.get_file_sizes(str(folder), max_workers=2) == \
+        {'a.txt': 10, 'sub/b.txt': 25}
+
+
 def test_zip_tar_utilities(tmp_path):
     import tarfile
     import zipfile
