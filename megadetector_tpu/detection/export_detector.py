@@ -241,7 +241,8 @@ class ExportedDetector(TPUDetector):
                           'fused_decode', 'folded_early', 'folded_h2',
                           'approx_select', 'select_cm', 'stem_gemm',
                           'bf16_resize', 'conv_backend',
-                          'bottleneck_variant', 'pre_nms_topk'):
+                          'bottleneck_variant', 'pre_nms_topk',
+                          'xla_compiler_options'):
             assert options.get(forbidden) is None, \
                 '{} is fixed at export time for AOT artifacts'.format(
                     forbidden)

@@ -132,6 +132,16 @@ class TPUDetector:
         max_batch_size: cap on compiled batch size
         mesh: optional jax.sharding.Mesh for data-parallel inference
         batch_axis: mesh axis name for the batch dimension (default 'data')
+        xla_compiler_options: extra XLA compiler flags for every program
+            this detector builds, as 'name=value[;name=value...]' (or a
+            dict). Hardware-swept at the bench config
+            (experiments/exp_xla_flags.py): every public TPU tuning flag
+            is e2e-neutral-to-worse there, including the best one
+            (xla_tpu_scoped_vmem_limit_kib=32768, +0.68%, below the 1%
+            landing bar — exp_xla_vmem_confirm), so the default compiler
+            stands; the knob exists for other model/canvas mixes and
+            future toolchains. Fusion-budget flags can change f32
+            reduction splits, so strict compatibility modes ignore it.
     """
 
     def __init__(self, model_path, detector_options=None, verbose=False):
@@ -155,6 +165,24 @@ class TPUDetector:
                 'A non-default compatibility mode is required'
         self.compatibility_mode = options.get('compatibility_mode',
                                               'classic') or 'classic'
+        self._compiler_options = None
+        if 'strict' not in self.compatibility_mode:
+            self._compiler_options = _parse_compiler_options(
+                options.get('xla_compiler_options', None))
+        if self._compiler_options:
+            # Fail fast on invalid flag names/values: a bad flag would
+            # otherwise fail every batch compile and surface only as
+            # opaque per-image 'inference failure' records through the
+            # containment path. One trivial compile validates the set
+            # against the actual backend.
+            try:
+                self._jit(lambda x: x + 1)(
+                    jnp.zeros((), jnp.float32)).block_until_ready()
+            except Exception as e:
+                raise ValueError(
+                    'xla_compiler_options rejected by the {} compiler: '
+                    '{} ({})'.format(jax.devices()[0].platform,
+                                     self._compiler_options, e)) from e
         self.use_model_native_classes = _to_bool(
             options.get('use_model_native_classes', False))
         self.preprocess_only = _to_bool(options.get('preprocess_only',
@@ -431,6 +459,24 @@ class TPUDetector:
         from megadetector_tpu.ops import pallas_bottleneck as _pb
         _pb.set_variant(getattr(self, '_bottleneck_variant', 'taps'))
 
+    def _compiler_key(self):
+        """Canonical hashable form of the extra compiler options (for
+        the process-global program cache; two detectors differing only
+        in flags must not share a compiled program)."""
+
+        opts = getattr(self, '_compiler_options', None)
+        return tuple(sorted(opts.items())) if opts else None
+
+    def _jit(self, program, **kwargs):
+        """jax.jit with this detector's extra XLA compiler options
+        applied (the xla_compiler_options option; None = default
+        compiler, identical to a plain jax.jit)."""
+
+        opts = getattr(self, '_compiler_options', None)
+        if opts:
+            kwargs['compiler_options'] = dict(opts)
+        return jax.jit(program, **kwargs)
+
     def _effective_topk(self, topk):
         """The candidate capacity that would actually execute for a
         requested [topk]. Identity for live models (any capacity
@@ -461,6 +507,7 @@ class TPUDetector:
                           getattr(self, '_stem_gemm', False),
                           getattr(self, '_conv_backend', 'xla'),
                           getattr(self, '_bottleneck_variant', 'taps'),
+                          self._compiler_key(),
                           batch_size, height, width)
             if global_key in _PROGRAM_CACHE:
                 fn = _PROGRAM_CACHE[global_key]
@@ -491,13 +538,13 @@ class TPUDetector:
             from jax.sharding import NamedSharding, PartitionSpec as P
             data = NamedSharding(self.mesh, P(self.batch_axis))
             replicated = NamedSharding(self.mesh, P())
-            fn = jax.jit(
+            fn = self._jit(
                 program,
                 in_shardings=(replicated, data, None, None),
                 out_shardings=NamedSharding(self.mesh,
                                             P(self.batch_axis)))
         else:
-            fn = jax.jit(program)
+            fn = self._jit(program)
             _PROGRAM_CACHE[global_key] = fn
 
         self._compiled[key] = fn
@@ -583,7 +630,7 @@ class TPUDetector:
                 cands, iou_thres, max_det=max_det,
                 class_agnostic=(config.num_classes == 1))
 
-        fn = jax.jit(program)
+        fn = self._jit(program)
         self._compiled[key] = fn
         return fn
 
@@ -695,12 +742,12 @@ class TPUDetector:
             from jax.sharding import NamedSharding, PartitionSpec as P
             data = NamedSharding(self.mesh, P(self.batch_axis))
             replicated = NamedSharding(self.mesh, P())
-            fn = jax.jit(program,
+            fn = self._jit(program,
                          in_shardings=(replicated, data, data, None, None),
                          out_shardings=NamedSharding(
                              self.mesh, P(self.batch_axis)))
         else:
-            fn = jax.jit(program)
+            fn = self._jit(program)
         self._compiled[key] = fn
         return fn
 
@@ -1271,6 +1318,48 @@ def tta_concatenated_predictions(config, apply_fn, params, x, height,
                 p = p[:, (a // g) * (4 ** (nl - 1)):]
         preds.append(p)
     return jnp.concatenate(preds, axis=1)
+
+
+def _parse_compiler_options(spec):
+    """
+    Parse the xla_compiler_options detector option into the dict
+    jax.jit(compiler_options=...) takes: 'name=value[;name=value...]'
+    (';'-separated because --detector_options tokens are themselves
+    key=value and split on the FIRST '=' only), or an already-built
+    mapping. Returns None for empty/None so the default compiler path
+    stays literally untouched.
+    """
+
+    def _norm(v):
+        # XLA's option parser takes bool options as Python bools (or
+        # 'True'/'False' strings) but rejects lowercase 'true'/'false'
+        # and '0'/'1'; normalize the spellings detector options use
+        if isinstance(v, bool):
+            return v
+        s = str(v)
+        if s.lower() == 'true':
+            return True
+        if s.lower() == 'false':
+            return False
+        return s
+
+    if spec is None:
+        return None
+    if isinstance(spec, dict):
+        parsed = {str(k): _norm(v) for k, v in spec.items()}
+        return parsed or None
+    parsed = {}
+    for item in str(spec).split(';'):
+        item = item.strip()
+        if not item:
+            continue
+        if '=' not in item:
+            raise ValueError(
+                "xla_compiler_options items must be name=value, got "
+                "{!r} (full spec {!r})".format(item, spec))
+        k, v = item.split('=', 1)
+        parsed[k.strip()] = _norm(v.strip())
+    return parsed or None
 
 
 def _to_bool(v):

@@ -293,3 +293,70 @@ def test_strict_mode_disables_bf16_resize(tiny_checkpoint):
 
     f32 = TPUDetector(tiny_checkpoint)
     assert f32._resize_dtype() is None
+
+
+def test_xla_compiler_options_plumbing(tiny_checkpoint):
+    """xla_compiler_options parses (string and dict forms), keys the
+    process-global program cache (detectors differing only in flags
+    must not share programs), reaches the compiled program (results
+    identical for a semantically-neutral flag), is ignored in strict
+    mode, and rejects malformed items."""
+
+    import pytest as _pytest
+
+    from megadetector_tpu.models.detector import (
+        TPUDetector, _parse_compiler_options)
+
+    # Parse forms
+    assert _parse_compiler_options(None) is None
+    assert _parse_compiler_options('') is None
+    assert _parse_compiler_options('a=1') == {'a': '1'}
+    assert _parse_compiler_options('a=true;b=False') == \
+        {'a': True, 'b': False}
+    assert _parse_compiler_options(' a=1; b=x=y ;') == \
+        {'a': '1', 'b': 'x=y'}
+    assert _parse_compiler_options({'a': 1}) == {'a': '1'}
+    with _pytest.raises(ValueError):
+        _parse_compiler_options('no_separator_here')
+
+    # A real generic XLA flag at its default value: the program must
+    # compile and run through the flagged path with identical results.
+    flag = 'xla_cpu_enable_fast_math=false'
+    base = TPUDetector(tiny_checkpoint)
+    flagged = TPUDetector(tiny_checkpoint, detector_options={
+        'xla_compiler_options': flag})
+    assert flagged._compiler_options == \
+        {'xla_cpu_enable_fast_math': False}
+    assert base._compiler_key() is None
+    assert flagged._compiler_key() == \
+        (('xla_cpu_enable_fast_math', False),)
+
+    img = Image.fromarray(
+        np.random.RandomState(3).randint(0, 255, (64, 64, 3),
+                                         dtype=np.uint8))
+    r_base = base.generate_detections_one_image(img, 'im',
+                                                detection_threshold=0.005)
+    r_flag = flagged.generate_detections_one_image(
+        img, 'im', detection_threshold=0.005)
+    assert r_base['detections'] == r_flag['detections']
+    # Distinct cached programs (same shapes, different flags)
+    assert base._get_compiled(1, 64, 64) is not flagged._get_compiled(
+        1, 64, 64)
+
+    # Strict mode ignores the option entirely
+    strict = TPUDetector(tiny_checkpoint, detector_options={
+        'compatibility_mode': 'classic-strict',
+        'xla_compiler_options': flag})
+    assert strict._compiler_options is None
+
+
+def test_xla_compiler_options_bad_flag_fails_fast(tiny_checkpoint):
+    """An invalid compiler flag must raise at construction with a clear
+    message, not surface later as contained per-image failures."""
+
+    from megadetector_tpu.models.detector import TPUDetector
+
+    with pytest.raises(ValueError, match='xla_compiler_options'):
+        TPUDetector(tiny_checkpoint, detector_options={
+            'xla_compiler_options':
+                'xla_no_such_flag_exists_anywhere=1'})
