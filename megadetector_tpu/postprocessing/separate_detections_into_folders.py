@@ -227,6 +227,27 @@ def main():
         parser.exit()
 
     args = parser.parse_args()
+
+    # Threshold sanity, as the reference CLI
+    # (separate_detections_into_folders.py:765-782): each threshold in
+    # [0, 1], and a default alongside ALL per-category overrides is
+    # almost certainly a mistake
+    for v, name in ((args.threshold, 'default'),
+                    (args.animal_threshold, 'animal'),
+                    (args.human_threshold, 'human'),
+                    (args.vehicle_threshold, 'vehicle')):
+        if v is not None:
+            assert 0.0 <= v <= 1.0, \
+                'Illegal {} threshold {}'.format(name, v)
+    if args.threshold is not None and \
+            args.animal_threshold is not None and \
+            args.human_threshold is not None and \
+            args.vehicle_threshold is not None:
+        raise ValueError(
+            'Default threshold specified, but all category thresholds '
+            'also specified... not exactly wrong, but it\'s likely that '
+            'you meant something else.')
+
     options = SeparateDetectionsIntoFoldersOptions()
     options.results_file = args.results_file
     options.base_input_folder = args.base_input_folder
