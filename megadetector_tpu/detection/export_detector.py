@@ -117,6 +117,13 @@ def export_detector(model_file, output_file, batch_sizes=(1, 8),
         'Only host-preprocess programs are exportable'
     assert options.get('mesh') is None, \
         'Export single-device programs; shard at load time instead'
+    # jax.export serializes StableHLO (pre-compilation), so extra
+    # compiler flags would silently NOT be baked into the artifact;
+    # reject rather than mislead (the loading side forbids the option
+    # too — compilation of the artifact uses the default compiler)
+    assert options.get('xla_compiler_options') is None, \
+        'xla_compiler_options cannot be baked into AOT artifacts ' \
+        '(they serialize pre-compilation StableHLO)'
 
     detector = load_detector(model_file, detector_options=options,
                              verbose=verbose)
